@@ -1,0 +1,97 @@
+"""Text analysis primitives — all JVM-side column expressions (no Python
+in the hot path). Tokenizer semantics follow the reference
+(``src/feature_encoders/feature_extraction/utils.rs:3-9``: whitespace
+split, drop empties); the analysis functions (language-id heuristic,
+quality scoring, token counting, fingerprinting) are the training-data-
+pipeline extensions this engine adds on top of the reference inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# a small english stopword set for quality scoring / language heuristics
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+]
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokenizer, dropping empty tokens (reference
+    ``utils.rs:3-9``: ``split_whitespace``-equivalent)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (cheap: no array materialization)."""
+    return F.size(tokenize(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punct boundaries (a regex approximation of BPE pre-
+    tokenization a la GPT-2's pattern), for byte-budget estimation."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(c, r"(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})|\s+|(?=[^\p{L}\p{N}\s])")
+    return F.size(F.filter(pieces, lambda t: t != "")).cast("long")
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Document quality heuristics: length, mean word length,
+    punctuation ratio, stopword ratio, alpha ratio. Everything is a
+    single-pass column expression; compose with ``df.select``.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    )
+    punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": (
+            (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1))
+        ).cast("double"),
+        "punct_ratio": (punct / F.greatest(n_chars, F.lit(1))).cast("double"),
+        "stopword_ratio": (stop / F.greatest(n_tokens, F.lit(1))).cast("double"),
+        "alpha_ratio": (alpha / F.greatest(n_chars, F.lit(1))).cast("double"),
+    }
+
+
+def simple_language_id(text: Column | str) -> Column:
+    """N-gram-free language heuristic: scores English stopword hits vs
+    token count; returns 'en' above threshold else 'unknown'. (A real
+    deployment would plug a fastText-style model in as a pandas UDF —
+    library not in this sandbox; the Spark-side plumbing is identical.)
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(c)
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    ratio = stop / F.greatest(F.size(toks), F.lit(1))
+    return F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+FP_BASE = 31
+FP_MOD = 1_000_000_007
+
+
+def word_fingerprint(tokens: Column | str) -> Column:
+    """Deterministic rolling-hash document fingerprint over word lengths
+    and first characters: h = fold(h*31 + wordcode) mod 1e9+7, where
+    wordcode = 97*len(word) + ascii(first char). Engine-portable (exact
+    same arithmetic is expressible in ANSI SQL for the oracle).
+    """
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    code = lambda t: (F.lit(97) * F.length(t) + F.ascii(F.substring(t, 1, 1))).cast("long")  # noqa: E731
+    return F.aggregate(
+        c,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_BASE + code(t)) % FP_MOD,
+    )

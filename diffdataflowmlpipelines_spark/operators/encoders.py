@@ -1,0 +1,365 @@
+"""Feature encoders — Spark-first re-expression of the reference's
+``ColumnEncoder`` trait (``src/feature_encoders/column_encoder.rs:6-15``):
+``fit`` produces a continuously-maintainable statistic (here: a tiny
+aggregate DataFrame), ``transform`` combines data with that statistic
+(here: a broadcast join / pure column expressions — never a row-keyed
+join chain, which the reference's paper names as its main bottleneck).
+
+All fit statistics are signed (diff-aware) aggregates, so the same code
+is retraction-correct when fed consolidated delta collections, matching
+the reference's abelian-aggregate design (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from diffdataflowmlpipelines_spark.operators.collection import (
+    DIFF,
+    consolidate,
+    weighted_avg,
+    weighted_count,
+    weighted_var_pop,
+    with_diff,
+)
+
+
+def _bc(meta: DataFrame) -> DataFrame:
+    return F.broadcast(meta)
+
+
+def round_to_decimal(col: Column, n: int) -> Column:
+    """Reference rounding (``standard_scaler.rs:116-120``):
+    ``(x / 10^n).round() * 10^n`` with half-away-from-zero — identical to
+    Spark's HALF_UP ``F.round(x, -n)``. Used for update suppression: a
+    rounded statistic only changes when the true statistic drifts past a
+    10^n boundary, so downstream re-encodes are suppressed.
+    """
+    return F.round(col, -n)
+
+
+class ColumnEncoder:
+    """fit(df, col) -> self; transform(df, col, out) -> df + out column."""
+
+    meta_: DataFrame | None = None
+
+    def fit(self, df: DataFrame, col: str) -> "ColumnEncoder":
+        raise NotImplementedError
+
+    def transform(self, df: DataFrame, col: str, out: str) -> DataFrame:
+        raise NotImplementedError
+
+    def fit_transform(self, df: DataFrame, col: str, out: str) -> DataFrame:
+        return self.fit(df, col).transform(df, col, out)
+
+    # encoders producing array outputs override this
+    output_is_vector = False
+
+
+class Passthrough(ColumnEncoder):
+    """Identity (reference ``passthrough.rs:17-26``)."""
+
+    def fit(self, df, col):
+        return self
+
+    def transform(self, df, col, out):
+        return df.withColumn(out, F.col(col).cast("double"))
+
+
+class FunctionEncoder(ColumnEncoder):
+    """Stateless scalar function wrapper (reference
+    ``function_encoder.rs:8-32``). Takes a Column->Column expression
+    builder (JVM-side, codegen'd) — per the input hint, no per-row
+    Python; for genuinely Python logic pass a vectorized
+    ``pandas_udf`` instead.
+    """
+
+    def __init__(self, fn: Callable[[Column], Column]):
+        self.fn = fn
+
+    def fit(self, df, col):
+        return self
+
+    def transform(self, df, col, out):
+        return df.withColumn(out, self.fn(F.col(col)))
+
+
+class StandardScaler(ColumnEncoder):
+    """Reference ``standard_scaler.rs:63-120``.
+
+    fit: single-pass mean + population variance. The reference merges
+    per-record ``VarianceAggregate`` values with Chan's parallel-variance
+    formula (``:36-48``); Spark's partial+final aggregation of the signed
+    sums below is the same decomposition, executed map-side first.
+
+    transform: ``(x - mean) / variance`` — the reference divides by the
+    VARIANCE, not the standard deviation (``:112``; its unit test pins
+    ``(i-4.5)/8.25``), and we replicate that for parity.
+
+    Optional rounding (``new_with_rounding``) rounds (mean, var) to
+    10^n_mean / 10^n_var for update suppression (``:73-76,116-120``).
+    """
+
+    def __init__(self, round_to: tuple[int, int] | None = None):
+        self.round_to = round_to
+
+    def fit(self, df, col):
+        df = with_diff(df)
+        mean = weighted_avg(F.col(col).cast("double"))
+        var = weighted_var_pop(F.col(col).cast("double"))
+        if self.round_to is not None:
+            n1, n2 = self.round_to
+            mean = round_to_decimal(mean, n1)
+            var = round_to_decimal(var, n2)
+        self.meta_ = df.agg(mean.alias("__mean"), var.alias("__var"))
+        return self
+
+    def transform(self, df, col, out):
+        return (
+            df.join(_bc(self.meta_), how="cross")
+            .withColumn(out, (F.col(col).cast("double") - F.col("__mean")) / F.col("__var"))
+            .drop("__mean", "__var")
+        )
+
+
+class MinMaxScaler(ColumnEncoder):
+    """Reference ``minmax_scaler.rs:129-166``: transform =
+    ``(x - min) / (max - min)``.
+
+    The reference keeps a value->count map plus two heaps so single-row
+    retractions update min/max in O(log n) (``:16-72``). Under Spark's
+    recompute-per-batch aggregation model we consolidate per value and
+    take min/max over net-positive values — same result, retraction-
+    correct, and fully map-side-combinable.
+    """
+
+    def fit(self, df, col):
+        df = with_diff(df)
+        alive = consolidate(df.select(F.col(col).cast("double").alias("__v"), DIFF))
+        alive = alive.filter(F.col(DIFF) > 0)
+        self.meta_ = alive.agg(
+            F.min("__v").alias("__min"),
+            (F.max("__v") - F.min("__v")).alias("__range"),
+        )
+        return self
+
+    def transform(self, df, col, out):
+        return (
+            df.join(_bc(self.meta_), how="cross")
+            .withColumn(out, (F.col(col).cast("double") - F.col("__min")) / F.col("__range"))
+            .drop("__min", "__range")
+        )
+
+
+class KBinsDiscretizer(ColumnEncoder):
+    """Reference ``kbins_discretizer.rs:10-47``: uniform-width bins over
+    [min, max]; ``bin = floor((x - min)/range * k)`` with the bin==k edge
+    (x == max) clamped to k-1 (branchless in the reference ``:40-44``).
+    """
+
+    def __init__(self, k: int):
+        self.k = int(k)
+
+    def fit(self, df, col):
+        MinMaxScaler.fit(self, df, col)  # same (min, range) statistic
+        return self
+
+    def transform(self, df, col, out):
+        x = F.col(col).cast("double")
+        raw = F.floor((x - F.col("__min")) / F.col("__range") * F.lit(self.k))
+        clamped = F.when(raw == self.k, F.lit(self.k - 1)).otherwise(raw)
+        return (
+            df.join(_bc(self.meta_), how="cross")
+            .withColumn(out, clamped.cast("double"))
+            .drop("__min", "__range")
+        )
+
+
+def overprovisioned_len(n_values: int) -> int:
+    """Reference dictionary sizing policy
+    (``integer_assignment_aggregate.rs:84-93``): logical vector length
+    starts at 1 and grows by x1.5 (half-away-from-zero rounding) until it
+    covers the live value count. Gives 1,2,3,5,8,12,18,27,41,...
+    """
+    ln = 1
+    while n_values > ln:
+        ln = int(ln * 1.5 + 0.5)
+    return ln
+
+
+def fit_dictionary(
+    df: DataFrame, col: str, order: str = "sorted"
+) -> DataFrame:
+    """Batch dictionary: distinct net-positive values -> stable dense index.
+
+    The reference assigns indices in arrival order with hole reuse
+    (``integer_assignment_aggregate.rs:43-50,63-95``); arrival order is
+    nondeterministic in a parallel batch engine, so the batch API pins a
+    deterministic order (sorted values by default; ``first_seen`` uses
+    min(row-id) when a ``__row_order`` column exists). The *streaming*
+    vocabulary (streaming/vocabulary.py) reproduces true arrival-order
+    assignment with holes.
+
+    Returns (value, __idx) with value column named after ``col``.
+    """
+    from pyspark.sql import Window
+
+    df = with_diff(df)
+    alive = consolidate(df.select(F.col(col), DIFF)).filter(F.col(DIFF) > 0)
+    if order == "sorted":
+        w = Window.orderBy(F.col(col))
+    elif order == "first_seen":
+        w = Window.orderBy(F.col("__row_order"), F.col(col))
+    else:  # pragma: no cover
+        raise ValueError(order)
+    # rank over a tiny dictionary relation (vocab-sized, not data-sized):
+    # the single-partition window only ever sees distinct values.
+    return alive.select(col).withColumn(
+        "__idx", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+class OrdinalEncoder(ColumnEncoder):
+    """Reference ``ordinal_encoder.rs:21-52``: value -> Float(index);
+    unseen values -> -1.0 via the antijoin path (``:45-49``), expressed
+    here as a broadcast left join + coalesce.
+    """
+
+    def __init__(self, order: str = "sorted"):
+        self.order = order
+
+    def fit(self, df, col):
+        self.meta_ = fit_dictionary(df, col, self.order)
+        return self
+
+    def transform(self, df, col, out):
+        meta = self.meta_.withColumnRenamed("__idx", "__ord_idx")
+        return (
+            df.join(_bc(meta), on=col, how="left")
+            .withColumn(out, F.coalesce(F.col("__ord_idx").cast("double"), F.lit(-1.0)))
+            .drop("__ord_idx")
+        )
+
+
+class OneHotEncoder(ColumnEncoder):
+    """Reference ``one_hot_encoder.rs:22-60``: dictionary -> one-hot
+    vector of the overprovisioned length (x1.5 growth policy), unseen
+    values -> all-zero vector (``:50-57``).
+    """
+
+    output_is_vector = True
+
+    def __init__(self, order: str = "sorted"):
+        self.order = order
+        self.vec_len_: int | None = None
+
+    def fit(self, df, col):
+        self.meta_ = fit_dictionary(df, col, self.order)
+        # vector length is part of the fitted statistic; one tiny action
+        # over the vocab-sized dictionary (same as the reference reading
+        # its aggregate's `len` field).
+        n = self.meta_.count()
+        self.vec_len_ = overprovisioned_len(max(int(n), 1))
+        return self
+
+    def transform(self, df, col, out):
+        meta = self.meta_.withColumnRenamed("__idx", "__oh_idx")
+        joined = df.join(_bc(meta), on=col, how="left")
+        idx = F.col("__oh_idx")
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(self.vec_len_ - 1)),
+            lambda i: F.when(i == idx, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        return joined.withColumn(out, vec).drop("__oh_idx")
+
+
+class PolynomialFeatures(ColumnEncoder):
+    """Reference ``polynomial_features_encoder.rs:58-84``: per-scalar
+    power ladder ``[x^min_degree .. x^max_degree]`` (stateless; the
+    multi-feature combination generator in the reference is dead code).
+    """
+
+    output_is_vector = True
+
+    def __init__(self, min_degree: int, max_degree: int):
+        self.min_degree, self.max_degree = int(min_degree), int(max_degree)
+
+    def fit(self, df, col):
+        return self
+
+    def transform(self, df, col, out):
+        x = F.col(col).cast("double")
+        powers = [
+            F.pow(x, F.lit(float(d)))
+            for d in range(self.min_degree, self.max_degree + 1)
+        ]
+        return df.withColumn(out, F.array(*powers))
+
+
+class Pipeline:
+    """Reference ``pipeline.rs:7-34`` (sklearn Pipeline over one column):
+    fit chains fit->transform through stages; transform chains transforms.
+    Stages see the previous stage's output column.
+    """
+
+    def __init__(self, stages: Sequence[ColumnEncoder]):
+        self.stages = list(stages)
+
+    def fit(self, df: DataFrame, col: str) -> "Pipeline":
+        cur, cur_col = df, col
+        for i, st in enumerate(self.stages):
+            out = f"__stage_{i}"
+            cur = st.fit_transform(cur, cur_col, out)
+            cur_col = out
+        return self
+
+    def transform(self, df: DataFrame, col: str, out: str) -> DataFrame:
+        cur, cur_col = df, col
+        for i, st in enumerate(self.stages):
+            nxt = f"__stage_{i}" if i < len(self.stages) - 1 else out
+            cur = st.transform(cur, cur_col, nxt)
+            if cur_col != col:
+                cur = cur.drop(cur_col)
+            cur_col = nxt
+        return cur
+
+    def fit_transform(self, df: DataFrame, col: str, out: str) -> DataFrame:
+        return self.fit(df, col).transform(df, col, out)
+
+
+class MultiColumnEncoder:
+    """Reference ``multi_column_encoder.rs:10-38`` (sklearn
+    ColumnTransformer): encode k columns and concatenate the outputs into
+    one feature vector.
+
+    The reference assembles outputs with a left-deep chain of k-1
+    row-id equi-joins (its paper names this the end-to-end bottleneck).
+    In a columnar engine the assembly is a single ``select`` with
+    ``concat`` of arrays — zero joins, zero shuffles.
+    """
+
+    def __init__(self, config: Sequence[tuple[str, ColumnEncoder]]):
+        self.config = list(config)
+
+    def fit(self, df: DataFrame) -> "MultiColumnEncoder":
+        for col, enc in self.config:
+            enc.fit(df, col)
+        return self
+
+    def transform(self, df: DataFrame, out: str = "features") -> DataFrame:
+        cur = df
+        pieces: list[Column] = []
+        for i, (col, enc) in enumerate(self.config):
+            oc = f"__enc_{i}"
+            cur = enc.transform(cur, col, oc)
+            pieces.append(
+                F.col(oc) if enc.output_is_vector else F.array(F.col(oc))
+            )
+        cur = cur.withColumn(out, F.concat(*pieces))
+        return cur.drop(*[f"__enc_{i}" for i in range(len(self.config))])
+
+    def fit_transform(self, df: DataFrame, out: str = "features") -> DataFrame:
+        return self.fit(df).transform(df, out)
