@@ -1,0 +1,176 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+Covers both halves of the target metric (BASELINE.json):
+- sustained streaming throughput (token-sequences/sec) through the
+  incremental windowed-agg and the stateful stream-stream join;
+- batch operator latencies at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_STREAM_ROWS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+STREAM_ROWS = int(os.environ.get("BENCH_STREAM_ROWS", "150000"))
+
+# headline batch queries (registry names) — chosen to exercise scan,
+# shuffle agg, broadcast join, interval join, window fns, text explode,
+# minhash, vector math at the largest local scale
+BATCH_QUERIES = [
+    "c3_standard_scaler",
+    "c9_tfidf",
+    "c16_multi_column_pipeline",
+    "p5_join_agg",
+    "w1_tumbling_window",
+    "w3_session_window",
+    "j1_interval_join",
+    "d2_minhash_signatures",
+    "d4_simhash",
+    "s1_cosine_topk",
+]
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_streaming(spark, workdir: str) -> dict:
+    """Sustained throughput: windowed token agg and stream-stream join
+    over an epoch-file stream of STREAM_ROWS sequences."""
+    from diffdataflowmlpipelines_spark.sources.fixtures import (
+        LABELS_SCHEMA,
+        TOKENS_STREAM_SCHEMA,
+        gen_labels_pdf,
+        gen_tokens_pdf,
+    )
+    from diffdataflowmlpipelines_spark.streaming.join import label_join
+    from diffdataflowmlpipelines_spark.streaming.sources import write_epoch_files
+    from diffdataflowmlpipelines_spark.streaming.windows import (
+        tumbling_token_frequency,
+    )
+
+    pdf = gen_tokens_pdf(STREAM_ROWS, seed=42, rows_per_second=2000.0)
+    n_seq = len(pdf)
+    tok_dir = os.path.join(workdir, "tok")
+    write_epoch_files(pdf, tok_dir, 10)
+    lab_pdf = gen_labels_pdf(pdf, seed=43)
+    lab_dir = os.path.join(workdir, "lab")
+    write_epoch_files(lab_pdf, lab_dir, 10)
+
+    out = {}
+
+    # (a) incremental windowed token-frequency aggregation (update mode)
+    stream = (
+        spark.readStream.schema(TOKENS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tok_dir)
+    )
+    agg = tumbling_token_frequency(stream, window="60 seconds", watermark="30 seconds")
+    t0 = time.time()
+    q = (
+        agg.writeStream.foreachBatch(lambda df, eid: run_noop(df))
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_agg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    dt = time.time() - t0
+    out["windowed_agg_sec"] = round(dt, 2)
+    out["windowed_agg_seq_per_s"] = round(n_seq / dt, 1)
+
+    # (b) stateful stream-stream join on (doc_id, source)
+    tok_s = (
+        spark.readStream.schema(TOKENS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tok_dir)
+    )
+    lab_s = (
+        spark.readStream.schema(LABELS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lab_dir)
+    )
+    j = label_join(tok_s, lab_s)
+    t0 = time.time()
+    q = (
+        j.writeStream.foreachBatch(lambda df, eid: run_noop(df))
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_join"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    dt = time.time() - t0
+    out["stream_join_sec"] = round(dt, 2)
+    out["stream_join_seq_per_s"] = round(n_seq / dt, 1)
+    return out
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
+    from diffdataflowmlpipelines_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    queries = entrymod.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+
+    for name in BATCH_QUERIES:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.time()
+        run_noop(df)
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+
+    workdir = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        stream_stats = bench_streaming(spark, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    times["streaming_windowed_agg"] = stream_stats["windowed_agg_sec"]
+    times["streaming_join"] = stream_stats["stream_join_sec"]
+    total += stream_stats["windowed_agg_sec"] + stream_stats["stream_join_sec"]
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end seconds (batch operator suite + "
+                "streaming windowed-agg + stream-stream join)",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "cpus": CPUS,
+                "stream_rows": STREAM_ROWS,
+                "throughput": {
+                    "windowed_agg_seq_per_s": stream_stats["windowed_agg_seq_per_s"],
+                    "stream_join_seq_per_s": stream_stats["stream_join_seq_per_s"],
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines —
+exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup. These extend
+the reference's operator inventory (its only hashing structure is the
+HashVectorizer, ``feature_extraction/hash_vectorizer.rs``); at 100 TB
+dedup is the first pipeline stage, so everything here is shuffle-lean:
+candidate generation via bucket equi-joins (never all-pairs), verify
+only within buckets.
+
+Portable hash: ``md5_hash60`` (60-bit integer from the md5 hex prefix)
+is bit-identical in Spark and DuckDB, so every operator here is oracle-
+checkable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne-31: keeps every product under 2^62, so the same arithmetic
+# is overflow-free int64 in Spark, DuckDB, and numpy alike.
+MERSENNE_P = (1 << 31) - 1
+
+# join separator for shingles/content keys: chr(1) prevents boundary
+# collisions ("ab"+"c" vs "a"+"bc"); expressed as chr(1) in oracle SQL too.
+SEP = chr(1)
+
+
+def md5_hash60(c: Column) -> Column:
+    """Engine-portable 60-bit hash: int(md5(x)[:15], 16)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*(x mod p) + b) mod p —
+    LCG-seeded, reproducible in SQL as literals."""
+    params, s = [], seed
+    for _ in range(n_hashes):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (s % (MERSENNE_P - 1)) + 1
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = s % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """n-gram shingles over a token array (strings or ints), as strings
+    joined by SEP = chr(1) (collision-proof concat)."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                SEP, *[F.element_at(tokens, (i + j + 1).cast("int")).cast("string") for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(SEP, tokens)))
+
+
+def exact_dedup(df: DataFrame, key: str, content_cols: list[str]) -> DataFrame:
+    """Exact dedup on an md5 content fingerprint; the representative is
+    the min key per group (deterministic). Returns
+    (content_hash, keep_id, n_dups). One shuffle on the hash."""
+    fp = F.md5(F.concat_ws(SEP, *[F.col(c).cast("string") for c in content_cols]))
+    return (
+        df.withColumn("content_hash", fp)
+        .groupBy("content_hash")
+        .agg(
+            F.min(key).alias("keep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    key: str,
+    tokens_col: str,
+    *,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: shingle -> portable 60-bit hash
+    -> n_hashes independent (a*h+b) mod p minima. Output: (key,
+    sig: array<long>). Distributed: explode + single groupBy(key)."""
+    params = _minhash_params(n_hashes, seed)
+    sh = df.select(
+        key, F.explode(word_shingles(F.col(tokens_col), shingle_n)).alias("__s")
+    ).dropDuplicates([key, "__s"])
+    sh = sh.withColumn("__h", md5_hash60(F.col("__s")) % F.lit(MERSENNE_P))
+    mins = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = sh.groupBy(key).agg(*mins)
+    return agg.select(
+        key, F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, key: str, *, bands: int = 4
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates.
+    Returns distinct (a, b) pairs with a < b. Bucket join only — cost is
+    sum over buckets of |bucket|^2, never |corpus|^2."""
+    n = len(sigs.select("sig").schema["sig"].dataType.elementType and []) if False else None  # noqa
+    sig_len = len(sigs.head()["sig"])
+    r = sig_len // bands
+    banded = sigs.select(
+        F.col(key).alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select("band", "bucket", F.col("__id").alias("a"))
+    right = banded.select("band", "bucket", F.col("__id").alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    key: str,
+    tokens_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (from LSH, or all
+    pairs sharing >=1 shingle when candidates is None — fine at test
+    scale, LSH is the scale path). Returns (a, b, jaccard)."""
+    sh = df.select(
+        key, F.explode(word_shingles(F.col(tokens_col), shingle_n)).alias("__s")
+    ).dropDuplicates([key, "__s"])
+    sizes = sh.groupBy(key).agg(F.count("*").alias("__sz"))
+    l = sh.select(F.col(key).alias("a"), F.col("__s"))
+    rr = sh.select(F.col(key).alias("b"), F.col("__s"))
+    inter = (
+        l.join(rr, "__s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("__i"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed(key, "a").withColumnRenamed("__sz", "__sa"), "a")
+        .join(sizes.withColumnRenamed(key, "b").withColumnRenamed("__sz", "__sb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("__i") / (F.col("__sa") + F.col("__sb") - F.col("__i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash(
+    df: DataFrame, key: str, tokens_col: str, *, bits: int = 32
+) -> DataFrame:
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in [1, 63] (signed int64 fingerprint)")
+    """SimHash fingerprint: per-bit majority vote of token hashes
+    weighted by tf. Portable hash -> oracle-checkable. Returns
+    (key, simhash: long). One explode + one groupBy(key) with `bits`
+    JVM-side conditional sums — no Python in the path."""
+    ex = (
+        df.select(key, F.explode(F.col(tokens_col)).alias("__t"))
+        .groupBy(key, "__t")
+        .agg(F.count("*").alias("__tf"))
+        .withColumn("__h", md5_hash60(F.col("__t").cast("string")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, F.col("__tf"))
+            .otherwise(-F.col("__tf"))
+        ).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    agg = ex.groupBy(key).agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(key, sim.cast("long").alias("simhash"))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    key: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    block_bits: Column | None = None,
+) -> DataFrame:
+    """Embedding near-duplicates: pairs with cosine >= threshold.
+    Candidate blocking via sign of the first principal-ish components
+    (optional Column of bucket ids); default blocks on sign bits of the
+    first 4 dims — near-identical vectors agree on signs w.h.p."""
+    v = F.col(vec_col)
+    if block_bits is None:
+        block_bits = F.concat_ws(
+            "", *[(v[i] >= 0).cast("int").cast("string") for i in range(4)]
+        )
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    base = df.select(
+        F.col(key).alias("__id"), v.alias("__v"), norm.alias("__n"), block_bits.alias("__blk")
+    )
+    l = base.select(
+        F.col("__id").alias("a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__blk",
+    )
+    rr = base.select(
+        F.col("__id").alias("b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__blk",
+    )
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        l.join(rr, "__blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,109 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched pandas UDFs over
+``mapInPandas``.
+
+The decode step is STUBBED (no imaging/audio libraries in this
+container): ``decode_image_features`` produces a deterministic fake
+feature vector derived from the payload bytes, clearly marked; swap
+``_fake_decode`` for a real decoder (PIL/torchvision/ffmpeg) in
+production — the Spark-side plumbing (schema, batch iteration,
+partitioning, UDF signature) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synthetic_media_df(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n_rows):
+        kind = kinds[i % 3]
+        payload = rng.bytes(64 + int(rng.integers(0, 64)))
+        rows.append(
+            (
+                f"media-{i:06d}",
+                kind,
+                bytearray(payload),
+                int(rng.integers(16, 512)) if kind != "audio" else None,
+                int(rng.integers(16, 512)) if kind != "audio" else None,
+                int(rng.integers(100, 60_000)) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """STUB decoder: deterministic pseudo-features from a sha256 of the
+    payload. Replace with a real decode + model forward pass."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+
+def extract_media_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, one row per
+    media item out. Partition-parallel; no driver collection."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one output row per frame timestamp
+    (explode over a JVM-side sequence — the decode itself would be a
+    downstream mapInPandas). Demonstrates the 1->N multimodal fan-out
+    shape without decoding."""
+    frames = F.sequence(
+        F.lit(0),
+        F.greatest((F.col("duration_ms") - 1), F.lit(0)),
+        F.lit(every_ms),
+    )
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("frame_ms"))
+    )

@@ -1,0 +1,146 @@
+"""Approximate-nearest-neighbor similarity search over an embedding
+column (array<float>) — training-data-pipeline extension.
+
+- ``cosine_topk``: exact brute-force top-k (the correctness baseline;
+  quadratic, fine up to ~10^5 x 10^3 query blocks).
+- ``lsh_topk``: random-hyperplane LSH — bucket candidates by sign
+  signature (multi-probe via Hamming-adjacent buckets), exact re-rank
+  inside buckets. The 100 TB path: candidate generation is an equi-join
+  on bucket id, so cost follows bucket occupancy, not corpus size.
+
+All vector math is JVM-side (``zip_with``/``aggregate``); the seeded
+hyperplanes are literal arrays (no Python in the executor path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    round_to: int = 9,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query row.
+    Output: (query_id, neighbor_id, cosine, rank). Ties broken by
+    neighbor id; cosine rounded before ranking for cross-engine
+    determinism. Self-matches excluded."""
+    q = queries.select(
+        F.col(key).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"), "inner")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), round_to),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def sign_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = bit-packed signs of <v, plane_i>."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k: candidates = corpus rows whose sign signature is
+    within ``multiprobe`` bit flips of the query's; exact cosine re-rank
+    inside candidates. Recall rises with fewer planes / more probes."""
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = lambda df: sign_signature(F.col(vec_col), planes)  # noqa: E731
+
+    c = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+        sig(corpus).alias("bucket"),
+    )
+    # multi-probe: query probes its own bucket + every 1-bit-flip bucket
+    probes = [F.col("__sig")]
+    if multiprobe >= 1:
+        probes += [
+            F.col("__sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    q = (
+        queries.select(
+            F.col(key).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
+            sig(queries).alias("__sig"),
+        )
+        .withColumn("bucket", F.explode(F.array(*probes)))
+        .drop("__sig")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 9),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

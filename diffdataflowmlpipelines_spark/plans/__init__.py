@@ -3,5 +3,6 @@ from diffdataflowmlpipelines_spark.plans.reference_queries import (
     QUERIES,
     load,
 )
+import diffdataflowmlpipelines_spark.plans.datapipeline_queries  # noqa: F401,E402  (registers into QUERIES/ORACLES)
 
 __all__ = ["ORACLES", "QUERIES", "load"]

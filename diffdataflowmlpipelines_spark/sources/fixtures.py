@@ -90,7 +90,9 @@ def gen_tokens_pdf(
     late = rng.random(n_rows) < late_frac
     secs = secs + np.where(late, rng.uniform(-late_max_s, 0, size=n_rows), 0.0)
     secs = np.maximum(secs, 0.0)
-    ts = [BASE_TS + timedelta(seconds=float(s)) for s in secs]
+    ts = pd.Timestamp(BASE_TS) + pd.to_timedelta(
+        np.round(secs * 1e6).astype("int64"), unit="us"
+    )
 
     pdf = pd.DataFrame(
         {

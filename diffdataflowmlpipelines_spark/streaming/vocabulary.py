@@ -1,0 +1,182 @@
+"""Incremental vocabulary: the reference's PositionAssignmentAggregate
+(``src/types/integer_assignment_aggregate.rs``) as a sharded stateful
+streaming operator.
+
+Semantics ported (per shard):
+- value -> stable index assignment in arrival order (``:43-50``)
+- signed count per value; count crossing 0 frees the index into a
+  free-list, crossing back re-assigns from the free-list (``:63-82``)
+- logical length grows x1.5 (half-away rounding) while live values
+  exceed it; when occupancy falls below 0.66 the map is compressed
+  (indices renumbered densely) and the length shrinks (``:84-93``)
+
+Architecture change vs the reference (deliberate, SURVEY.md §4): the
+reference keys the whole dictionary by a constant, serializing every
+update through one worker. Here the token space is hash-sharded across
+``n_shards`` state keys, and each shard assigns LOCAL indices; the
+global index is ``local * n_shards + shard`` — collision-free and dense
+up to shard imbalance, with zero cross-shard coordination. Determinism:
+within a micro-batch, rows are applied in (event_time, token) order.
+
+Compression renumbers a shard's local indices densely over live values
+in sorted order (the reference renumbers in hash-map iteration order,
+which is nondeterministic even in Rust; we pin a deterministic order).
+Two further deliberate deviations from the reference, both bug fixes:
+the reference's compress() leaves stale entries in the free-list, so a
+freed index can later collide with a compressed one
+(``integer_assignment_aggregate.rs:52-61`` never clears
+``free_indices``); we clear it. And its value_count() counts values
+that only ever received non-positive diffs; we count live (indexed)
+values only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+VOCAB_OUTPUT_SCHEMA = (
+    "shard int, token string, idx long, count long, vec_len long"
+)
+VOCAB_STATE_SCHEMA = (
+    "tokens array<string>, local_idx array<long>, counts array<long>, "
+    "free array<long>, next_local long, length long"
+)
+
+
+class ShardDict:
+    """Pure-python replica of the reference aggregate, for one shard.
+    Used both inside the stateful operator and as the test oracle."""
+
+    def __init__(self):
+        self.val_to_index: dict[str, int] = {}
+        self.val_to_count: dict[str, int] = {}
+        self.free: list[int] = []
+        self.next_index = 0
+        self.length = 1
+
+    def live_count(self) -> int:
+        # reference value_count(): tracked values minus freed indices
+        return len(self.val_to_index)
+
+    def _assign(self) -> int:
+        if self.free:
+            return self.free.pop()
+        self.next_index += 1
+        return self.next_index - 1
+
+    def _compress(self) -> None:
+        keys = sorted(self.val_to_index)
+        self.val_to_index = {k: i for i, k in enumerate(keys)}
+        self.free = []
+        self.next_index = len(keys)
+
+    def update(self, value: str, diff: int) -> None:
+        old = self.val_to_count.get(value)
+        if old is None:
+            self.val_to_count[value] = diff
+            if diff > 0:
+                self.val_to_index[value] = self._assign()
+        else:
+            new = old + diff
+            self.val_to_count[value] = new
+            if old > 0 and new <= 0:
+                self.free.append(self.val_to_index.pop(value))
+            elif old <= 0 and new > 0:
+                self.val_to_index[value] = self._assign()
+        n = self.live_count()
+        if n > self.length:
+            while n > self.length:
+                self.length = int(self.length * 1.5 + 0.5)
+        elif n < int(self.length * 0.66):
+            self._compress()
+            while n < int(self.length * 0.66):
+                self.length = -int(-self.length * 0.66 // 1)  # ceil(len*0.66)
+
+    # -- state (de)serialization -------------------------------------------
+
+    def to_state(self) -> tuple:
+        toks = sorted(self.val_to_count)
+        return (
+            toks,
+            [self.val_to_index.get(t, -1) for t in toks],
+            [self.val_to_count[t] for t in toks],
+            list(self.free),
+            self.next_index,
+            self.length,
+        )
+
+    @classmethod
+    def from_state(cls, row: tuple) -> "ShardDict":
+        d = cls()
+        toks, idxs, counts, free, next_local, length = row
+        for t, i, c in zip(toks, idxs, counts):
+            d.val_to_count[t] = int(c)
+            if i >= 0:
+                d.val_to_index[t] = int(i)
+        d.free = [int(x) for x in free]
+        d.next_index = int(next_local)
+        d.length = int(length)
+        return d
+
+
+def _vocab_fn(n_shards: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        shard = int(key[0])
+        d = ShardDict.from_state(state.get) if state.exists else ShardDict()
+        touched: dict[str, Any] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["event_time", "token"], kind="stable")
+            for token, diff in zip(pdf["token"], pdf["diff"]):
+                d.update(str(token), int(diff))
+                touched[str(token)] = True
+        state.update(d.to_state())
+        out = pd.DataFrame(
+            {
+                "shard": shard,
+                "token": list(touched),
+                "idx": [
+                    # global index; -1 when the value is currently dead
+                    (d.val_to_index[t] * n_shards + shard)
+                    if t in d.val_to_index
+                    else -1
+                    for t in touched
+                ],
+                "count": [d.val_to_count[t] for t in touched],
+                "vec_len": d.length * n_shards,
+            }
+        )
+        yield out
+
+    return fn
+
+
+def incremental_vocabulary(
+    df: DataFrame, n_shards: int = 16, token_col: str = "token"
+) -> DataFrame:
+    """Stateful token->index assignment over a stream of
+    (token, diff, event_time). Emits per-batch updates
+    (shard, token, idx, count, vec_len); idx = -1 marks a freed value.
+    """
+    keyed = df.select(
+        F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(token_col).cast("string").alias("token"),
+        F.col("diff").cast("long").alias("diff"),
+        F.col("event_time"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _vocab_fn(n_shards),
+        outputStructType=VOCAB_OUTPUT_SCHEMA,
+        stateStructType=VOCAB_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

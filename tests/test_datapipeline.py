@@ -1,0 +1,110 @@
+"""Training-data-pipeline ops: dedup recall, ANN recall vs brute force,
+multimodal plumbing, text analysis sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from diffdataflowmlpipelines_spark.functions.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash,
+)
+from diffdataflowmlpipelines_spark.functions.multimodal import (
+    FEATURE_DIM,
+    extract_media_features,
+    frame_sample_plan,
+    synthetic_media_df,
+)
+from diffdataflowmlpipelines_spark.functions.similarity import cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """60 docs in 20 clusters of 3: two near-identical (one token changed),
+    one unrelated — ground truth for dedup recall."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for c in range(20):
+        base = [f"w{int(x)}" for x in rng.integers(0, 50, size=30)]
+        near = list(base)
+        near[7] = "CHANGED"
+        other = [f"w{int(x)}" for x in rng.integers(50, 120, size=30)]
+        rows += [
+            (c * 3 + 0, base),
+            (c * 3 + 1, near),
+            (c * 3 + 2, other),
+        ]
+    return spark.createDataFrame(rows, "doc_id long, toks array<string>")
+
+
+def test_minhash_lsh_finds_near_dups(spark, near_dup_docs):
+    sigs = minhash_signatures(near_dup_docs, "doc_id", "toks", n_hashes=16)
+    cands = minhash_lsh_candidates(sigs, "doc_id", bands=8)
+    verified = jaccard_pairs(
+        near_dup_docs, "doc_id", "toks", threshold=0.5, candidates=cands
+    )
+    pairs = {(r["a"], r["b"]) for r in verified.collect()}
+    want = {(c * 3, c * 3 + 1) for c in range(20)}
+    recall = len(pairs & want) / len(want)
+    assert recall >= 0.9, f"LSH near-dup recall {recall}"
+    # no false positives above the jaccard threshold (exact verify stage)
+    assert all(p in want for p in pairs)
+
+
+def test_simhash_near_dups_close(spark, near_dup_docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(near_dup_docs, "doc_id", "toks", bits=48).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    near = [ham(sh[c * 3], sh[c * 3 + 1]) for c in range(20)]
+    far = [ham(sh[c * 3], sh[c * 3 + 2]) for c in range(20)]
+    assert np.mean(near) < np.mean(far) - 5
+    assert max(near) <= 14  # one-token change flips few of the 48 bits
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (2, "x", "a"), (3, "y", "b")], "id long, u string, v string"
+    )
+    got = {r["keep_id"]: r["n_dups"] for r in exact_dedup(df, "id", ["u", "v"]).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    # clustered corpus (the workload ANN indexes exist for): 50 centers x 8
+    # members; true neighbors are same-cluster, cosine ~0.95+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((50, 64))
+    vecs = np.repeat(centers, 8, axis=0) + 0.12 * rng.standard_normal((400, 64))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 12)
+    exact = cosine_topk(df, queries, "vec_id", "embedding", k=5)
+    approx = lsh_topk(df, queries, "vec_id", "embedding", k=5, n_planes=8, dim=64)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"ANN recall {recall} too low on clustered corpus"
+
+
+def test_media_feature_plumbing(spark):
+    media = synthetic_media_df(spark, 60, seed=3)
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r["features"] for r in extract_media_features(media).collect()}
+    first = {r["media_id"]: r["features"] for r in rows}
+    assert again == first
+    # frame sampling fans out only videos, inclusive of t=0
+    plan = frame_sample_plan(media, every_ms=10_000)
+    vids = media.filter("kind = 'video'").count()
+    per_vid = plan.groupBy("media_id").count()
+    assert per_vid.count() == vids
+    assert plan.filter("frame_ms = 0").count() == vids

@@ -1,0 +1,70 @@
+"""M4: stateful stream-stream join on (doc_id, source) with watermarks —
+epoch-fed two-stream join, append-mode output, parity vs the batch join
+on the same inputs (north-rule join semantics)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from diffdataflowmlpipelines_spark.sources.fixtures import (
+    LABELS_SCHEMA,
+    TOKENS_STREAM_SCHEMA,
+    gen_labels_pdf,
+    gen_tokens_pdf,
+)
+from diffdataflowmlpipelines_spark.streaming.join import label_join
+from diffdataflowmlpipelines_spark.streaming.sink import ExactlyOnceParquetSink
+from diffdataflowmlpipelines_spark.streaming.sources import EpochFileSource
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf["tokens"] = pdf["tokens"].map(tuple)
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+
+
+def test_stream_stream_join_parity(spark, tmp_path):
+    tok_pdf = gen_tokens_pdf(600, seed=11, rows_per_second=50)
+    lab_pdf = gen_labels_pdf(tok_pdf, seed=12)
+
+    # sentinel rows push both watermarks far enough to flush all matches
+    flush_t = tok_pdf["event_time"].max() + pd.Timedelta(minutes=5)
+    tok_flush = tok_pdf.iloc[[0]].copy()
+    tok_flush["doc_id"] = "__flush__"
+    tok_flush["event_time"] = flush_t
+    lab_flush = lab_pdf.iloc[[0]].copy()
+    lab_flush["doc_id"] = "__flush__lab"
+    lab_flush["event_time"] = flush_t
+
+    tsrc = EpochFileSource(spark, str(tmp_path / "tok"), TOKENS_STREAM_SCHEMA)
+    lsrc = EpochFileSource(spark, str(tmp_path / "lab"), LABELS_SCHEMA)
+    n_t, n_l = len(tok_pdf), len(lab_pdf)
+    for k in range(3):
+        tsrc.add_epoch(tok_pdf.iloc[(n_t * k) // 3 : (n_t * (k + 1)) // 3])
+        lsrc.add_epoch(lab_pdf.iloc[(n_l * k) // 3 : (n_l * (k + 1)) // 3])
+    tsrc.add_epoch(tok_flush)
+    lsrc.add_epoch(lab_flush)
+
+    sink = ExactlyOnceParquetSink(
+        str(tmp_path / "out"), ["doc_id", "source", "event_time", "label_time"]
+    )
+    q = (
+        label_join(tsrc.stream(files_per_trigger=2), lsrc.stream(files_per_trigger=2))
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sink.read_all(spark).drop("epoch").toPandas()
+    got = got[~got["doc_id"].str.startswith("__flush__")]
+
+    tokens_b = spark.createDataFrame(tok_pdf, TOKENS_STREAM_SCHEMA)
+    labels_b = spark.createDataFrame(lab_pdf, LABELS_SCHEMA)
+    want = label_join(tokens_b, labels_b, streaming=False).toPandas()
+
+    assert len(got) > 100  # the join actually matched
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)

@@ -1,0 +1,142 @@
+"""M3: incremental vocabulary — reference PositionAssignmentAggregate
+policy (stable indices, hole reuse, x1.5/0.66 sizing) as a sharded
+stateful streaming op, asserted against a pure-python oracle replay."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from diffdataflowmlpipelines_spark.streaming.sink import ExactlyOnceParquetSink
+from diffdataflowmlpipelines_spark.streaming.sources import EpochFileSource
+from diffdataflowmlpipelines_spark.streaming.vocabulary import (
+    ShardDict,
+    incremental_vocabulary,
+)
+from pyspark.sql import types as T
+
+TOK_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType(), False),
+        T.StructField("diff", T.LongType(), False),
+        T.StructField("event_time", T.TimestampType(), False),
+    ]
+)
+
+
+def test_shard_dict_reference_policy():
+    d = ShardDict()
+    for t in ["a", "b", "c"]:
+        d.update(t, 1)
+    assert d.val_to_index == {"a": 0, "b": 1, "c": 2}
+    assert d.length == 3  # 1 -> 2 -> 3 growth (x1.5 half-away)
+    d.update("b", -1)  # delete b: index 1 freed (hole, no renumbering)
+    assert "b" not in d.val_to_index and d.free == [1]
+    d.update("d", 1)  # d reuses the hole
+    assert d.val_to_index["d"] == 1
+    d.update("b", 1)  # b returns: gets a fresh index
+    assert d.val_to_index["b"] == 3
+    assert d.length == 5  # 4 live > 3 -> grow to 5
+    # shrink path: delete until occupancy < 0.66*len triggers compress
+    for t in ["a", "c", "d"]:
+        d.update(t, -1)
+    assert sorted(d.val_to_index) == ["b"]
+    # shrink: 5 -> ceil(5*.66)=4 -> ceil(4*.66)=3; stops when
+    # live(1) >= floor(3*0.66)=1 (reference floor/ceil policy)
+    assert d.length == 3
+    assert d.val_to_index["b"] == 0  # renumbered densely
+
+
+def _epochs():
+    t0 = datetime(2024, 1, 1)
+    rows = lambda i, items: pd.DataFrame(  # noqa: E731
+        {
+            "token": [t for t, _ in items],
+            "diff": [d for _, d in items],
+            "event_time": [t0 + timedelta(seconds=i * 10 + j) for j in range(len(items))],
+        }
+    )
+    return [
+        rows(0, [("apple", 1), ("pear", 1), ("plum", 1)]),
+        rows(1, [("pear", -1), ("kiwi", 1)]),   # free pear's idx; kiwi reuses it
+        rows(2, [("pear", 1), ("apple", 1)]),   # pear returns with a fresh idx
+    ]
+
+
+def test_incremental_vocabulary_stream(spark, tmp_path):
+    src = EpochFileSource(spark, str(tmp_path / "src"), TOK_SCHEMA)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["token"])
+    epochs = _epochs()
+
+    def start():
+        return (
+            incremental_vocabulary(src.stream(), n_shards=1)
+            .writeStream.foreachBatch(sink.foreach_batch())
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    for ep in epochs:
+        src.add_epoch(ep)
+    q = start()
+    q.awaitTermination(300)
+
+    got = {
+        r["token"]: (r["idx"], r["count"])
+        for r in sink.read_current(spark).collect()
+    }
+
+    # oracle: replay the same updates through the pure-python reference model
+    oracle = ShardDict()
+    for ep in epochs:
+        ep = ep.sort_values(["event_time", "token"], kind="stable")
+        for t, d in zip(ep["token"], ep["diff"]):
+            oracle.update(t, int(d))
+
+    for tok, cnt in oracle.val_to_count.items():
+        want_idx = oracle.val_to_index.get(tok, -1)
+        assert got[tok] == (want_idx, cnt), tok
+    # hole-reuse actually happened: kiwi took pear's original index
+    assert got["kiwi"][0] == 1
+    assert got["pear"][0] == 3  # fresh index on return
+    assert got["apple"] == (0, 2)
+
+
+def test_sharded_vocabulary_global_index_uniqueness(spark, tmp_path):
+    # many tokens across 4 shards: live global indices must be unique and
+    # counts must equal the batch multiset counts
+    t0 = datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "token": [f"tok{i % 97}" for i in range(600)],
+            "diff": [1] * 600,
+            "event_time": [t0 + timedelta(seconds=i) for i in range(600)],
+        }
+    )
+    src = EpochFileSource(spark, str(tmp_path / "src"), TOK_SCHEMA)
+    for k in range(3):
+        src.add_epoch(pdf.iloc[k * 200 : (k + 1) * 200])
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["token"])
+    q = (
+        incremental_vocabulary(src.stream(), n_shards=4)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cur = sink.read_current(spark)
+    rows = cur.collect()
+    live = [r for r in rows if r["idx"] >= 0]
+    assert len(live) == 97
+    assert len({r["idx"] for r in live}) == 97  # global uniqueness
+    want = pdf.groupby("token")["diff"].sum().to_dict()
+    for r in live:
+        assert want[r["token"]] == r["count"]
+    # shard interleaving: idx % n_shards == shard
+    assert all(r["idx"] % 4 == r["shard"] for r in live)
