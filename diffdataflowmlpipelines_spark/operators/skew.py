@@ -1,0 +1,82 @@
+"""Skew handling: salted two-stage aggregation and salted broadcast
+join for hot keys (the fixture plants ~1% of rows on 8 hot doc_ids;
+a zipf token head has the same shape).
+
+The reference accepts single-key serialization for its global
+statistics (SURVEY.md §4 — everything keyed by a constant flows through
+one worker). At 1000 executors a hot key pins one task at 100% while
+999 idle; salting splits the hot key's partial aggregation across
+``n_salts`` tasks, then merges the partials — the standard two-stage
+(map-side-combine-like) rewrite, expressed in plain DataFrame ops so
+Catalyst/AQE still apply to each stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_agg(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """groupBy(keys).agg(sum-like exprs) with a salt pre-stage.
+
+    ``sums`` maps output column name -> additive aggregate expression
+    (anything where agg(whole) == agg of per-salt aggs: sum, count,
+    min, max). Stage 1 groups on (keys + salt), stage 2 re-aggregates
+    the partials; the second shuffle moves only |keys| x n_salts rows.
+    """
+    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)))
+    stage1 = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(f"__p_{name}") for name, expr in sums.items()]
+    )
+    merge = {
+        # the partial of sum/count is re-merged with sum; min/max with
+        # min/max — caller encodes that by passing the right expr shape,
+        # we re-merge additively (sum) by default and rely on callers
+        # to use salted_minmax_agg for order statistics.
+        name: F.sum(f"__p_{name}").alias(name)
+        for name in sums
+    }
+    return stage1.groupBy(*keys).agg(*merge.values())
+
+
+def salted_minmax_agg(
+    df: DataFrame, keys: list[str], col: str, n_salts: int = 16
+) -> DataFrame:
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)),
+    )
+    stage1 = salted.groupBy(*keys, "__salt").agg(
+        F.min(col).alias("__mn"), F.max(col).alias("__mx")
+    )
+    return stage1.groupBy(*keys).agg(
+        F.min("__mn").alias(f"min_{col}"), F.max("__mx").alias(f"max_{col}")
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join where ``big`` has hot keys and ``small`` is broadcastable:
+    replicate ``small`` across all salts and salt ``big`` randomly —
+    every hot key's rows spread over n_salts tasks. (With AQE's skew
+    join this is usually unnecessary; kept for plans where AQE cannot
+    see the skew, e.g. streaming foreachBatch joins.)"""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    small_rep = small.select("*", salts)
+    big_salted = big.withColumn(
+        "__salt",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
+    )
+    out = big_salted.join(F.broadcast(small_rep), on=[*on, "__salt"], how=how)
+    return out.drop("__salt")

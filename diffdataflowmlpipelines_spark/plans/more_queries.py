@@ -1,0 +1,180 @@
+"""Second batch of registry queries: remaining reference composites
+(C2 pipeline chaining, C8 dense vectors, C14 function encoder) and the
+Arrow/mapInPandas execution path (P14 worker-sharding analogue), plus
+remaining training-data ops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from diffdataflowmlpipelines_spark.functions.dedup import embedding_near_dups
+from diffdataflowmlpipelines_spark.functions.text import tokenize
+from diffdataflowmlpipelines_spark.functions.vectorizers import CountVectorizer
+from diffdataflowmlpipelines_spark.operators.encoders import (
+    MinMaxScaler,
+    Pipeline,
+    StandardScaler,
+)
+from diffdataflowmlpipelines_spark.plans.reference_queries import (
+    _DOC_TOKENS_SQL,
+    load,
+    q,
+)
+
+# --- C2: Pipeline (fit chains fit->transform; reference pipeline.rs) --------
+
+@q(
+    "c2_pipeline_chain",
+    """
+    WITH m1 AS (SELECT MIN(l_quantity) AS mn,
+                       MAX(l_quantity) - MIN(l_quantity) AS rg FROM lineitem),
+    s1 AS (SELECT l_orderkey, l_linenumber,
+                  (l_quantity - m1.mn) / m1.rg AS x FROM lineitem, m1),
+    m2 AS (SELECT AVG(x) AS mu, VAR_POP(x) AS v FROM s1)
+    SELECT l_orderkey, l_linenumber, ROUND((x - m2.mu) / m2.v, 6) AS scaled
+    FROM s1, m2
+    """,
+)
+def c2_pipeline_chain(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pipe = Pipeline([MinMaxScaler(), StandardScaler()])
+    out = pipe.fit_transform(li, "l_quantity", "__y")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("__y", 6).alias("scaled")
+    )
+
+
+# --- C8 dense: CountVectorizer vector output (overprovisioned length) -------
+# documents vocab is 31 tokens -> overprovisioned_len(31) = 41; pin in SQL
+# via the same sorted dictionary + list_transform.
+
+@q(
+    "c8_count_vectorizer_dense",
+    f"""
+    WITH toks AS ({_DOC_TOKENS_SQL}),
+    dict AS (SELECT token, ROW_NUMBER() OVER (ORDER BY token) - 1 AS idx
+             FROM (SELECT DISTINCT token FROM toks)),
+    n AS (SELECT COUNT(*) AS n_vocab FROM dict),
+    tf AS (SELECT doc_id, idx, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM toks JOIN dict USING (token) GROUP BY doc_id, idx),
+    grouped AS (SELECT doc_id, list(idx ORDER BY idx) AS idxs,
+                       list(c ORDER BY idx) AS cs
+                FROM tf GROUP BY doc_id)
+    SELECT doc_id,
+           list_transform(range(0, 41),
+             i -> coalesce(cs[list_position(idxs, i)], 0.0)) AS vec
+    FROM grouped
+    """,
+)
+def c8_count_vectorizer_dense(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
+    cv = CountVectorizer()
+    out = cv.fit_transform(docs, "doc_id", "toks", "vec")
+    return out.select("doc_id", "vec")
+
+
+# --- C14: FunctionEncoder (stateless scalar function) ------------------------
+
+@q(
+    "c14_function_encoder",
+    """
+    SELECT event_id, ROUND(LN(1 + value), 6) AS y FROM events
+    """,
+)
+def c14_function_encoder(spark, sf_dir):
+    from diffdataflowmlpipelines_spark.operators.encoders import FunctionEncoder
+
+    ev = load(spark, sf_dir, "events")
+    enc = FunctionEncoder(lambda c: F.round(F.log1p(c), 6))
+    return enc.fit_transform(ev, "value", "y").select("event_id", "y")
+
+
+# --- P14: sharded Arrow map (repartition + mapInPandas) ----------------------
+# the reference round-robins rows across timely workers
+# (src/main.rs:327-331); Spark analogue = repartition(key) + a
+# per-partition Arrow-batched transform.
+
+@q(
+    "p14_sharded_arrow_map",
+    """
+    SELECT event_id, user_id, ROUND(value * 2 + 1, 6) AS y FROM events
+    """,
+)
+def p14_sharded_arrow_map(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").repartition(32, "user_id")
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "y": (pdf["value"] * 2 + 1).round(6),
+                }
+            )
+
+    return ev.mapInPandas(fn, "event_id long, user_id long, y double")
+
+
+# --- t4: per-source token statistics -----------------------------------------
+
+@q(
+    "t4_token_stats",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '')) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n), 6) AS avg_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM toks GROUP BY source
+    """,
+)
+def t4_token_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("__n", F.size(tokenize("text")))
+        .groupBy("source")
+        .agg(
+            F.sum("__n").cast("long").alias("total_tokens"),
+            F.round(F.avg("__n"), 6).alias("avg_tokens"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+# --- d5: embedding near-duplicates (sign-block candidates + cosine) ----------
+
+@q(
+    "d5_embedding_near_dups",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CONCAT(CAST(CAST(embedding[1] >= 0 AS INT) AS VARCHAR),
+                    CAST(CAST(embedding[2] >= 0 AS INT) AS VARCHAR),
+                    CAST(CAST(embedding[3] >= 0 AS INT) AS VARCHAR),
+                    CAST(CAST(embedding[4] >= 0 AS INT) AS VARCHAR)) AS blk
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, blk,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nn FROM e)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                                         i -> a.v[i] * b.v[i]))
+                 / (a.nn * b.nn), 6) AS cosine
+    FROM n a JOIN n b ON a.blk = b.blk AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                                  i -> a.v[i] * b.v[i])) / (a.nn * b.nn) >= 0.4
+    """,
+)
+def d5_embedding_near_dups(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_near_dups(emb, "vec_id", "embedding", threshold=0.4)

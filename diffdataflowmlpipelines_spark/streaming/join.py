@@ -48,3 +48,73 @@ def label_join(
     if "diff" in tokens.columns:
         out_cols.append("diff")
     return t.join(l2, cond, "inner").select(*out_cols)
+
+
+def salted_label_join(
+    tokens: DataFrame,
+    labels: DataFrame,
+    hot_keys: list[str],
+    *,
+    n_salts: int = 8,
+    watermark: str = "30 seconds",
+    tolerance_s: int = 10,
+    streaming: bool = True,
+) -> DataFrame:
+    """Skew-aware variant of :func:`label_join` (north rule: "handles
+    skewed doc_id hot keys via salted repartitioning").
+
+    Hash partitioning pins all rows of a hot doc_id to one task; AQE
+    cannot rebalance stateful streaming joins. Split-path rewrite:
+
+    - cold keys -> plain watermarked join (unchanged);
+    - hot keys  -> join key extended with a salt: the token side salts
+      each row deterministically from row content, the (smaller) label
+      side is replicated across all ``n_salts`` — every hot key's state
+      and probe work spreads over ``n_salts`` tasks.
+
+    Output ≡ label_join (asserted by the parity test); costs an extra
+    ``n_salts``x replication of hot-key LABEL rows only.
+    """
+    is_hot = F.col("doc_id").isin(*hot_keys)
+
+    cold = label_join(
+        tokens.filter(~is_hot),
+        labels.filter(~is_hot),
+        watermark=watermark,
+        tolerance_s=tolerance_s,
+        streaming=streaming,
+    )
+
+    tok_hot = tokens.filter(is_hot).withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64("event_time", "n_tok", F.col("tokens").cast("string")),
+            F.lit(n_salts),
+        ).cast("int"),
+    )
+    lab_hot = (
+        labels.filter(is_hot)
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    t = tok_hot.withWatermark("event_time", watermark) if streaming else tok_hot
+    l = lab_hot.withWatermark("event_time", watermark) if streaming else lab_hot
+    l2 = l.select(
+        F.col("doc_id").alias("l_doc_id"),
+        F.col("source").alias("l_source"),
+        F.col("salt").alias("l_salt"),
+        "label",
+        F.col("event_time").alias("label_time"),
+    )
+    cond = (
+        (t["doc_id"] == l2["l_doc_id"])
+        & (t["source"] == l2["l_source"])
+        & (t["salt"] == l2["l_salt"])
+        & (l2["label_time"] >= t["event_time"] - F.expr(f"INTERVAL {tolerance_s} SECONDS"))
+        & (l2["label_time"] <= t["event_time"] + F.expr(f"INTERVAL {tolerance_s} SECONDS"))
+    )
+    out_cols = ["doc_id", "source", "tokens", "n_tok", "event_time", "label", "label_time"]
+    if "diff" in tokens.columns:
+        out_cols.append("diff")
+    hot = t.join(l2, cond, "inner").select(*out_cols)
+    return cold.unionByName(hot)

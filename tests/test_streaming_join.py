@@ -68,3 +68,72 @@ def test_stream_stream_join_parity(spark, tmp_path):
 
     assert len(got) > 100  # the join actually matched
     pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_salted_join_parity_with_plain(spark, tmp_path):
+    """Salted split-path join must produce exactly the plain join's
+    output multiset (batch mode: same code path, salting on)."""
+    from diffdataflowmlpipelines_spark.sources.fixtures import HOT_KEYS
+    from diffdataflowmlpipelines_spark.streaming.join import salted_label_join
+
+    tok_pdf = gen_tokens_pdf(800, seed=44, rows_per_second=50, hot_frac=0.2)
+    lab_pdf = gen_labels_pdf(tok_pdf, seed=45)
+    tokens = spark.createDataFrame(tok_pdf, TOKENS_STREAM_SCHEMA)
+    labels = spark.createDataFrame(lab_pdf, LABELS_SCHEMA)
+
+    plain = label_join(tokens, labels, streaming=False).toPandas()
+    salted = salted_label_join(
+        tokens, labels, HOT_KEYS, n_salts=4, streaming=False
+    ).toPandas()
+    assert len(plain) > 100
+    pd.testing.assert_frame_equal(_canon(plain), _canon(salted), check_dtype=False)
+
+
+def test_salted_join_streaming(spark, tmp_path):
+    """Streaming salted join: same epoch-fed protocol as the plain test,
+    compared against the batch salted output."""
+    from diffdataflowmlpipelines_spark.sources.fixtures import HOT_KEYS
+    from diffdataflowmlpipelines_spark.streaming.join import salted_label_join
+
+    tok_pdf = gen_tokens_pdf(600, seed=46, rows_per_second=50, hot_frac=0.2)
+    lab_pdf = gen_labels_pdf(tok_pdf, seed=47)
+
+    flush_t = tok_pdf["event_time"].max() + pd.Timedelta(minutes=5)
+    tok_flush = tok_pdf.iloc[[0]].copy()
+    tok_flush["doc_id"] = "__flush__"
+    tok_flush["event_time"] = flush_t
+    lab_flush = lab_pdf.iloc[[0]].copy()
+    lab_flush["doc_id"] = "__flush__lab"
+    lab_flush["event_time"] = flush_t
+
+    tsrc = EpochFileSource(spark, str(tmp_path / "tok"), TOKENS_STREAM_SCHEMA)
+    lsrc = EpochFileSource(spark, str(tmp_path / "lab"), LABELS_SCHEMA)
+    for k in range(2):
+        n_t, n_l = len(tok_pdf), len(lab_pdf)
+        tsrc.add_epoch(tok_pdf.iloc[(n_t * k) // 2 : (n_t * (k + 1)) // 2])
+        lsrc.add_epoch(lab_pdf.iloc[(n_l * k) // 2 : (n_l * (k + 1)) // 2])
+    tsrc.add_epoch(tok_flush)
+    lsrc.add_epoch(lab_flush)
+
+    sink = ExactlyOnceParquetSink(
+        str(tmp_path / "out"), ["doc_id", "source", "event_time", "label_time"]
+    )
+    q = (
+        salted_label_join(tsrc.stream(2), lsrc.stream(2), HOT_KEYS, n_salts=4)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sink.read_all(spark).drop("epoch").toPandas()
+    got = got[~got["doc_id"].str.startswith("__flush__")]
+
+    want = label_join(
+        spark.createDataFrame(tok_pdf, TOKENS_STREAM_SCHEMA),
+        spark.createDataFrame(lab_pdf, LABELS_SCHEMA),
+        streaming=False,
+    ).toPandas()
+    assert len(got) > 50
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)

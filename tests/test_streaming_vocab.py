@@ -140,3 +140,40 @@ def test_sharded_vocabulary_global_index_uniqueness(spark, tmp_path):
         assert want[r["token"]] == r["count"]
     # shard interleaving: idx % n_shards == shard
     assert all(r["idx"] % 4 == r["shard"] for r in live)
+
+
+def test_vocabulary_checkpoint_resume(spark, tmp_path):
+    """State (assignments, holes, free-list) must survive a query
+    restart from checkpoint: epoch 2 is processed by a NEW query and
+    must still reuse the index freed in epoch 1."""
+    src = EpochFileSource(spark, str(tmp_path / "src"), TOK_SCHEMA)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["token"])
+    epochs = _epochs()
+
+    def start():
+        return (
+            incremental_vocabulary(src.stream(), n_shards=1)
+            .writeStream.foreachBatch(sink.foreach_batch())
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    src.add_epoch(epochs[0])
+    src.add_epoch(epochs[1])
+    q = start()
+    q.awaitTermination(300)  # first run: assignments + pear freed
+
+    src.add_epoch(epochs[2])
+    q = start()  # restart from checkpoint
+    q.awaitTermination(300)
+
+    got = {
+        r["token"]: (r["idx"], r["count"])
+        for r in sink.read_current(spark).collect()
+    }
+    # identical expectations to the single-run test: resume preserved state
+    assert got["kiwi"][0] == 1    # hole reuse from run 1 survives
+    assert got["pear"] == (3, 1)  # fresh index assigned AFTER restart
+    assert got["apple"] == (0, 2)

@@ -1,0 +1,72 @@
+"""Plan audit: dump formatted physical plans for the headline queries
+and flag anti-patterns (missing pushdown, unexpected cartesian products,
+row-at-a-time Python UDFs, full-column scans). Writes PLANS.md.
+
+Usage: PYTHONPATH=/root/repo python tools/explain_audit.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+AUDITED = [
+    "p3_projection_filter",
+    "p5_join_agg",
+    "p6_antijoin",
+    "c3_standard_scaler",
+    "c9_tfidf",
+    "c16_multi_column_pipeline",
+    "w1_tumbling_window",
+    "j1_interval_join",
+    "d2_minhash_signatures",
+    "s1_cosine_topk",
+]
+
+
+def flags(plan: str, name: str) -> list[str]:
+    out = []
+    if "BatchEvalPython" in plan:
+        out.append("row-at-a-time Python UDF in plan")
+    if "CartesianProduct" in plan:
+        out.append("CartesianProduct (non-broadcast cross join)")
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    for s in scans:
+        ncols = s.count(",") + 1 if s else 0
+        if ncols > 8:
+            out.append(f"wide scan ({ncols} cols) — check column pruning")
+    if name == "p3_projection_filter" and "PushedFilters: []" in plan:
+        out.append("filter NOT pushed to parquet")
+    return out
+
+
+def main(only: list[str]) -> int:
+    from diffdataflowmlpipelines_spark.session import get_spark
+
+    import __spark_entry__ as em
+
+    spark = get_spark(app_name="explain_audit", shuffle_partitions=8)
+    queries = em.queries()
+    lines = ["# PLANS — physical plan audit (sf0.01)", ""]
+    bad = 0
+    for name in only or AUDITED:
+        df = queries[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        fl = flags(plan, name)
+        bad += len(fl)
+        status = " / ".join(fl) if fl else "clean"
+        print(f"{name}: {status}")
+        lines += [f"## {name}", "", f"flags: {status}", "", "```", plan.strip()[:4000], "```", ""]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(lines))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

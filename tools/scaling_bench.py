@@ -1,10 +1,14 @@
-"""Scaling-efficiency evidence (BASELINE.md protocol): the same job on
-the same input at two parallelism levels — local[8] vs local[32] stands
-in for N vs 4N executors (no real cluster in this sandbox). Each level
-runs in its own process/JVM with shuffle partitions matched to cores.
+"""Scaling-efficiency evidence (BASELINE.md protocol): the same
+streaming job on the same pre-generated input at two parallelism levels
+— local[8] vs local[32] stands in for N vs 4N executors (no real
+cluster in this sandbox). Each level runs in its own JVM with shuffle
+partitions matched to cores.
 
-efficiency(workload) = (t_low / t_high) / (cpus_high / cpus_low)
-                     = throughput ratio / resource ratio.
+efficiency = (rate_high / rate_low) / (cpus_high / cpus_low), computed
+on the sustained per-batch processing rate (Spark's
+processedRowsPerSecond, cold batch excluded) — the wall-clock number is
+also recorded but includes constant startup that a long-running job
+amortizes.
 
 Writes SCALING.md and prints a JSON summary.
 """
@@ -13,60 +17,116 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-LOW, HIGH = int(os.environ.get("SCALE_LOW", "8")), int(os.environ.get("SCALE_HIGH", "32"))
-ROWS = os.environ.get("SCALE_ROWS", "400000")
+LOW = int(os.environ.get("SCALE_LOW", "8"))
+HIGH = int(os.environ.get("SCALE_HIGH", "32"))
+ROWS = int(os.environ.get("SCALE_ROWS", "4000000"))
+N_EPOCHS = int(os.environ.get("SCALE_EPOCHS", "3"))
+PROVIDERS = os.environ.get("SCALE_PROVIDERS", "hdfs,rocksdb").split(",")
 
 
-def run(cpus: int) -> dict:
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+def run(cpus: int, tok: str, lab: str, provider: str) -> dict:
+    env = dict(os.environ, PYTHONPATH=REPO)
     p = subprocess.run(
-        [sys.executable, os.path.join(HERE, "scaling_one.py"), str(cpus), ROWS],
+        [
+            sys.executable,
+            os.path.join(HERE, "scaling_one.py"),
+            str(cpus),
+            tok,
+            lab,
+            provider,
+        ],
         capture_output=True,
         text=True,
-        timeout=2400,
+        timeout=3000,
         env=env,
         cwd=REPO,
     )
     for line in p.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line[len("SCALING_RESULT "):])
-    raise RuntimeError(f"no result from cpus={cpus}:\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
+    raise RuntimeError(
+        f"no result cpus={cpus} provider={provider}:\n{p.stdout[-1500:]}\n{p.stderr[-1500:]}"
+    )
 
 
 def main() -> None:
-    lo = run(LOW)
-    hi = run(HIGH)
-    ratio = HIGH / LOW
-    workloads = [k for k in lo if k.endswith("_sec")]
-    summary = {"low_cpus": LOW, "high_cpus": HIGH, "rows": int(ROWS), "workloads": {}}
-    lines = [
-        "# SCALING — two-parallelism evidence (sandbox substitute for N vs 4N executors)",
-        "",
-        f"Same job, same input ({ROWS} token sequences; sf0.1 batch tables), one JVM per",
-        f"level, `spark.sql.shuffle.partitions` = cores. efficiency = (t_{LOW}/t_{HIGH})/{ratio:.0f}.",
-        "",
-        f"| workload | local[{LOW}] sec | local[{HIGH}] sec | speedup | efficiency |",
-        "|---|---|---|---|---|",
-    ]
-    for w in workloads:
-        sp = lo[w] / hi[w]
-        eff = sp / ratio
-        summary["workloads"][w[:-4]] = {
-            f"sec_{LOW}": lo[w],
-            f"sec_{HIGH}": hi[w],
-            "speedup": round(sp, 2),
-            "efficiency": round(eff, 3),
+    sys.path.insert(0, REPO)
+    from diffdataflowmlpipelines_spark.sources.fixtures import (
+        gen_labels_pdf,
+        gen_tokens_pdf,
+    )
+    from diffdataflowmlpipelines_spark.streaming.sources import write_epoch_files
+
+    base = tempfile.mkdtemp(prefix="scale_input_")
+    try:
+        pdf = gen_tokens_pdf(ROWS, seed=42, rows_per_second=50000.0)
+        write_epoch_files(pdf, f"{base}/tok", N_EPOCHS)
+        lab = gen_labels_pdf(pdf, seed=43)
+        write_epoch_files(lab, f"{base}/lab", N_EPOCHS)
+
+        ratio = HIGH / LOW
+        summary: dict = {
+            "low_cpus": LOW,
+            "high_cpus": HIGH,
+            "rows": ROWS,
+            "epochs": N_EPOCHS,
+            "providers": {},
         }
-        lines.append(f"| {w[:-4]} | {lo[w]} | {hi[w]} | {sp:.2f}x | {eff:.3f} |")
-    with open(os.path.join(REPO, "SCALING.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(json.dumps(summary))
+        lines = [
+            "# SCALING — two-parallelism evidence (sandbox substitute for N vs 4N executors)",
+            "",
+            f"Same streaming job, same pre-generated input ({ROWS:,} token sequences,",
+            f"{N_EPOCHS} micro-batches), one JVM per level, shuffle partitions = cores.",
+            "Sustained rate = median per-batch processedRowsPerSecond (cold batch",
+            f"dropped). efficiency = (rate_{HIGH}/rate_{LOW})/{ratio:.0f}.",
+            "",
+            "RocksDB numbers anti-scale locally by construction: local[k] hosts k state",
+            "partitions in one process, so per-partition maintenance cost grows with k,",
+            "whereas a real cluster keeps partitions-per-executor constant. The hdfs",
+            "(in-memory) provider isolates compute scaling; production config remains",
+            "RocksDB for state >> heap.",
+            "",
+        ]
+        for provider in PROVIDERS:
+            lo = run(LOW, f"{base}/tok", f"{base}/lab", provider)
+            hi = run(HIGH, f"{base}/tok", f"{base}/lab", provider)
+            prov: dict = {}
+            lines += [
+                f"## provider = {provider}",
+                "",
+                f"| workload | local[{LOW}] rate (rows/s) | local[{HIGH}] rate | rate ratio | efficiency | wall {LOW}c | wall {HIGH}c |",
+                "|---|---|---|---|---|---|---|",
+            ]
+            for w in ("stream_agg", "stream_shingle_agg", "stream_join", "stream_join_salted"):
+                r_lo, r_hi = lo[f"{w}_rows_per_s"], hi[f"{w}_rows_per_s"]
+                sp = r_hi / r_lo
+                eff = sp / ratio
+                prov[w] = {
+                    f"rate_{LOW}": r_lo,
+                    f"rate_{HIGH}": r_hi,
+                    "speedup": round(sp, 2),
+                    "efficiency": round(eff, 3),
+                    f"wall_{LOW}": lo[f"{w}_wall_sec"],
+                    f"wall_{HIGH}": hi[f"{w}_wall_sec"],
+                }
+                lines.append(
+                    f"| {w} | {r_lo:,.0f} | {r_hi:,.0f} | {sp:.2f}x | {eff:.3f} "
+                    f"| {lo[f'{w}_wall_sec']} | {hi[f'{w}_wall_sec']} |"
+                )
+            lines.append("")
+            summary["providers"][provider] = prov
+        with open(os.path.join(REPO, "SCALING.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(json.dumps(summary))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":

