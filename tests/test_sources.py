@@ -1,0 +1,99 @@
+"""C15 CSV sources (reference per-column typing) + TableIO + metrics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from diffdataflowmlpipelines_spark.sources.csv import (
+    read_adult_like_csv,
+    read_csv_all_float,
+)
+from diffdataflowmlpipelines_spark.sources.tableio import ParquetTableIO
+
+
+def _write_csv(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_read_adult_like_csv_type_split(spark, tmp_path):
+    path = _write_csv(
+        tmp_path,
+        "a.csv",
+        "age,job,score\n39, clerk ,7.5\n50,cook,8\nx,smith,9.25\n",
+    )
+    df = read_adult_like_csv(spark, path)
+    # 'age' has an unparsable cell -> stays Text (trimmed); score all-float
+    types = {f.name: f.dataType for f in df.schema.fields}
+    assert isinstance(types["age"], T.StringType)
+    assert isinstance(types["job"], T.StringType)
+    assert isinstance(types["score"], T.DoubleType)
+    rows = df.collect()
+    assert rows[0]["job"] == "clerk"  # reference reader trims text cells
+    assert rows[2]["score"] == 9.25
+
+
+def test_read_csv_all_float_default(spark, tmp_path):
+    path = _write_csv(tmp_path, "b.csv", "x,y\n1.5,oops\n2.0,3\n")
+    df = read_csv_all_float(spark, path)
+    rows = df.collect()
+    assert rows[0]["y"] == -1.0  # unparsable -> -1.0 (reference semantics)
+    assert rows[1]["x"] == 2.0 and rows[1]["y"] == 3.0
+
+
+def test_parquet_tableio_roundtrip(spark, tmp_path):
+    io = ParquetTableIO(str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df.write.parquet(io.path("t"))
+    assert io.read(spark, "t").count() == 2
+    sink = io.exactly_once_sink("t_out", ["id"])
+    sink.write_batch(df, 0)
+    assert sink.read_current(spark).count() == 2
+
+
+def test_progress_listener(spark, tmp_path):
+    from diffdataflowmlpipelines_spark.sources.fixtures import (
+        TOKENS_STREAM_SCHEMA,
+        gen_tokens_pdf,
+    )
+    from diffdataflowmlpipelines_spark.streaming.metrics import attach_progress_log
+    from diffdataflowmlpipelines_spark.streaming.sources import write_epoch_files
+    from diffdataflowmlpipelines_spark.streaming.windows import tumbling_token_frequency
+
+    log = str(tmp_path / "progress.jsonl")
+    listener = attach_progress_log(spark, log)
+    try:
+        write_epoch_files(gen_tokens_pdf(300, seed=55), str(tmp_path / "src"), 2)
+        stream = (
+            spark.readStream.schema(TOKENS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "src"))
+        )
+        q = (
+            tumbling_token_frequency(stream)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # listener callbacks are async; wait briefly for the writes
+        import time
+
+        for _ in range(30):
+            if os.path.exists(log) and len(open(log).readlines()) >= 3:
+                break
+            time.sleep(1)
+        events = [json.loads(l) for l in open(log)]
+        kinds = {e["event"] for e in events}
+        assert "started" in kinds and "progress" in kinds
+        prog = [e for e in events if e["event"] == "progress"]
+        assert any(p["numInputRows"] > 0 for p in prog)
+        assert all("stateOperators" in p for p in prog)
+    finally:
+        spark.streams.removeListener(listener)

@@ -1,0 +1,131 @@
+"""Vectorizer unit tests with closed-form expectations, including the
+reference's inverted-presence tf-idf behavior
+(tfidf_transformer.rs:36-38) behind the parity flag."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from diffdataflowmlpipelines_spark.functions.text import (
+    bpe_ish_token_count,
+    quality_features,
+    tokenize,
+    word_fingerprint,
+)
+from diffdataflowmlpipelines_spark.functions.vectorizers import (
+    CountVectorizer,
+    HashVectorizer,
+    TfidfTransformer,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # vocab: a b c d; doc structure chosen so counts are obvious
+    return spark.createDataFrame(
+        [
+            (0, ["a", "b", "a"]),
+            (1, ["b", "c"]),
+            (2, ["c", "c", "d"]),
+        ],
+        "doc_id long, toks array<string>",
+    )
+
+
+def test_count_vectorizer_dense(spark, docs):
+    cv = CountVectorizer()
+    out = cv.fit_transform(docs, "doc_id", "toks", "vec")
+    got = {r["doc_id"]: r["vec"] for r in out.collect()}
+    # sorted dict: a=0 b=1 c=2 d=3; overprovisioned_len(4) = 5
+    assert cv.vec_len_ == 5
+    assert got[0] == [2.0, 1.0, 0.0, 0.0, 0.0]
+    assert got[1] == [0.0, 1.0, 1.0, 0.0, 0.0]
+    assert got[2] == [0.0, 0.0, 2.0, 1.0, 0.0]
+
+
+def test_count_vectorizer_binary(spark, docs):
+    cv = CountVectorizer(binary=True)
+    got = {
+        r["doc_id"]: r["vec"]
+        for r in cv.fit_transform(docs, "doc_id", "toks", "vec").collect()
+    }
+    assert got[0] == [1.0, 1.0, 0.0, 0.0, 0.0]
+    assert got[2] == [0.0, 0.0, 1.0, 1.0, 0.0]
+
+
+def test_tfidf_transformer_correct_presence(spark, docs):
+    cv = CountVectorizer()
+    vecs = cv.fit_transform(docs, "doc_id", "toks", "vec")
+    tt = TfidfTransformer()
+    out = tt.fit(vecs, "vec").transform(vecs, "doc_id", "vec", "w")
+    got = {r["doc_id"]: r["w"] for r in out.collect()}
+    # df: a=1, b=2, c=2, d=1 over N=3 docs
+    assert got[0][0] == pytest.approx(2 * math.log(3 / 1))
+    assert got[0][1] == pytest.approx(1 * math.log(3 / 2))
+    assert got[1][2] == pytest.approx(1 * math.log(3 / 2))
+    assert got[2][3] == pytest.approx(1 * math.log(3 / 1))
+    # tf = 0 -> weight 0; df = 0 (position 4, never present) -> 0
+    assert got[1][0] == 0.0 and got[0][4] == 0.0
+
+
+def test_tfidf_transformer_reference_inverted_presence(spark, docs):
+    """Reference bug replication: presence counts documents where the
+    value IS zero (tfidf_transformer.rs:36-38)."""
+    cv = CountVectorizer()
+    vecs = cv.fit_transform(docs, "doc_id", "toks", "vec")
+    tt = TfidfTransformer(invert_presence=True)
+    out = tt.fit(vecs, "vec").transform(vecs, "doc_id", "vec", "w")
+    got = {r["doc_id"]: r["w"] for r in out.collect()}
+    # inverted df: a: zero in docs 1,2 -> df=2; weight(doc0, a) = 2*ln(3/2)
+    assert got[0][0] == pytest.approx(2 * math.log(3 / 2))
+    # position 4 zero in all docs -> df=3 -> but tf=0 everywhere -> 0
+    assert got[0][4] == 0.0
+
+
+def test_hash_vectorizer_semantics(spark, docs):
+    hv = HashVectorizer(n_features=8)
+    got = {
+        r["doc_id"]: r["vec"]
+        for r in hv.fit_transform(docs, "doc_id", "toks", "vec").collect()
+    }
+    # total counts preserved; same token always same bucket
+    assert sum(got[0]) == 3.0 and sum(got[1]) == 2.0 and sum(got[2]) == 3.0
+    b_a = [i for i, v in enumerate(got[0]) if v >= 2.0]  # bucket of 'a'
+    assert len(b_a) == 1
+    binary = HashVectorizer(n_features=8, binary=True)
+    gb = {
+        r["doc_id"]: r["vec"]
+        for r in binary.fit_transform(docs, "doc_id", "toks", "vec").collect()
+    }
+    assert set(gb[0]) <= {0.0, 1.0}
+
+
+def test_tokenizer_and_fingerprint(spark):
+    df = spark.createDataFrame([("  the fast  key \t order ",)], "text string")
+    toks = df.select(tokenize("text").alias("t")).head()["t"]
+    assert toks == ["the", "fast", "key", "order"]
+    # fingerprint closed form
+    fp = df.select(word_fingerprint(tokenize("text")).alias("f")).head()["f"]
+    acc = 0
+    for w in toks:
+        acc = (acc * 31 + (97 * len(w) + ord(w[0]))) % 1_000_000_007
+    assert fp == acc
+    # bpe-ish splits letter/digit boundaries
+    n = spark.createDataFrame([("abc123 def!",)], "text string").select(
+        bpe_ish_token_count("text").alias("n")
+    ).head()["n"]
+    assert n == 4  # abc | 123 | def | !
+
+
+def test_quality_features_closed_form(spark):
+    df = spark.createDataFrame([("the cat, a hat!",)], "text string")
+    feats = quality_features("text")
+    row = df.select(*[v.alias(k) for k, v in feats.items()]).head()
+    assert row["n_chars"] == 15
+    assert row["n_tokens"] == 4
+    assert row["punct_ratio"] == pytest.approx(2 / 15)
+    assert row["stopword_ratio"] == pytest.approx(2 / 4)  # 'the', 'a'
+    assert row["alpha_ratio"] == pytest.approx(10 / 15)
