@@ -1,0 +1,156 @@
+"""Incremental fit+transform maintenance — the reference's core loop
+(``pipeline_3_diabetes.rs:12-60``): a continuously-maintained statistic
+(scaler meta) and a transform whose OUTPUTS are maintained under
+updates. In DD, a changed statistic retracts and re-emits every
+transformed row; rounding (``standard_scaler.rs:73-76``) suppresses
+that cascade unless the statistic crosses a 10^n boundary.
+
+Spark re-expression (driven per micro-batch from ``foreachBatch``):
+
+  epoch k: append batch rows to the input snapshot (exactly-once sink)
+           recompute (mean, var) over the consolidated snapshot —
+             signed aggregate, retraction-correct, map-side combined
+           round; compare with the previous epoch's rounded statistic
+           changed   -> re-encode the WHOLE snapshot (the DD cascade)
+           unchanged -> encode only this batch's rows with current meta
+
+The parity invariant (tested): at every epoch, the output sink equals
+a from-scratch batch fit_transform over the consolidated input prefix —
+the reference's incremental-update trace oracle (FIXTURES.md F3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diffdataflowmlpipelines_spark.operators.collection import (
+    DIFF,
+    consolidate,
+    with_diff,
+)
+from diffdataflowmlpipelines_spark.streaming.sink import ExactlyOnceParquetSink
+
+
+class IncrementalScalerPipeline:
+    """StandardScaler fit+transform maintained across epochs.
+
+    Rows are keyed by ``key_cols``; ``value_col`` is scaled by the
+    reference formula (x - mean)/variance. ``round_to`` enables the
+    reference's update suppression.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        key_cols: list[str],
+        value_col: str,
+        round_to: tuple[int, int] | None = None,
+    ):
+        self.spark = spark
+        self.key_cols = list(key_cols)
+        self.value_col = value_col
+        self.round_to = round_to
+        # 'rows' lineage: row counts from parquet footers, no extra job
+        self.input_sink = ExactlyOnceParquetSink(
+            f"{workdir}/input", key_cols, lineage="rows"
+        )
+        self.output_sink = ExactlyOnceParquetSink(
+            f"{workdir}/output", key_cols, lineage="rows"
+        )
+        self.last_meta: tuple | None = None
+        self.full_reencodes = 0
+        self.epochs = 0
+        # running abelian statistic (n, sum, sumsq) — DD's incremental
+        # aggregate: each epoch folds in the BATCH's partial sums, so a
+        # single-row update costs O(batch), not O(snapshot)
+        self._n, self._s1, self._s2 = 0, 0.0, 0.0
+
+    # -- statistic over the consolidated snapshot ---------------------------
+
+    def _consolidated(self) -> DataFrame:
+        """Net multiplicity per row INCLUDING net-zero rows (which
+        ``consolidate`` drops but we keep — they tombstone the outputs
+        of fully-retracted inputs)."""
+        df = with_diff(self.input_sink.read_all(self.spark).drop("epoch"))
+        return df.groupBy(*self.key_cols, self.value_col).agg(
+            F.sum(DIFF).alias(DIFF)
+        )
+
+    def _snapshot(self) -> DataFrame:
+        return self._consolidated().filter(F.col(DIFF) > 0)
+
+    def _fold_batch(self, batch_df: DataFrame) -> tuple:
+        """Fold the batch's signed partial sums into the running
+        statistic and return the current (rounded) (mean, var)."""
+        x = F.col(self.value_col).cast("double")
+        row = with_diff(batch_df).agg(
+            F.sum(F.col(DIFF)).alias("n"),
+            F.sum(x * F.col(DIFF)).alias("s1"),
+            F.sum(x * x * F.col(DIFF)).alias("s2"),
+            F.min(F.col(DIFF)).alias("min_diff"),
+        ).first()
+        self._last_batch_insert_only = (row["min_diff"] or 1) > 0
+        self._n += int(row["n"] or 0)
+        self._s1 += float(row["s1"] or 0.0)
+        self._s2 += float(row["s2"] or 0.0)
+        if self._n <= 0:
+            return (float("nan"), float("nan"))
+        mean = self._s1 / self._n
+        var = self._s2 / self._n - mean * mean
+        if self.round_to:
+            f1, f2 = 10.0 ** self.round_to[0], 10.0 ** self.round_to[1]
+            rnd = lambda v, f: (int(v / f + 0.5) if v >= 0 else -int(-v / f + 0.5)) * f  # noqa: E731
+            mean, var = rnd(mean, f1), rnd(var, f2)
+        return (mean, var)
+
+    def _encode(self, df: DataFrame, meta: tuple) -> DataFrame:
+        mean, var = meta
+        return df.withColumn(
+            "scaled",
+            (F.col(self.value_col).cast("double") - F.lit(mean)) / F.lit(var),
+        )
+
+    # -- foreachBatch body ----------------------------------------------------
+
+    def process_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self.input_sink.is_committed(epoch_id):
+            return  # replay: input and output already committed
+        batch_df = with_diff(batch_df).persist()
+        self.input_sink.write_batch(batch_df, epoch_id)
+        self.epochs += 1
+
+        meta = self._fold_batch(batch_df)  # O(batch), one aggregate job
+        insert_only = self._last_batch_insert_only
+        if meta != self.last_meta:
+            # DD cascade: statistic changed -> every live output row is
+            # re-emitted; dead keys get their <=0 net rows as tombstones
+            # (the upsert view drops them). O(snapshot) — by design, as
+            # in the reference's full re-transform on meta change.
+            net = self._consolidated()
+            out = self._encode(net, meta)
+            self.full_reencodes += 1
+        elif insert_only:
+            # fast path: inserts of (key, value) rows only touch their
+            # own keys; their net state is the batch itself. O(batch).
+            out = self._encode(consolidate(batch_df), meta)
+        else:
+            # retraction-bearing batch with unchanged statistic: the
+            # touched keys' net state needs the history. O(snapshot).
+            batch_keys = batch_df.select(*self.key_cols).dropDuplicates()
+            affected = self._consolidated().join(
+                batch_keys, on=self.key_cols, how="left_semi"
+            )
+            out = self._encode(affected, meta)
+        self.output_sink.write_batch(out, epoch_id)
+        self.last_meta = meta
+        batch_df.unpersist()
+
+    def foreach_batch(self):
+        return lambda df, eid: self.process_epoch(df, eid)
+
+    def current_output(self) -> DataFrame:
+        """Live outputs: latest row per key, tombstones dropped."""
+        cur = self.output_sink.read_current(self.spark)
+        return cur.filter(F.col(DIFF) > 0).drop(DIFF)

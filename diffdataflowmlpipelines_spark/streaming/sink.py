@@ -34,10 +34,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _parquet_files(directory: str):
+    import pyarrow.parquet as pq
+
+    for name in os.listdir(directory):
+        if name.endswith(".parquet"):
+            yield pq.ParquetFile(os.path.join(directory, name))
+
+
 class ExactlyOnceParquetSink:
-    def __init__(self, root: str, key_cols: list[str]):
+    """lineage: 'partitions' (rows per Spark partition — one extra
+    aggregate per epoch), 'rows' (row count only), or 'off' (no extra
+    job — for latency-critical small epochs)."""
+
+    def __init__(self, root: str, key_cols: list[str], lineage: str = "partitions"):
         self.root = root
         self.key_cols = list(key_cols)
+        self.lineage_mode = lineage
         os.makedirs(os.path.join(root, "_staging"), exist_ok=True)
         os.makedirs(os.path.join(root, "_lineage"), exist_ok=True)
 
@@ -56,27 +69,39 @@ class ExactlyOnceParquetSink:
         staging = os.path.join(
             self.root, "_staging", f"epoch={epoch_id}.{uuid.uuid4().hex[:8]}"
         )
-        # per-partition lineage before the write (single pass, cached)
-        df = df.persist()
-        part_counts = (
-            df.groupBy(F.spark_partition_id().alias("partition"))
-            .count()
-            .collect()
-        )
+        part_counts = None
+        if self.lineage_mode == "partitions":
+            # per-partition lineage before the write (single pass, cached)
+            df = df.persist()
+            part_counts = (
+                df.groupBy(F.spark_partition_id().alias("partition"))
+                .count()
+                .collect()
+            )
         df.write.mode("overwrite").parquet(staging)
-        df.unpersist()
+        if part_counts is not None:
+            df.unpersist()
         try:
             os.rename(staging, self.epoch_dir(epoch_id))  # atomic commit
         except OSError:
             # concurrent/replayed commit won the rename — discard ours
             shutil.rmtree(staging, ignore_errors=True)
             return
-        lineage = {
-            "epoch": epoch_id,
-            "rows": int(sum(r["count"] for r in part_counts)),
-            "partitions": {str(r["partition"]): int(r["count"]) for r in part_counts},
-            "committed_at": time.time(),
-        }
+        if self.lineage_mode == "off":
+            return
+        lineage = {"epoch": epoch_id, "committed_at": time.time()}
+        if part_counts is not None:
+            lineage["rows"] = int(sum(r["count"] for r in part_counts))
+            lineage["partitions"] = {
+                str(r["partition"]): int(r["count"]) for r in part_counts
+            }
+        else:  # 'rows': cheap count from the committed parquet footers
+            lineage["rows"] = int(
+                sum(
+                    pf.metadata.num_rows
+                    for pf in _parquet_files(self.epoch_dir(epoch_id))
+                )
+            )
         with open(
             os.path.join(self.root, "_lineage", f"epoch={epoch_id}.json"), "w"
         ) as f:

@@ -1,0 +1,113 @@
+"""Incremental fit+transform maintenance: per-epoch parity with the
+from-scratch batch oracle (reference pipeline_3 trace semantics) and
+rounding-based re-encode suppression."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from diffdataflowmlpipelines_spark.operators.encoders import StandardScaler
+from diffdataflowmlpipelines_spark.streaming.incremental_transform import (
+    IncrementalScalerPipeline,
+)
+from diffdataflowmlpipelines_spark.streaming.sources import EpochFileSource
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("row_id", T.LongType(), False),
+        T.StructField("x", T.DoubleType(), False),
+        T.StructField("event_time", T.TimestampType(), False),
+        T.StructField("diff", T.LongType(), False),
+    ]
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def ep(i, rows):
+    return pd.DataFrame(
+        {
+            "row_id": [r[0] for r in rows],
+            "x": [float(r[1]) for r in rows],
+            "event_time": [T0 + timedelta(seconds=i * 10 + j) for j in range(len(rows))],
+            "diff": [r[2] if len(r) > 2 else 1 for r in rows],
+        }
+    )
+
+
+def run_epochs(spark, tmp_path, epochs, round_to):
+    src = EpochFileSource(spark, str(tmp_path / "src"), SCHEMA)
+    pipe = IncrementalScalerPipeline(
+        spark, str(tmp_path / "pipe"), ["row_id"], "x", round_to=round_to
+    )
+    for e in epochs:
+        src.add_epoch(e)
+        q = (
+            src.stream()
+            .writeStream.foreachBatch(pipe.foreach_batch())
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return pipe
+
+
+def batch_oracle(spark, pdfs):
+    full = pd.concat(pdfs, ignore_index=True)
+    df = spark.createDataFrame(full, SCHEMA)
+    from diffdataflowmlpipelines_spark.operators.collection import consolidate
+
+    net = consolidate(df.select("row_id", "x", "diff"), ["row_id", "x"]).filter(
+        "diff > 0"
+    )
+    return {
+        r["row_id"]: r["y"]
+        for r in StandardScaler().fit_transform(net, "x", "y").collect()
+    }
+
+
+def test_incremental_transform_parity_with_retraction(spark, tmp_path):
+    epochs = [
+        ep(0, [(i, float(i)) for i in range(10)]),
+        ep(1, [(10, 55.0)]),            # shifts mean/var -> full re-encode
+        ep(2, [(10, 55.0, -1)]),        # retract it again
+    ]
+    pipe = run_epochs(spark, tmp_path, epochs, round_to=None)
+    got = {r["row_id"]: r["scaled"] for r in pipe.current_output().collect()}
+    want = batch_oracle(spark, epochs)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k
+    # without rounding every epoch changes the statistic -> 3 cascades
+    assert pipe.full_reencodes == 3
+
+
+def test_incremental_transform_rounding_suppression(spark, tmp_path):
+    # tight distribution: adding the exact mean doesn't move the rounded
+    # statistic -> epoch 1 encodes ONLY the new row (no cascade)
+    epochs = [
+        ep(0, [(i, 499.0 if i % 2 else 500.0) for i in range(1000)]),
+        ep(1, [(2000, 499.5)]),
+    ]
+    pipe = run_epochs(spark, tmp_path, epochs, round_to=(-2, -2))
+    assert pipe.full_reencodes == 1  # only the init epoch cascaded
+    got = {r["row_id"]: r["scaled"] for r in pipe.current_output().collect()}
+    assert len(got) == 1001
+    # parity with the batch oracle under the SAME rounding
+    full = pd.concat(epochs, ignore_index=True)
+    df = spark.createDataFrame(full, SCHEMA)
+    want = {
+        r["row_id"]: r["y"]
+        for r in StandardScaler(round_to=(-2, -2))
+        .fit_transform(df.select("row_id", "x", "diff"), "x", "y")
+        .collect()
+    }
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
