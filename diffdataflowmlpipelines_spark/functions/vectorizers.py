@@ -38,18 +38,23 @@ def tfidf_pairs(
     """tf-idf over exploded pairs: weight = tf * ln(N / df_token), where
     df_token = number of distinct docs containing the token and N = doc
     count (reference idf formula ``tfidf_transformer.rs:73-80``).
-    Two aggregations + one broadcast-joined tiny N; no dense vectors.
+
+    df_token is a window count over the tf relation (one shuffle on
+    token) rather than a separate aggregate + join — Catalyst does not
+    common-subexpression the tf subtree across two aggregates, so the
+    join formulation scanned and aggregated the input twice.
     Output: key, token, tf, weight.
     """
+    from pyspark.sql import Window
+
     tf = token_counts(df, key, tokens_col)
-    docfreq = tf.groupBy("token").agg(F.count("*").alias("__df"))
+    tf = tf.withColumn("__df", F.count("*").over(Window.partitionBy("token")))
     n_docs = df.select(key).distinct().agg(F.count("*").alias("__n"))
     idf = F.log(F.col("__n").cast("double") / F.col("__df"))
     if round_to is not None:
         idf = F.round(idf, -round_to)
     return (
-        tf.join(docfreq, on="token")
-        .join(F.broadcast(n_docs), how="cross")
+        tf.join(F.broadcast(n_docs), how="cross")
         .withColumn("weight", F.col("tf") * idf)
         .select(key, "token", "tf", "weight")
     )

@@ -182,13 +182,51 @@ def s1_cosine_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@q("s2_lsh_ann_topk")  # no SQL oracle: recall pinned by pytest instead
+def _lsh_sql(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    """Generated oracle mirroring lsh_topk's exact arithmetic: sign-bit
+    bucket from literal hyperplanes (same left-to-right fold order as
+    F.aggregate), 1-bit multiprobe, exact cosine re-rank."""
+    from diffdataflowmlpipelines_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed=42)
+    bits = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(f"v[{j + 1}] * ({planes[i][j]!r})" for j in range(dim))
+        + f") >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)])
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+          FROM e),
+    sig AS (SELECT vec_id, v, nn, {bits} AS bucket FROM n),
+    q AS (SELECT vec_id AS query_id, v AS qv, nn AS qn,
+                 unnest([{probes}]) AS bucket
+          FROM sig WHERE vec_id < 16),
+    cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+                    ROUND(list_sum(list_transform(range(1, {dim} + 1),
+                                                  i -> q.qv[i] * c.v[i]))
+                          / (q.qn * c.nn), 9) AS cosine
+             FROM q JOIN sig c USING (bucket)
+             WHERE q.query_id <> c.vec_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, neighbor_id)
+                         AS rank
+               FROM cand)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("s2_lsh_ann_topk", _lsh_sql())
 def s2_lsh_ann_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 16)
-    return lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=8, dim=64)
+    out = lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=8, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 # --- text analysis -----------------------------------------------------------
