@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-STREAM_ROWS = int(os.environ.get("BENCH_STREAM_ROWS", "300000"))
+STREAM_ROWS = int(os.environ.get("BENCH_STREAM_ROWS", "600000"))
 
 # headline batch queries (registry names) — chosen to exercise scan,
 # shuffle agg, broadcast join, interval join, window fns, text explode,
@@ -63,7 +63,7 @@ def _sustained(q) -> float:
 
 def bench_streaming(spark, workdir: str) -> dict:
     """Sustained throughput: windowed token agg and stream-stream join
-    over an epoch-file stream of STREAM_ROWS sequences (5 micro-batches;
+    over an epoch-file stream of STREAM_ROWS sequences (3 micro-batches;
     per-batch size is the throughput lever at fixed overhead)."""
     from diffdataflowmlpipelines_spark.sources.fixtures import (
         LABELS_SCHEMA,
@@ -80,10 +80,10 @@ def bench_streaming(spark, workdir: str) -> dict:
     pdf = gen_tokens_pdf(STREAM_ROWS, seed=42, rows_per_second=20000.0)
     n_seq = len(pdf)
     tok_dir = os.path.join(workdir, "tok")
-    write_epoch_files(pdf, tok_dir, 5)
+    write_epoch_files(pdf, tok_dir, 3)
     lab_pdf = gen_labels_pdf(pdf, seed=43)
     lab_dir = os.path.join(workdir, "lab")
-    write_epoch_files(lab_pdf, lab_dir, 5)
+    write_epoch_files(lab_pdf, lab_dir, 3)
 
     out = {}
 
