@@ -106,7 +106,6 @@ def minhash_lsh_candidates(
     """Band the signature; docs sharing any band bucket are candidates.
     Returns distinct (a, b) pairs with a < b. Bucket join only — cost is
     sum over buckets of |bucket|^2, never |corpus|^2."""
-    n = len(sigs.select("sig").schema["sig"].dataType.elementType and []) if False else None  # noqa
     sig_len = len(sigs.head()["sig"])
     r = sig_len // bands
     banded = sigs.select(
@@ -239,3 +238,54 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc, cluster_rep)
+    where cluster_rep is the minimum doc id reachable through dup edges
+    (canonical-document selection, the last stage of corpus dedup).
+
+    Min-label propagation: each iteration joins labels across symmetric
+    edges and keeps the per-node minimum; converges in O(diameter)
+    iterations (each a shuffle join — at 100 TB swap in large-star/
+    small-star to cut the iteration count; propagation is the same
+    join-and-min shape). Early-exits when an iteration changes nothing.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .dropDuplicates()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+        # truncate lineage every iteration — iterative joins otherwise
+        # grow the plan tree exponentially and stall the analyzer
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster_rep"))

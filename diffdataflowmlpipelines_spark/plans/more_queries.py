@@ -178,3 +178,56 @@ def d5_embedding_near_dups(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return embedding_near_dups(emb, "vec_id", "embedding", threshold=0.4)
+
+
+# --- d6: dup-cluster canonicalization (connected components) ------------------
+
+@q(
+    "d6_dup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> t <> '') AS t
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
+      FROM shingles l JOIN shingles r USING (s)
+      WHERE l.doc_id < r.doc_id GROUP BY a, b
+    ),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.1
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc, MIN(lbl) AS cluster_rep
+    FROM reach GROUP BY node
+    """,
+)
+def d6_dup_clusters(spark, sf_dir):
+    from diffdataflowmlpipelines_spark.functions.dedup import (
+        dup_clusters,
+        jaccard_pairs,
+    )
+
+    docs = _tokenized_docs_mq(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "doc_id", "toks", threshold=0.1, shingle_n=3)
+    return dup_clusters(pairs.select("a", "b"))
+
+
+def _tokenized_docs_mq(spark, sf_dir):
+    return load(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))

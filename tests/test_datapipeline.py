@@ -108,3 +108,14 @@ def test_media_feature_plumbing(spark):
     per_vid = plan.groupBy("media_id").count()
     assert per_vid.count() == vids
     assert plan.filter("frame_ms = 0").count() == vids
+
+
+def test_dup_clusters_connected_components(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import dup_clusters
+
+    # two chains and a singleton pair: {1-2-3}, {10-11}, {20-21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "a long, b long"
+    )
+    got = {r["doc"]: r["cluster_rep"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
