@@ -231,3 +231,83 @@ def d6_dup_clusters(spark, sf_dir):
 
 def _tokenized_docs_mq(spark, sf_dir):
     return load(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
+
+
+# --- generic OLAP beyond the reference (window functions, rollup) -------------
+# the reference has no window functions / grouping sets (SURVEY §2.3);
+# a complete engine replacement needs them.
+
+@q(
+    "w4_topk_per_user",
+    """
+    SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def w4_topk_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+@q(
+    "w5_running_sum",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running
+    FROM events
+    """,
+)
+def w5_running_sum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running")
+    )
+
+
+@q(
+    "a1_rollup",
+    """
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           CAST(COALESCE(user_bucket, -1) AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS total
+    FROM (SELECT event_type, user_id % 10 AS user_bucket, value FROM events)
+    GROUP BY ROLLUP (event_type, user_bucket)
+    """,
+)
+def a1_rollup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    out = ev.rollup("event_type", "user_bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+    # null-free grouping keys: rollup NULLs -> sentinels so the oracle
+    # compare (and any NULL-averse sink) is unambiguous
+    return out.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        F.coalesce(F.col("user_bucket"), F.lit(-1)).cast("long").alias("user_bucket"),
+        "n",
+        "total",
+    )

@@ -95,8 +95,13 @@ class ShardDict:
                 self.length = int(self.length * 1.5 + 0.5)
         elif n < int(self.length * 0.66):
             self._compress()
-            while n < int(self.length * 0.66):
-                self.length = -int(-self.length * 0.66 // 1)  # ceil(len*0.66)
+            # NOTE: the reference's shrink loop (integer_assignment_
+            # aggregate.rs:88-92) does not terminate when a shard empties
+            # at len=2 (ceil(2*0.66)=2 never shrinks) — found by the
+            # hypothesis suite; we force strict progress.
+            while n < int(self.length * 0.66) and self.length > 1:
+                new_len = -int(-self.length * 0.66 // 1)  # ceil(len*0.66)
+                self.length = new_len if new_len < self.length else self.length - 1
 
     # -- state (de)serialization -------------------------------------------
 

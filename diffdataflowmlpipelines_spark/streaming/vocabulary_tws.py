@@ -128,8 +128,9 @@ class VocabularyProcessor(StatefulProcessor):
                 touched[tok] = None
             free = []
             next_local = len(live_tokens)
-            while live < int(length * 0.66):
-                length = -int(-length * 0.66 // 1)
+            while live < int(length * 0.66) and length > 1:
+                new_len = -int(-length * 0.66 // 1)
+                length = new_len if new_len < length else length - 1
 
         self.meta.update((next_local, length, len(free)))
         self.free.clear()

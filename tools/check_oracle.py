@@ -31,7 +31,9 @@ def norm_cell(v):
     if isinstance(v, np.generic):
         v = v.item()
     if isinstance(v, float):
-        # collapse -0.0 / 0.0 and quantize for stable comparison
+        # collapse -0.0 / 0.0, NaN -> None, quantize for stable comparison
+        if v != v:
+            return None
         if v == 0:
             return 0.0
         return round(v, 9)
