@@ -50,3 +50,30 @@ def labeled_feature_stream(
     raw token array byte-identical (the parity invariant)."""
     joined = label_join(tokens, labels, watermark=watermark, streaming=streaming)
     return joined.withColumn("features", hash_features("tokens", n_features))
+
+
+def joined_window_stats(
+    tokens: DataFrame,
+    labels: DataFrame,
+    *,
+    window: str = "20 seconds",
+    streaming: bool = True,
+) -> DataFrame:
+    """North-star composition in ONE query: the stateful stream-stream
+    join chained into a tumbling-window aggregation (two stateful
+    operators; watermark propagates through the join; append mode)."""
+    j = label_join(tokens, labels, streaming=streaming)
+    return (
+        j.groupBy(F.window("event_time", window).alias("w"), "source", "label")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "source",
+            "label",
+            "n_rows",
+            "n_tokens",
+        )
+    )

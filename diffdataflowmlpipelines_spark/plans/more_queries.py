@@ -311,3 +311,53 @@ def a1_rollup(spark, sf_dir):
         "n",
         "total",
     )
+
+
+# --- j2: interval join chained into a windowed aggregation --------------------
+# batch analogue of the north-star join->window composition on testdata.
+
+@q(
+    "j2_join_then_window",
+    """
+    WITH pc AS (
+      SELECT p.event_id AS purchase_id, p.ts AS p_ts, p.value AS pv
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND c.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+    )
+    SELECT time_bucket(INTERVAL '1 hour', p_ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           ROUND(SUM(pv), 4) AS attributed_value
+    FROM pc GROUP BY window_start
+    """,
+)
+def j2_join_then_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("pv"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    pc = p.join(
+        c,
+        on=[
+            p.user_id == c.user_id,
+            c.c_ts.between(p.p_ts - F.expr("INTERVAL 30 MINUTES"), p.p_ts),
+        ],
+    )
+    return (
+        pc.groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_attributed"),
+            F.countDistinct("purchase_id").cast("long").alias("n_purchases"),
+            F.round(F.sum("pv"), 4).alias("attributed_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_attributed",
+                "n_purchases", "attributed_value")
+    )

@@ -11,7 +11,6 @@ sink + consolidation parity.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from diffdataflowmlpipelines_spark.sources.fixtures import (
@@ -20,29 +19,9 @@ from diffdataflowmlpipelines_spark.sources.fixtures import (
     gen_labels_pdf,
     gen_tokens_pdf,
 )
-from diffdataflowmlpipelines_spark.streaming.join import label_join
+from diffdataflowmlpipelines_spark.plans.feature_pipeline import joined_window_stats
 from diffdataflowmlpipelines_spark.streaming.sink import ExactlyOnceParquetSink
 from diffdataflowmlpipelines_spark.streaming.sources import EpochFileSource
-
-
-def joined_window_stats(tokens: DataFrame, labels: DataFrame, streaming=True) -> DataFrame:
-    j = label_join(tokens, labels, streaming=streaming)
-    # the join output carries the token stream's watermarked event_time;
-    # the downstream window agg is the second stateful operator
-    return (
-        j.groupBy(F.window("event_time", "20 seconds").alias("w"), "source", "label")
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "source",
-            "label",
-            "n_rows",
-            "n_tokens",
-        )
-    )
 
 
 def test_join_then_window_single_query(spark, tmp_path):
