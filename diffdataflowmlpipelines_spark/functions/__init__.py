@@ -1,4 +1,25 @@
+from diffdataflowmlpipelines_spark.functions.dedup import (
+    dup_clusters,
+    embedding_near_dups,
+    exact_dedup,
+    jaccard_pairs,
+    md5_hash60,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from diffdataflowmlpipelines_spark.functions.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+    synthetic_media_df,
+)
+from diffdataflowmlpipelines_spark.functions.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
 from diffdataflowmlpipelines_spark.functions.text import (
+    bpe_ish_token_count,
     quality_features,
     simple_language_id,
     token_count,
@@ -17,11 +38,26 @@ __all__ = [
     "CountVectorizer",
     "HashVectorizer",
     "TfidfTransformer",
+    "bpe_ish_token_count",
+    "cosine_topk",
+    "dup_clusters",
+    "embedding_near_dups",
+    "exact_dedup",
+    "extract_media_features",
+    "frame_sample_plan",
+    "jaccard_pairs",
+    "lsh_topk",
+    "md5_hash60",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
     "quality_features",
+    "simhash",
     "simple_language_id",
+    "synthetic_media_df",
     "tfidf_pairs",
     "token_count",
     "token_counts",
     "tokenize",
     "word_fingerprint",
+    "word_shingles",
 ]

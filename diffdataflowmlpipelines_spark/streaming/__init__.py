@@ -1,8 +1,22 @@
+from diffdataflowmlpipelines_spark.streaming.count_vectorizer import (
+    StreamingCountVectorizer,
+)
+from diffdataflowmlpipelines_spark.streaming.incremental_transform import (
+    IncrementalScalerPipeline,
+)
+from diffdataflowmlpipelines_spark.streaming.join import label_join, salted_label_join
+from diffdataflowmlpipelines_spark.streaming.metrics import attach_progress_log
 from diffdataflowmlpipelines_spark.streaming.sink import ExactlyOnceParquetSink
 from diffdataflowmlpipelines_spark.streaming.sources import (
     EpochFileSource,
     write_epoch_files,
 )
+from diffdataflowmlpipelines_spark.streaming.stats import incremental_scaler_stats
+from diffdataflowmlpipelines_spark.streaming.tfidf import (
+    tfidf_from_counts,
+    windowed_doc_token_counts,
+)
+from diffdataflowmlpipelines_spark.streaming.vocabulary import incremental_vocabulary
 from diffdataflowmlpipelines_spark.streaming.windows import (
     session_token_activity,
     sliding_token_frequency,
@@ -12,8 +26,17 @@ from diffdataflowmlpipelines_spark.streaming.windows import (
 __all__ = [
     "EpochFileSource",
     "ExactlyOnceParquetSink",
+    "IncrementalScalerPipeline",
+    "StreamingCountVectorizer",
+    "attach_progress_log",
+    "incremental_scaler_stats",
+    "incremental_vocabulary",
+    "label_join",
+    "salted_label_join",
     "session_token_activity",
     "sliding_token_frequency",
+    "tfidf_from_counts",
     "tumbling_token_frequency",
+    "windowed_doc_token_counts",
     "write_epoch_files",
 ]
