@@ -101,12 +101,23 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, key: str, *, bands: int = 4
+    sigs: DataFrame, key: str, *, bands: int = 4, sig_len: int | None = None
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket are candidates.
     Returns distinct (a, b) pairs with a < b. Bucket join only — cost is
-    sum over buckets of |bucket|^2, never |corpus|^2."""
-    sig_len = len(sigs.head()["sig"])
+    sum over buckets of |bucket|^2, never |corpus|^2.
+
+    ``sig_len`` avoids the driver-side peek (pass the ``n_hashes`` used
+    to build the signatures); without it, an empty signatures frame
+    yields an empty candidate frame."""
+    if sig_len is None:
+        head = sigs.head()
+        if head is None:
+            return (
+                sigs.select(F.col(key).alias("a"), F.col(key).alias("b"))
+                .limit(0)
+            )
+        sig_len = len(head["sig"])
     r = sig_len // bands
     banded = sigs.select(
         F.col(key).alias("__id"),
@@ -139,24 +150,55 @@ def jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (from LSH, or all
-    pairs sharing >=1 shingle when candidates is None — fine at test
-    scale, LSH is the scale path). Returns (a, b, jaccard)."""
+    """Exact shingle-set Jaccard over candidate pairs. Returns
+    (a, b, jaccard).
+
+    With ``candidates`` (the scale path — feed
+    ``minhash_lsh_candidates``), the intersection is CANDIDATE-PAIR-
+    DRIVEN: each pair's shingle sets are equi-joined directly, so cost
+    is sum over candidate pairs of |shingles(a)| — never the shingle
+    self-join, whose cost is sum over shingles of docfreq² and melts
+    the shuffle on one hot shingle at corpus scale.
+
+    With ``candidates=None`` the all-pairs-sharing-a-shingle self-join
+    is used (fine at test scale only); ``max_shingle_df`` caps the
+    document frequency of shingles entering that join (a standard
+    approximation — ubiquitous shingles carry no pair signal), at the
+    cost of slightly under-counting intersections for capped shingles.
+    """
     sh = df.select(
         key, F.explode(word_shingles(F.col(tokens_col), shingle_n)).alias("__s")
     ).dropDuplicates([key, "__s"])
     sizes = sh.groupBy(key).agg(F.count("*").alias("__sz"))
-    l = sh.select(F.col(key).alias("a"), F.col("__s"))
-    rr = sh.select(F.col(key).alias("b"), F.col("__s"))
-    inter = (
-        l.join(rr, "__s")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("__i"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        ca = candidates.select("a", "b")
+        a_sh = sh.select(F.col(key).alias("a"), "__s")
+        b_sh = sh.select(F.col(key).alias("b"), "__s")
+        inter = (
+            ca.join(a_sh, "a")
+            .join(b_sh, ["b", "__s"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("__i"))
+        )
+    else:
+        join_sh = sh
+        if max_shingle_df is not None:
+            dfreq = sh.groupBy("__s").agg(F.count("*").alias("__df"))
+            join_sh = sh.join(
+                F.broadcast(dfreq.filter(F.col("__df") > max_shingle_df)),
+                "__s",
+                "left_anti",
+            )
+        l = join_sh.select(F.col(key).alias("a"), F.col("__s"))
+        rr = join_sh.select(F.col(key).alias("b"), F.col("__s"))
+        inter = (
+            l.join(rr, "__s")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("__i"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed(key, "a").withColumnRenamed("__sz", "__sa"), "a")
         .join(sizes.withColumnRenamed(key, "b").withColumnRenamed("__sz", "__sb"), "b")
@@ -172,12 +214,12 @@ def jaccard_pairs(
 def simhash(
     df: DataFrame, key: str, tokens_col: str, *, bits: int = 32
 ) -> DataFrame:
-    if not 1 <= bits <= 63:
-        raise ValueError("bits must be in [1, 63] (signed int64 fingerprint)")
     """SimHash fingerprint: per-bit majority vote of token hashes
     weighted by tf. Portable hash -> oracle-checkable. Returns
     (key, simhash: long). One explode + one groupBy(key) with `bits`
     JVM-side conditional sums — no Python in the path."""
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in [1, 63] (signed int64 fingerprint)")
     ex = (
         df.select(key, F.explode(F.col(tokens_col)).alias("__t"))
         .groupBy(key, "__t")

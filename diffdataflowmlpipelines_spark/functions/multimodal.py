@@ -56,11 +56,17 @@ def synthetic_media_df(spark, n_rows: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _fake_decode_words(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """STUB decoder core: deterministic uint32 words from the sha256 of
+    the payload (digest repeated to dim*4 bytes, read little-endian)."""
+    h = hashlib.sha256(payload).digest()
+    return np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype="<u4")
+
+
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """STUB decoder: deterministic pseudo-features from a sha256 of the
     payload. Replace with a real decode + model forward pass."""
-    h = hashlib.sha256(payload).digest()
-    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    raw = _fake_decode_words(payload, dim)
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
 
@@ -70,6 +76,10 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), False),
         T.StructField("features", T.ArrayType(T.FloatType(), False), False),
+        # exact-integer digest of the decode intermediate (sum of the raw
+        # uint32 words): oracle-checkable cross-engine where the float32
+        # feature array is not hashable by the driver's canonicalizer.
+        T.StructField("feat_checksum", T.LongType(), False),
     ]
 )
 
@@ -80,13 +90,18 @@ def extract_media_features(df: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            words = [_fake_decode_words(bytes(p)) for p in pdf["payload"]]
+            feats = [
+                (w.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+                for w in words
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len).astype("int32"),
                     "features": feats,
+                    "feat_checksum": [int(w.sum()) for w in words],
                 }
             )
 

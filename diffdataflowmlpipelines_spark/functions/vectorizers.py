@@ -52,7 +52,9 @@ def tfidf_pairs(
     n_docs = df.select(key).distinct().agg(F.count("*").alias("__n"))
     idf = F.log(F.col("__n").cast("double") / F.col("__df"))
     if round_to is not None:
-        idf = F.round(idf, -round_to)
+        # decimal-places convention, matching streaming/tfidf.py's
+        # F.round(w, round_to) (NOT the encoders' 10^n round_to_decimal)
+        idf = F.round(idf, round_to)
     return (
         tf.join(F.broadcast(n_docs), how="cross")
         .withColumn("weight", F.col("tf") * idf)

@@ -193,7 +193,7 @@ def overprovisioned_len(n_values: int) -> int:
 
 
 def fit_dictionary(
-    df: DataFrame, col: str, order: str = "sorted"
+    df: DataFrame, col: str, order: str = "sorted", n_shards: int | None = None
 ) -> DataFrame:
     """Batch dictionary: distinct net-positive values -> stable dense index.
 
@@ -205,23 +205,60 @@ def fit_dictionary(
     vocabulary (streaming/vocabulary.py) reproduces true arrival-order
     assignment with holes.
 
+    Scale: NO single-partition global window — a token vocabulary at
+    100 TB is ~10^8 values. The global rank is computed as range-
+    partitioned local rank + per-partition offset: rows are range-
+    partitioned on the sort key (globally ordered across partitions),
+    ranked in parallel within each partition, and shifted by the
+    cumulative count of the preceding partitions (a vocab-shard-sized
+    relation, broadcast back). Rank is partition-boundary-independent,
+    so sampling variance in the range partitioner cannot change indices.
+
     Returns (value, __idx) with value column named after ``col``.
     """
     from pyspark.sql import Window
 
+    spark = df.sparkSession
+    if n_shards is None:
+        n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
     df = with_diff(df)
-    alive = consolidate(df.select(F.col(col), DIFF)).filter(F.col(DIFF) > 0)
     if order == "sorted":
-        w = Window.orderBy(F.col(col))
+        keep, sort_cols = [F.col(col)], [col]
     elif order == "first_seen":
-        w = Window.orderBy(F.col("__row_order"), F.col(col))
+        alive_cols = df.groupBy(col).agg(
+            F.sum(DIFF).alias(DIFF), F.min("__row_order").alias("__row_order")
+        )
+        keep, sort_cols = None, ["__row_order", col]
     else:  # pragma: no cover
         raise ValueError(order)
-    # rank over a tiny dictionary relation (vocab-sized, not data-sized):
-    # the single-partition window only ever sees distinct values.
-    return alive.select(col).withColumn(
-        "__idx", (F.row_number().over(w) - 1).cast("long")
+    if order == "sorted":
+        alive = consolidate(df.select(*keep, DIFF)).filter(F.col(DIFF) > 0)
+        alive = alive.select(col)
+    else:
+        alive = alive_cols.filter(F.col(DIFF) > 0).select(col, "__row_order")
+
+    part = alive.repartitionByRange(n_shards, *[F.col(c) for c in sort_cols])
+    part = part.withColumn("__pid", F.spark_partition_id()).persist()
+    # per-partition offsets: one tiny fit-time aggregate (<= n_shards
+    # rows to the driver — same convention as the scalers' 1-row fit
+    # statistics); the persist pins partition ids across the two jobs.
+    counts = part.groupBy("__pid").agg(F.count("*").alias("__c")).collect()
+    if not counts:
+        return part.select(col, F.lit(0).cast("long").alias("__idx")).limit(0)
+    offsets, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[int(r["__pid"])] = acc
+        acc += int(r["__c"])
+    off_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
     )
+    local = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in sort_cols])
+    out = part.withColumn(
+        "__idx",
+        (F.row_number().over(local) - 1 + off_map[F.col("__pid")]).cast("long"),
+    )
+    return out.select(col, "__idx")
 
 
 class OrdinalEncoder(ColumnEncoder):

@@ -60,6 +60,44 @@ def salted_minmax_agg(
     )
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    key_col: str,
+    *,
+    min_share: float = 0.001,
+    skew_factor: float = 8.0,
+    max_keys: int = 64,
+) -> list:
+    """Derive the hot-key list for salted joins from batch key-frequency
+    statistics instead of a hardcoded list (run over a bounded batch
+    prefix — e.g. the exactly-once input sink — at epoch boundaries;
+    streaming DataFrames can't be counted directly).
+
+    A key is hot when BOTH hold:
+    - its row share >= ``min_share`` (absolute traffic worth salting), and
+    - its count >= ``skew_factor`` x the mean per-key count (relative
+      skew — a uniform key space yields no hot keys no matter the share).
+
+    One aggregate job: groupBy(key).count + a count-distinct, both
+    map-side combined. Returns at most ``max_keys`` hottest keys.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("__c"))
+    stats = counts.agg(
+        F.sum("__c").alias("__n"), F.count("*").alias("__k")
+    ).first()
+    n, k = int(stats["__n"] or 0), int(stats["__k"] or 0)
+    if n == 0 or k == 0:
+        return []
+    cutoff = max(min_share * n, skew_factor * (n / k))
+    rows = (
+        counts.filter(F.col("__c") >= cutoff)
+        .orderBy(F.col("__c").desc(), F.col(key_col))
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[key_col] for r in rows]
+
+
 def salted_broadcast_join(
     big: DataFrame,
     small: DataFrame,

@@ -13,6 +13,7 @@ from diffdataflowmlpipelines_spark.functions.dedup import (
     _minhash_params,
     exact_dedup,
     jaccard_pairs,
+    minhash_lsh_candidates,
     minhash_signatures,
     simhash,
 )
@@ -87,23 +88,76 @@ def d2_minhash_signatures(spark, sf_dir):
     return sigs.select("doc_id", *cols)
 
 
-@q(
-    "d3_jaccard_pairs",
-    f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+def _lsh_jaccard_cte(n_hashes: int = 8, bands: int = 4) -> str:
+    """Shared CTE block replicating the Spark LSH-pruned Jaccard scale
+    path: minhash signatures (same literal (a,b) params), band buckets,
+    candidate pairs from bucket equality, exact intersection restricted
+    to candidate pairs."""
+    params = _minhash_params(n_hashes)
+    r = n_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {i} AS band, CONCAT("
+        + ", ',', ".join(f"CAST(m{i * r + j} AS VARCHAR)" for j in range(r))
+        + ") AS bucket FROM sigs"
+        for i in range(bands)
+    )
+    return f"""
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     shingles AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, len(t) - 1),
                                    i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS s
       FROM toks WHERE len(t) >= 3
     ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT)
+               % {MERSENNE_P} AS h
+      FROM shingles
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    bands AS (
+      {band_sel}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+      WHERE l.doc_id < r.doc_id
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
     inter AS (
-      SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
-      FROM shingles l JOIN shingles r USING (s)
-      WHERE l.doc_id < r.doc_id
-      GROUP BY a, b
+      SELECT c.a, c.b, COUNT(*) AS i
+      FROM cand c
+      JOIN shingles sa2 ON sa2.doc_id = c.a
+      JOIN shingles sb2 ON sb2.doc_id = c.b AND sb2.s = sa2.s
+      GROUP BY c.a, c.b
+    )"""
+
+
+def _lsh_jaccard_pairs(spark, sf_dir, *, threshold: float, n_hashes: int = 8,
+                       bands: int = 4):
+    """Spark side of the LSH-pruned Jaccard scale path (shared by
+    d3/d6): signatures -> band-bucket candidates -> candidate-pair-
+    driven exact verify."""
+    docs = _tokenized_docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, "doc_id", "toks", n_hashes=n_hashes,
+                              shingle_n=3)
+    cand = minhash_lsh_candidates(sigs, "doc_id", bands=bands,
+                                  sig_len=n_hashes)
+    return jaccard_pairs(
+        docs, "doc_id", "toks", threshold=threshold, shingle_n=3,
+        candidates=cand,
     )
+
+
+@q(
+    "d3_jaccard_pairs",
+    f"""
+    WITH {_lsh_jaccard_cte()}
     SELECT a, b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = a
@@ -112,8 +166,11 @@ def d2_minhash_signatures(spark, sf_dir):
     """,
 )
 def d3_jaccard_pairs(spark, sf_dir):
-    docs = _tokenized_docs(spark, sf_dir)
-    return jaccard_pairs(docs, "doc_id", "toks", threshold=0.1, shingle_n=3)
+    # the LSH-pruned scale path (candidate generation is a bucket
+    # equi-join, verify is candidate-pair-driven); the oracle replicates
+    # the banding with the same literal hash params, so pruning is part
+    # of the compared semantics.
+    return _lsh_jaccard_pairs(spark, sf_dir, threshold=0.1)
 
 
 def _simhash_sql(bits: int) -> str:
@@ -303,25 +360,101 @@ def t3_fingerprint(spark, sf_dir):
     return docs.select("doc_id", word_fingerprint("toks").alias("fp"))
 
 
-# --- multimodal (rows-only: no SQL surface for binary decode) ----------------
+# --- multimodal --------------------------------------------------------------
+# the media table is a committed parquet fixture (tools/make_fixtures.py,
+# seed=42) so the DuckDB oracle reads the identical rows. The fixture
+# stores payload_sha256 computed at generation time; the Spark query
+# recomputes the digest from the payload bytes inside mapInPandas, so a
+# hash match proves the binary column round-trips and the decode
+# plumbing reads the same bytes the oracle sees.
 
-@q("m1_media_features")
+import os as _os
+
+MEDIA_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "media.parquet",
+)
+
+
+def _m1_sql(dim: int = 16) -> str:
+    """Replicates _fake_decode exactly: sha256 digest repeated to dim*4
+    bytes, read as little-endian uint32 words; feature i =
+    float32(word_i / uint32_max); checksum = sum(words). The feature
+    signature scales each float32 (exact as double) by 1e9 and rounds to
+    an integer — identical arithmetic both engines."""
+    words = []
+    for i in range(dim):
+        off = ((4 * i) % 32) * 2 + 1  # 1-indexed hex offset into the digest
+        words.append(
+            "CAST(CONCAT('0x', "
+            f"substr(payload_sha256, {off + 6}, 2), "
+            f"substr(payload_sha256, {off + 4}, 2), "
+            f"substr(payload_sha256, {off + 2}, 2), "
+            f"substr(payload_sha256, {off}, 2)) AS BIGINT) AS w{i}"
+        )
+    sig_elems = ", ".join(
+        f"CAST(CAST(ROUND(CAST(CAST(w{i} / 4294967295.0 AS FLOAT) AS DOUBLE)"
+        f" * 1000000000) AS BIGINT) AS VARCHAR)"
+        for i in range(dim)
+    )
+    checksum = " + ".join(f"w{i}" for i in range(dim))
+    word_defs = ",\n             ".join(words)
+    return f"""
+    WITH w AS (
+      SELECT media_id, kind,
+             CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+             {word_defs}
+      FROM read_parquet('{MEDIA_FIXTURE}')
+    )
+    SELECT media_id, kind, n_bytes,
+           array_to_string([{sig_elems}], ',') AS feat_sig,
+           CAST({checksum} AS BIGINT) AS feat_checksum
+    FROM w
+    """
+
+
+@q("m1_media_features", _m1_sql())
 def m1_media_features(spark, sf_dir):
     from diffdataflowmlpipelines_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
         extract_media_features,
-        synthetic_media_df,
     )
 
-    media = synthetic_media_df(spark, 300, seed=42)
-    return extract_media_features(media)
+    media = spark.read.parquet(MEDIA_FIXTURE).select(
+        *[f.name for f in MEDIA_SCHEMA.fields]
+    )
+    out = extract_media_features(media)
+    feat_sig = F.array_join(
+        F.transform(
+            "features",
+            lambda x: F.round(x.cast("double") * 1e9, 0).cast("long").cast("string"),
+        ),
+        ",",
+    )
+    return out.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        feat_sig.alias("feat_sig"),
+        "feat_checksum",
+    )
 
 
-@q("m2_frame_sample_plan")
+@q(
+    "m2_frame_sample_plan",
+    f"""
+    SELECT media_id,
+           CAST(unnest(range(0, CAST(duration_ms AS BIGINT), 5000)) AS BIGINT)
+             AS frame_ms
+    FROM read_parquet('{MEDIA_FIXTURE}')
+    WHERE kind = 'video'
+    """,
+)
 def m2_frame_sample_plan(spark, sf_dir):
-    from diffdataflowmlpipelines_spark.functions.multimodal import (
-        frame_sample_plan,
-        synthetic_media_df,
-    )
+    from diffdataflowmlpipelines_spark.functions.multimodal import frame_sample_plan
 
-    media = synthetic_media_df(spark, 300, seed=42)
-    return frame_sample_plan(media, every_ms=5000)
+    media = spark.read.parquet(MEDIA_FIXTURE)
+    return frame_sample_plan(media, every_ms=5000).withColumn(
+        "frame_ms", F.col("frame_ms").cast("long")
+    )

@@ -18,24 +18,56 @@ the only stateful aggregate and is maintained incrementally.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from diffdataflowmlpipelines_spark.streaming.join import label_join
 
 
+def hash_buckets(tokens_col: str, n_features: int) -> F.Column:
+    """murmur3 bucket per token, JVM-side (shared by both histogram
+    implementations so they are bit-identical)."""
+    return F.transform(
+        F.col(tokens_col),
+        lambda t: F.pmod(F.hash(t.cast("string")), F.lit(n_features)).cast("int"),
+    )
+
+
 def hash_features(tokens_col: str, n_features: int = 64) -> F.Column:
     """Dense hashing-trick count vector as a column expression —
-    per-row, no shuffle: aggregate over the token array into a
-    fixed-width histogram (JVM-side; the array is never widened)."""
-    buckets = F.transform(
-        F.col(tokens_col),
-        lambda t: F.pmod(F.hash(t.cast("string")), F.lit(n_features)),
-    )
+    per-row, no shuffle, fully codegen'd.
+
+    Cost is O(n_features x n_tok) per row (one filter pass per output
+    slot) — the right trade at small widths (<=~256), where staying
+    inside whole-stage codegen beats any Arrow transfer. For wide
+    vectors use :func:`hash_features_hist` (linear-time bincount over
+    the same buckets)."""
+    buckets = hash_buckets(tokens_col, n_features)
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_features - 1)),
         lambda i: F.size(F.filter(buckets, lambda b: b == i)).cast("double"),
     )
+
+
+def hash_features_hist(tokens_col: str, n_features: int = 1024) -> F.Column:
+    """Linear-time variant for wide vectors: buckets are computed
+    JVM-side with the identical murmur3 expression, then histogrammed
+    with numpy bincount in an Arrow-batched pandas UDF —
+    O(n_tok + n_features) per row instead of O(n_features x n_tok).
+    Output is bit-identical to :func:`hash_features` (parity-tested)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _bincount(buckets: pd.Series) -> pd.Series:
+        return buckets.map(
+            lambda b: np.bincount(
+                np.asarray(b, dtype="int64"), minlength=n_features
+            ).astype("float64")
+        )
+
+    return _bincount(hash_buckets(tokens_col, n_features))
 
 
 def labeled_feature_stream(

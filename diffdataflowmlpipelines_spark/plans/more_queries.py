@@ -63,16 +63,22 @@ def c2_pipeline_chain(spark, sf_dir):
                        list(c ORDER BY idx) AS cs
                 FROM tf GROUP BY doc_id)
     SELECT doc_id,
-           list_transform(range(0, 41),
-             i -> coalesce(cs[list_position(idxs, i)], 0.0)) AS vec
+           array_to_string(list_transform(range(0, 41),
+             i -> CAST(CAST(coalesce(cs[list_position(idxs, i)], 0.0) AS INT)
+                       AS VARCHAR)), ',') AS vec
     FROM grouped
     """,
 )
 def c8_count_vectorizer_dense(spark, sf_dir):
+    # driver-hashable output: counts are whole numbers, serialized as a
+    # CSV string of ints (the driver cannot sort list columns).
     docs = load(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
     cv = CountVectorizer()
-    out = cv.fit_transform(docs, "doc_id", "toks", "vec")
-    return out.select("doc_id", "vec")
+    out = cv.fit_transform(docs, "doc_id", "toks", "__vec")
+    vec_str = F.array_join(
+        F.transform("__vec", lambda x: x.cast("int").cast("string")), ","
+    )
+    return out.select("doc_id", vec_str.alias("vec"))
 
 
 # --- C14: FunctionEncoder (stateless scalar function) ------------------------
@@ -182,26 +188,13 @@ def d5_embedding_near_dups(spark, sf_dir):
 
 # --- d6: dup-cluster canonicalization (connected components) ------------------
 
-@q(
-    "d6_dup_clusters",
-    """
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
-                                 t -> t <> '') AS t
-      FROM documents
-    ),
-    shingles AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(t) - 1),
-                    i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS s
-      FROM toks WHERE len(t) >= 3
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
-    inter AS (
-      SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
-      FROM shingles l JOIN shingles r USING (s)
-      WHERE l.doc_id < r.doc_id GROUP BY a, b
-    ),
+def _d6_sql() -> str:
+    from diffdataflowmlpipelines_spark.plans.datapipeline_queries import (
+        _lsh_jaccard_cte,
+    )
+
+    return f"""
+    WITH RECURSIVE {_lsh_jaccard_cte()},
     pairs AS (
       SELECT a, b FROM inter
       JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
@@ -216,16 +209,19 @@ def d5_embedding_near_dups(spark, sf_dir):
     )
     SELECT node AS doc, MIN(lbl) AS cluster_rep
     FROM reach GROUP BY node
-    """,
-)
+    """
+
+
+@q("d6_dup_clusters", _d6_sql())
 def d6_dup_clusters(spark, sf_dir):
-    from diffdataflowmlpipelines_spark.functions.dedup import (
-        dup_clusters,
-        jaccard_pairs,
+    # near-dup clusters over the LSH-pruned pair set (same scale path as
+    # d3; the recursive-CTE oracle replicates the banding literally)
+    from diffdataflowmlpipelines_spark.functions.dedup import dup_clusters
+    from diffdataflowmlpipelines_spark.plans.datapipeline_queries import (
+        _lsh_jaccard_pairs,
     )
 
-    docs = _tokenized_docs_mq(spark, sf_dir)
-    pairs = jaccard_pairs(docs, "doc_id", "toks", threshold=0.1, shingle_n=3)
+    pairs = _lsh_jaccard_pairs(spark, sf_dir, threshold=0.1)
     return dup_clusters(pairs.select("a", "b"))
 
 

@@ -327,6 +327,9 @@ def c7_ordinal_encoder(spark, sf_dir):
 
 # --- C6: OneHotEncoder (5 langs -> overprovisioned_len(5) = 5) -------------
 
+# driver-hashable output: the library API returns array<double>; the
+# registry serializes it to a CSV string of 0/1 identically on both
+# sides (the driver's pandas canonicalizer cannot sort list columns).
 @q(
     "c6_onehot_encoder",
     """
@@ -334,19 +337,21 @@ def c7_ordinal_encoder(spark, sf_dir):
                       DENSE_RANK() OVER (ORDER BY lang) - 1 AS idx
                FROM documents)
     SELECT doc_id, lang,
-           [CASE WHEN idx = 0 THEN 1.0 ELSE 0.0 END,
-            CASE WHEN idx = 1 THEN 1.0 ELSE 0.0 END,
-            CASE WHEN idx = 2 THEN 1.0 ELSE 0.0 END,
-            CASE WHEN idx = 3 THEN 1.0 ELSE 0.0 END,
-            CASE WHEN idx = 4 THEN 1.0 ELSE 0.0 END] AS onehot
+           CONCAT(CASE WHEN idx = 0 THEN '1' ELSE '0' END, ',',
+                  CASE WHEN idx = 1 THEN '1' ELSE '0' END, ',',
+                  CASE WHEN idx = 2 THEN '1' ELSE '0' END, ',',
+                  CASE WHEN idx = 3 THEN '1' ELSE '0' END, ',',
+                  CASE WHEN idx = 4 THEN '1' ELSE '0' END) AS onehot
     FROM d
     """,
 )
 def c6_onehot_encoder(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return OneHotEncoder().fit_transform(docs, "lang", "onehot").select(
-        "doc_id", "lang", "onehot"
+    out = OneHotEncoder().fit_transform(docs, "lang", "__oh")
+    onehot_str = F.array_join(
+        F.transform("__oh", lambda x: x.cast("int").cast("string")), ","
     )
+    return out.select("doc_id", "lang", onehot_str.alias("onehot"))
 
 
 # --- C8: CountVectorizer statistic as (doc, token, tf) pairs ---------------
@@ -454,6 +459,9 @@ def c12_dictionary(spark, sf_dir):
 # customer: scale c_acctbal (rounded stats), one-hot c_mktsegment (5 vals),
 # passthrough c_nationkey — the reference demo config shape (main.rs:61-69).
 
+# driver-hashable output: the 7-element feature vector is serialized to
+# a CSV string of each element scaled by 1e6 and rounded to an integer —
+# identical arithmetic in Spark and DuckDB, no float formatting.
 @q(
     "c16_multi_column_pipeline",
     """
@@ -462,13 +470,17 @@ def c12_dictionary(spark, sf_dir):
     d AS (SELECT *, DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS idx
           FROM customer)
     SELECT d.c_custkey,
-           [ROUND((d.c_acctbal - m.mu) / m.v, 6),
-            CASE WHEN idx = 0 THEN 1.0 ELSE 0.0 END,
-            CASE WHEN idx = 1 THEN 1.0 ELSE 0.0 END,
-            CASE WHEN idx = 2 THEN 1.0 ELSE 0.0 END,
-            CASE WHEN idx = 3 THEN 1.0 ELSE 0.0 END,
-            CASE WHEN idx = 4 THEN 1.0 ELSE 0.0 END,
-            CAST(d.c_nationkey AS DOUBLE)] AS features
+           array_to_string([
+             CAST(CAST(ROUND(ROUND((d.c_acctbal - m.mu) / m.v, 6) * 1000000)
+                       AS BIGINT) AS VARCHAR),
+             CASE WHEN idx = 0 THEN '1000000' ELSE '0' END,
+             CASE WHEN idx = 1 THEN '1000000' ELSE '0' END,
+             CASE WHEN idx = 2 THEN '1000000' ELSE '0' END,
+             CASE WHEN idx = 3 THEN '1000000' ELSE '0' END,
+             CASE WHEN idx = 4 THEN '1000000' ELSE '0' END,
+             CAST(CAST(ROUND(CAST(d.c_nationkey AS DOUBLE) * 1000000)
+                       AS BIGINT) AS VARCHAR)
+           ], ',') AS features
     FROM d, m
     """,
 )
@@ -487,7 +499,13 @@ def c16_multi_column_pipeline(spark, sf_dir):
         F.array(F.round(F.col("__f")[0], 6)),
         F.slice(F.col("__f"), 2, 6),
     )
-    return out.select("c_custkey", feats.alias("features"))
+    feat_sig = F.array_join(
+        F.transform(
+            feats, lambda x: F.round(x * 1e6, 0).cast("long").cast("string")
+        ),
+        ",",
+    )
+    return out.select("c_custkey", feat_sig.alias("features"))
 
 
 # --- streaming analogues (batch-equivalent oracles; the streaming forms

@@ -2,6 +2,7 @@ from diffdataflowmlpipelines_spark.streaming.count_vectorizer import (
     StreamingCountVectorizer,
 )
 from diffdataflowmlpipelines_spark.streaming.incremental_transform import (
+    IncrementalMultiScalerPipeline,
     IncrementalScalerPipeline,
 )
 from diffdataflowmlpipelines_spark.streaming.join import label_join, salted_label_join
@@ -26,6 +27,7 @@ from diffdataflowmlpipelines_spark.streaming.windows import (
 __all__ = [
     "EpochFileSource",
     "ExactlyOnceParquetSink",
+    "IncrementalMultiScalerPipeline",
     "IncrementalScalerPipeline",
     "StreamingCountVectorizer",
     "attach_progress_log",

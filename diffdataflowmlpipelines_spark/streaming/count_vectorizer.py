@@ -82,9 +82,14 @@ class StreamingCountVectorizer:
         hits = tf.join(F.broadcast(vocab), on="token", how="left").withColumn(
             "__slot", F.coalesce(F.col("idx"), F.lit(vec_len))
         )
-        entries = hits.groupBy("doc_id").agg(
+        # pre-aggregate per (doc_id, slot): >=2 distinct unseen tokens
+        # coalesce to the same overflow slot, and map_from_entries throws
+        # DUPLICATED_MAP_KEY on duplicates (Spark default dedup policy)
+        slot_val = F.max(val) if self.binary else F.sum(val)
+        per_slot = hits.groupBy("doc_id", "__slot").agg(slot_val.alias("v"))
+        entries = per_slot.groupBy("doc_id").agg(
             F.map_from_entries(
-                F.collect_list(F.struct(F.col("__slot"), val.alias("v")))
+                F.collect_list(F.struct(F.col("__slot"), F.col("v")))
             ).alias("__m")
         )
         vec = F.transform(

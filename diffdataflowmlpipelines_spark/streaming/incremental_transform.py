@@ -66,6 +66,38 @@ class IncrementalScalerPipeline:
         # aggregate: each epoch folds in the BATCH's partial sums, so a
         # single-row update costs O(batch), not O(snapshot)
         self._n, self._s1, self._s2 = 0, 0.0, 0.0
+        self._restore_from_sink()
+
+    def _restore_from_sink(self) -> None:
+        """Driver-restart recovery: the running statistic lives in driver
+        memory, so after a restart ``process_epoch`` would skip committed
+        epochs without folding them. Rebuild (n, s1, s2) and last_meta
+        from the committed input prefix (one aggregate job, once)."""
+        if not self.input_sink.committed_epochs():
+            return
+        x = F.col(self.value_col).cast("double")
+        df = with_diff(self.input_sink.read_all(self.spark))
+        row = df.agg(
+            F.sum(F.col(DIFF)).alias("n"),
+            F.sum(x * F.col(DIFF)).alias("s1"),
+            F.sum(x * x * F.col(DIFF)).alias("s2"),
+        ).first()
+        self._n = int(row["n"] or 0)
+        self._s1 = float(row["s1"] or 0.0)
+        self._s2 = float(row["s2"] or 0.0)
+        self.epochs = len(self.input_sink.committed_epochs())
+        self.last_meta = self._current_meta()
+
+    def _current_meta(self) -> tuple:
+        if self._n <= 0:
+            return (float("nan"), float("nan"))
+        mean = self._s1 / self._n
+        var = self._s2 / self._n - mean * mean
+        if self.round_to:
+            f1, f2 = 10.0 ** self.round_to[0], 10.0 ** self.round_to[1]
+            rnd = lambda v, f: (int(v / f + 0.5) if v >= 0 else -int(-v / f + 0.5)) * f  # noqa: E731
+            mean, var = rnd(mean, f1), rnd(var, f2)
+        return (mean, var)
 
     # -- statistic over the consolidated snapshot ---------------------------
 
@@ -95,15 +127,7 @@ class IncrementalScalerPipeline:
         self._n += int(row["n"] or 0)
         self._s1 += float(row["s1"] or 0.0)
         self._s2 += float(row["s2"] or 0.0)
-        if self._n <= 0:
-            return (float("nan"), float("nan"))
-        mean = self._s1 / self._n
-        var = self._s2 / self._n - mean * mean
-        if self.round_to:
-            f1, f2 = 10.0 ** self.round_to[0], 10.0 ** self.round_to[1]
-            rnd = lambda v, f: (int(v / f + 0.5) if v >= 0 else -int(-v / f + 0.5)) * f  # noqa: E731
-            mean, var = rnd(mean, f1), rnd(var, f2)
-        return (mean, var)
+        return self._current_meta()
 
     def _encode(self, df: DataFrame, meta: tuple) -> DataFrame:
         mean, var = meta
@@ -152,5 +176,156 @@ class IncrementalScalerPipeline:
 
     def current_output(self) -> DataFrame:
         """Live outputs: latest row per key, tombstones dropped."""
+        cur = self.output_sink.read_current(self.spark)
+        return cur.filter(F.col(DIFF) > 0).drop(DIFF)
+
+
+class IncrementalMultiScalerPipeline:
+    """k StandardScalers maintained per-epoch with columnar assembly —
+    the reference's headline experiment (``pipeline_3_diabetes.rs:12-60``:
+    21 scalers with rounding (−2, −1) over the diabetes table, init at
+    99.99% then per-row update epochs; paper Figure 3).
+
+    Architectural differences from the reference, both deliberate:
+
+    - the reference maintains one dataflow per encoder and assembles the
+      feature vector through a left-deep chain of k−1 row-id joins (its
+      paper names that chain the end-to-end bottleneck). Here ALL k
+      statistics fold in ONE aggregate job per epoch (3k+1 signed partial
+      sums in a single pass) and assembly is one ``F.array`` projection —
+      zero joins at any k.
+    - re-encode granularity is the row: if ANY column's rounded (mean,
+      var) moved, the assembled feature row changes, so the snapshot is
+      re-encoded once (the reference re-emits per changed column; same
+      output, k× less bookkeeping). With the reference's rounding config
+      almost all single-row epochs leave every rounded statistic
+      unchanged -> O(batch) work, which is the experiment's point.
+
+    Parity invariant (tested): at every epoch the output sink equals a
+    from-scratch batch MultiColumnEncoder of StandardScalers over the
+    consolidated input prefix.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        key_cols: list[str],
+        value_cols: list[str],
+        round_to: tuple[int, int] | None = None,
+    ):
+        self.spark = spark
+        self.key_cols = list(key_cols)
+        self.value_cols = list(value_cols)
+        self.round_to = round_to
+        self.input_sink = ExactlyOnceParquetSink(
+            f"{workdir}/input", key_cols, lineage="rows"
+        )
+        self.output_sink = ExactlyOnceParquetSink(
+            f"{workdir}/output", key_cols, lineage="rows"
+        )
+        self.last_meta: tuple | None = None
+        self.full_reencodes = 0
+        self.epochs = 0
+        k = len(self.value_cols)
+        self._n = 0
+        self._s1 = [0.0] * k
+        self._s2 = [0.0] * k
+        self._restore_from_sink()
+
+    # -- statistics -----------------------------------------------------------
+
+    def _sum_exprs(self):
+        exprs = [F.sum(F.col(DIFF)).alias("n"),
+                 F.min(F.col(DIFF)).alias("min_diff")]
+        for i, c in enumerate(self.value_cols):
+            x = F.col(c).cast("double")
+            exprs.append(F.sum(x * F.col(DIFF)).alias(f"s1_{i}"))
+            exprs.append(F.sum(x * x * F.col(DIFF)).alias(f"s2_{i}"))
+        return exprs
+
+    def _current_meta(self) -> tuple:
+        if self._n <= 0:
+            return tuple((float("nan"), float("nan")) for _ in self.value_cols)
+        metas = []
+        for i in range(len(self.value_cols)):
+            mean = self._s1[i] / self._n
+            var = self._s2[i] / self._n - mean * mean
+            if self.round_to:
+                f1, f2 = 10.0 ** self.round_to[0], 10.0 ** self.round_to[1]
+                rnd = lambda v, f: (int(v / f + 0.5) if v >= 0 else -int(-v / f + 0.5)) * f  # noqa: E731
+                mean, var = rnd(mean, f1), rnd(var, f2)
+            metas.append((mean, var))
+        return tuple(metas)
+
+    def _restore_from_sink(self) -> None:
+        if not self.input_sink.committed_epochs():
+            return
+        df = with_diff(self.input_sink.read_all(self.spark))
+        row = df.agg(*self._sum_exprs()).first()
+        self._n = int(row["n"] or 0)
+        for i in range(len(self.value_cols)):
+            self._s1[i] = float(row[f"s1_{i}"] or 0.0)
+            self._s2[i] = float(row[f"s2_{i}"] or 0.0)
+        self.epochs = len(self.input_sink.committed_epochs())
+        self.last_meta = self._current_meta()
+
+    def _fold_batch(self, batch_df: DataFrame) -> tuple:
+        """ONE aggregate job folds all k columns' signed partial sums."""
+        row = with_diff(batch_df).agg(*self._sum_exprs()).first()
+        self._last_batch_insert_only = (row["min_diff"] or 1) > 0
+        self._n += int(row["n"] or 0)
+        for i in range(len(self.value_cols)):
+            self._s1[i] += float(row[f"s1_{i}"] or 0.0)
+            self._s2[i] += float(row[f"s2_{i}"] or 0.0)
+        return self._current_meta()
+
+    # -- encode: columnar assembly, zero joins ---------------------------------
+
+    def _encode(self, df: DataFrame, meta: tuple) -> DataFrame:
+        feats = F.array(
+            *[
+                (F.col(c).cast("double") - F.lit(m)) / F.lit(v)
+                for c, (m, v) in zip(self.value_cols, meta)
+            ]
+        )
+        return df.withColumn("features", feats)
+
+    # -- foreachBatch body ------------------------------------------------------
+
+    def _consolidated(self) -> DataFrame:
+        df = with_diff(self.input_sink.read_all(self.spark).drop("epoch"))
+        return df.groupBy(*self.key_cols, *self.value_cols).agg(
+            F.sum(DIFF).alias(DIFF)
+        )
+
+    def process_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self.input_sink.is_committed(epoch_id):
+            return
+        batch_df = with_diff(batch_df).persist()
+        self.input_sink.write_batch(batch_df, epoch_id)
+        self.epochs += 1
+
+        meta = self._fold_batch(batch_df)
+        insert_only = self._last_batch_insert_only
+        if meta != self.last_meta:
+            out = self._encode(self._consolidated(), meta)
+            self.full_reencodes += 1
+        elif insert_only:
+            out = self._encode(consolidate(batch_df), meta)
+        else:
+            batch_keys = batch_df.select(*self.key_cols).dropDuplicates()
+            affected = self._consolidated().join(
+                batch_keys, on=self.key_cols, how="left_semi"
+            )
+            out = self._encode(affected, meta)
+        self.output_sink.write_batch(out, epoch_id)
+        self.last_meta = meta
+        batch_df.unpersist()
+
+    def foreach_batch(self):
+        return lambda df, eid: self.process_epoch(df, eid)
+
+    def current_output(self) -> DataFrame:
         cur = self.output_sink.read_current(self.spark)
         return cur.filter(F.col(DIFF) > 0).drop(DIFF)

@@ -136,12 +136,20 @@ def _vocab_fn(n_shards: int):
     ) -> Iterator[pd.DataFrame]:
         shard = int(key[0])
         d = ShardDict.from_state(state.get) if state.exists else ShardDict()
+        # snapshot assignments before the batch: a compression triggered
+        # mid-batch renumbers live tokens that this batch never touched;
+        # those must be re-emitted or the sink's upsert view keeps their
+        # stale indices (the TWS variant re-emits them the same way).
+        before = dict(d.val_to_index)
         touched: dict[str, Any] = {}
         for pdf in pdfs:
             pdf = pdf.sort_values(["event_time", "token"], kind="stable")
             for token, diff in zip(pdf["token"], pdf["diff"]):
                 d.update(str(token), int(diff))
                 touched[str(token)] = True
+        for t, i in d.val_to_index.items():
+            if before.get(t) != i:
+                touched[t] = True
         state.update(d.to_state())
         out = pd.DataFrame(
             {

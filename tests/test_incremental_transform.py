@@ -89,6 +89,53 @@ def test_incremental_transform_parity_with_retraction(spark, tmp_path):
     assert pipe.full_reencodes == 3
 
 
+def test_incremental_transform_driver_restart(spark, tmp_path):
+    """The running (n, s1, s2) statistic lives in driver memory; a NEW
+    pipeline object over the same workdir (simulated driver restart)
+    must rebuild it from the committed input prefix, not from scratch
+    (ADVICE r1: post-restart outputs were scaled with a wrong mean)."""
+    epochs = [
+        ep(0, [(i, float(i)) for i in range(10)]),
+        ep(1, [(10, 55.0)]),
+        ep(2, [(11, 30.0)]),
+    ]
+    src = EpochFileSource(spark, str(tmp_path / "src"), SCHEMA)
+
+    def run_one(pipe, e):
+        src.add_epoch(e)
+        q = (
+            src.stream()
+            .writeStream.foreachBatch(pipe.foreach_batch())
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    pipe1 = IncrementalScalerPipeline(
+        spark, str(tmp_path / "pipe"), ["row_id"], "x", round_to=None
+    )
+    run_one(pipe1, epochs[0])
+    run_one(pipe1, epochs[1])
+
+    # driver restart: fresh object, same workdir
+    pipe2 = IncrementalScalerPipeline(
+        spark, str(tmp_path / "pipe"), ["row_id"], "x", round_to=None
+    )
+    assert pipe2._n == pipe1._n
+    assert pipe2._s1 == pytest.approx(pipe1._s1)
+    assert pipe2._s2 == pytest.approx(pipe1._s2)
+    assert pipe2.last_meta == pipe1.last_meta
+
+    run_one(pipe2, epochs[2])
+    got = {r["row_id"]: r["scaled"] for r in pipe2.current_output().collect()}
+    want = batch_oracle(spark, epochs)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k
+
+
 def test_incremental_transform_rounding_suppression(spark, tmp_path):
     # tight distribution: adding the exact mean doesn't move the rounded
     # statistic -> epoch 1 encodes ONLY the new row (no cascade)

@@ -7,11 +7,40 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from diffdataflowmlpipelines_spark.operators.skew import (
+    detect_hot_keys,
     salted_broadcast_join,
     salted_minmax_agg,
     salted_sum_agg,
 )
-from diffdataflowmlpipelines_spark.sources.fixtures import tokens_df
+from diffdataflowmlpipelines_spark.sources.fixtures import HOT_KEYS, tokens_df
+
+
+def test_detect_hot_keys_finds_planted_keys(spark):
+    # fixture plants ~1% of rows on 8 hot doc_ids; everything else is
+    # near-unique, so the planted keys are the only ones past the cutoff
+    df = tokens_df(spark, 8000, seed=35)
+    hot = detect_hot_keys(df, "doc_id", min_share=0.0005, skew_factor=4.0)
+    assert set(hot) <= set(HOT_KEYS)
+    assert len(hot) >= 6  # seeded jitter may starve a hot key slightly
+
+
+def test_detect_hot_keys_uniform_yields_nothing(spark):
+    df = spark.range(5000).select((F.col("id") % 1000).alias("k"))
+    assert detect_hot_keys(df, "k") == []
+
+
+def test_hash_features_hist_parity(spark):
+    from diffdataflowmlpipelines_spark.plans.feature_pipeline import (
+        hash_features,
+        hash_features_hist,
+    )
+
+    df = tokens_df(spark, 500, seed=36)
+    both = df.select(
+        hash_features("tokens", 32).alias("a"),
+        hash_features_hist("tokens", 32).alias("b"),
+    )
+    assert both.filter(F.col("a") != F.col("b")).count() == 0
 
 
 def test_salted_sum_agg_matches_plain(spark):

@@ -80,6 +80,66 @@ def test_streaming_count_vectorizer_composition(spark, tmp_path):
     vocab = {r["token"]: r["idx"] for r in cv.current_vocab().collect()}
     vectors = {r["doc_id"]: (r["vec"], r["vec_len"]) for r in cv.current_vectors().collect()}
 
+    _check_decode(vocab, vectors)
+
+
+def test_encode_outrunning_vocab_multiple_unseen(spark, tmp_path):
+    """B outruns A with >=2 distinct unseen tokens in one doc: both
+    coalesce to the overflow slot — must aggregate, not crash with
+    DUPLICATED_MAP_KEY (ADVICE r1), and dense slots stay correct."""
+    doc_src = EpochFileSource(spark, str(tmp_path / "docs"), DOC_SCHEMA)
+    cv = StreamingCountVectorizer(spark, str(tmp_path / "cv"), n_shards=2)
+
+    ep0 = pd.DataFrame(
+        {
+            "doc_id": ["d0"],
+            "tokens": [["apple", "pear"]],
+            "event_time": [T0],
+            "diff": [1],
+        }
+    )
+    doc_src.add_epoch(ep0)
+    qa = cv.start_vocab_query(
+        doc_src.stream().select(
+            F.explode("tokens").alias("token"), "diff", "event_time"
+        ),
+        str(tmp_path / "ckpt_vocab"),
+    )
+    qa.awaitTermination(300)
+
+    # epoch 1 is encoded WITHOUT updating the vocabulary first: kiwi,
+    # fig, plum are all unseen -> 3 entries on the overflow slot
+    ep1 = pd.DataFrame(
+        {
+            "doc_id": ["d1"],
+            "tokens": [["kiwi", "fig", "plum", "apple", "apple"]],
+            "event_time": [T0 + timedelta(seconds=10)],
+            "diff": [1],
+        }
+    )
+    doc_src.add_epoch(ep1)
+    qb = (
+        doc_src.stream()
+        .writeStream.foreachBatch(cv.foreach_batch())
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qb.awaitTermination(300)
+
+    vocab = {r["token"]: r["idx"] for r in cv.current_vocab().collect()}
+    vectors = {
+        r["doc_id"]: (r["vec"], r["vec_len"])
+        for r in cv.current_vectors().collect()
+    }
+    vec, vlen = vectors["d1"]
+    assert vec[vocab["apple"]] == 2.0  # seen token still counted densely
+    used = {vocab["apple"]}
+    assert all(v == 0.0 for i, v in enumerate(vec) if i not in used)
+
+
+def _check_decode(vocab, vectors):
     # all 5 distinct tokens assigned unique indices
     assert len(vocab) == 5
     assert len(set(vocab.values())) == 5

@@ -142,6 +142,61 @@ def test_sharded_vocabulary_global_index_uniqueness(spark, tmp_path):
     assert all(r["idx"] % 4 == r["shard"] for r in live)
 
 
+def test_vocabulary_cross_batch_compression_reemits(spark, tmp_path):
+    """A retraction-triggered compression renumbers live tokens the
+    batch never touched; those must be re-emitted or the sink keeps
+    their stale indices (ADVICE r1: _compress() vs touched-only emit)."""
+    t0 = datetime(2024, 1, 1)
+    mk = lambda i, items: pd.DataFrame(  # noqa: E731
+        {
+            "token": [t for t, _ in items],
+            "diff": [d for _, d in items],
+            "event_time": [
+                t0 + timedelta(seconds=i * 100 + j) for j in range(len(items))
+            ],
+        }
+    )
+    # epoch 0: t0..t7 assigned 0..7 (length grows 1->2->3->5->8)
+    ep0 = mk(0, [(f"t{i}", 1) for i in range(8)])
+    # epoch 1: retract t0..t4 -> occupancy drops below 0.66 -> compress
+    # renumbers the UNTOUCHED survivors t5,t6,t7 densely
+    ep1 = mk(1, [(f"t{i}", -1) for i in range(5)])
+
+    src = EpochFileSource(spark, str(tmp_path / "src"), TOK_SCHEMA)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["token"])
+    for ep in (ep0, ep1):
+        src.add_epoch(ep)
+    q = (
+        incremental_vocabulary(src.stream(), n_shards=1)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["token"]: (r["idx"], r["count"], r["vec_len"])
+        for r in sink.read_current(spark).collect()
+    }
+    oracle = ShardDict()
+    for ep in (ep0, ep1):
+        ep = ep.sort_values(["event_time", "token"], kind="stable")
+        for t, d in zip(ep["token"], ep["diff"]):
+            oracle.update(t, int(d))
+    # compression really happened and changed untouched survivors
+    # (retracting t3 compresses {t4..t7} -> 0..3; retracting t4 then
+    # frees 0, leaving survivors at 1..3 — away from their original 5..7)
+    assert oracle.val_to_index == {"t5": 1, "t6": 2, "t7": 3}
+    for tok, cnt in oracle.val_to_count.items():
+        want_idx = oracle.val_to_index.get(tok, -1)
+        assert got[tok][:2] == (want_idx, cnt), tok
+    # the sink's view of vec_len for the re-emitted rows is current too
+    for tok in ("t5", "t6", "t7"):
+        assert got[tok][2] == oracle.length
+
+
 def test_vocabulary_checkpoint_resume(spark, tmp_path):
     """State (assignments, holes, free-list) must survive a query
     restart from checkpoint: epoch 2 is processed by a NEW query and

@@ -21,12 +21,24 @@ AUDITED = [
     "p6_antijoin",
     "c3_standard_scaler",
     "c9_tfidf",
+    "c12_dictionary",
     "c16_multi_column_pipeline",
+    "c8_count_vectorizer_dense",
     "w1_tumbling_window",
     "j1_interval_join",
     "d2_minhash_signatures",
+    "d3_jaccard_pairs",
     "s1_cosine_topk",
 ]
+
+# dictionary-bearing plans must not rank the vocabulary in one task
+# (fit_dictionary is sharded: range-partitioned local rank + offsets)
+NO_SINGLE_PARTITION = {
+    "c12_dictionary",
+    "c8_count_vectorizer_dense",
+    "c6_onehot_encoder",
+    "c7_ordinal_encoder",
+}
 
 
 def flags(plan: str, name: str) -> list[str]:
@@ -35,6 +47,8 @@ def flags(plan: str, name: str) -> list[str]:
         out.append("row-at-a-time Python UDF in plan")
     if "CartesianProduct" in plan:
         out.append("CartesianProduct (non-broadcast cross join)")
+    if name in NO_SINGLE_PARTITION and "Exchange SinglePartition" in plan:
+        out.append("Exchange SinglePartition under dictionary subtree")
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     for s in scans:
         ncols = s.count(",") + 1 if s else 0

@@ -1,14 +1,21 @@
-"""Init + per-update latency bench — the reference's headline
-measurement (``pipeline_3_diabetes.rs:33-54`` / BASELINE.md rows:
-StandardScaler init 10.28s @ 1e6 rows, single-row update 1.45ms, 1e5-row
-update 1.0s on their 6-core machine).
+"""Init + per-update latency benches mirroring the reference's three
+published micro-benchmarks:
 
-Drives IncrementalScalerPipeline epoch-by-epoch: one init epoch of
-INIT_ROWS, then K single-row update epochs and one BULK_ROWS epoch,
-timing each (rounding (-2, 0) as the reference's bench uses).
+- ``scaler``: StandardScaler init/update (BASELINE.md rows: init 10.28s
+  @ 1e6 rows, single-row update 1.45ms, 1e5-row update 1.0s; reference
+  ``python/standard_scale_bench.py``, ``src/main.rs:306-374``).
+- ``multi``: the headline diabetes experiment — 21 StandardScalers with
+  rounding maintained per-row-update with columnar assembly
+  (``src/pipelines/pipeline_3_diabetes.rs:12-60``, paper Figure 3; init
+  99.99% of rows then single-row epochs).
+- ``dict``: the OrdinalEncoder dictionary micro-benchmark — init at
+  base sizes 1e4/1e5/1e6 rows over 100 uniques, then 25 single-row
+  updates with a new unique value every 20th; the reference's claim is
+  update cost independent of base size (``src/main.rs:376-435``).
 
-Usage: PYTHONPATH=. python tools/update_latency_bench.py
-Env: INIT_ROWS (default 1_000_000), N_UPDATES (20), BULK_ROWS (100_000)
+Usage: PYTHONPATH=. python tools/update_latency_bench.py [scaler|multi|dict|all]
+Env: INIT_ROWS (default 1_000_000), N_UPDATES (20), BULK_ROWS (100_000),
+     MULTI_COLS (21), MULTI_INIT_ROWS (70_000), DICT_BASES (1e4,1e5,1e6)
 """
 
 from __future__ import annotations
@@ -26,18 +33,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 INIT_ROWS = int(os.environ.get("INIT_ROWS", "1000000"))
 N_UPDATES = int(os.environ.get("N_UPDATES", "20"))
 BULK_ROWS = int(os.environ.get("BULK_ROWS", "100000"))
+MULTI_COLS = int(os.environ.get("MULTI_COLS", "21"))
+MULTI_INIT_ROWS = int(os.environ.get("MULTI_INIT_ROWS", "70000"))
+DICT_BASES = [
+    int(float(x))
+    for x in os.environ.get("DICT_BASES", "10000,100000,1000000").split(",")
+]
 
 
-def main() -> None:
+def bench_scaler(spark) -> dict:
     import numpy as np
     import pandas as pd
 
-    from diffdataflowmlpipelines_spark.session import get_spark
     from diffdataflowmlpipelines_spark.streaming.incremental_transform import (
         IncrementalScalerPipeline,
     )
 
-    spark = get_spark(app_name="update-latency")
     work = tempfile.mkdtemp(prefix="latbench_")
     pipe = IncrementalScalerPipeline(
         spark, work, ["row_id"], "x", round_to=(-2, 0)
@@ -72,7 +83,7 @@ def main() -> None:
         pipe.process_epoch(bulk_df, N_UPDATES + 1)
         bulk_sec = time.time() - t0
 
-        out = {
+        return {
             "init_rows": INIT_ROWS,
             "init_sec": round(init_sec, 2),
             "init_rows_per_s": round(INIT_ROWS / init_sec, 0),
@@ -88,9 +99,194 @@ def main() -> None:
                 "bulk_1e5_update_sec": 1.0,
             },
         }
-        print(json.dumps(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_multi(spark) -> dict:
+    """Diabetes shape: MULTI_COLS scalers, rounding (−2, −1), init
+    99.99%-style bulk epoch then single-row epochs — one aggregate job
+    per epoch for ALL columns, zero-join columnar assembly."""
+    import numpy as np
+    import pandas as pd
+
+    from diffdataflowmlpipelines_spark.streaming.incremental_transform import (
+        IncrementalMultiScalerPipeline,
+    )
+
+    cols = [f"x{i}" for i in range(MULTI_COLS)]
+    work = tempfile.mkdtemp(prefix="latbench_multi_")
+    pipe = IncrementalMultiScalerPipeline(
+        spark, work, ["row_id"], cols, round_to=(-2, -1)
+    )
+    rng = np.random.default_rng(42)
+    schema = "row_id long, " + ", ".join(f"{c} double" for c in cols) + ", diff long"
+
+    def mkdf(start, n):
+        data = {"row_id": np.arange(start, start + n, dtype="int64")}
+        for j, c in enumerate(cols):
+            data[c] = rng.normal(10.0 * (j + 1), 2.0 * (j + 1), size=n)
+        data["diff"] = np.ones(n, dtype="int64")
+        return spark.createDataFrame(pd.DataFrame(data), schema)
+
+    try:
+        t0 = time.time()
+        pipe.process_epoch(mkdf(0, MULTI_INIT_ROWS), 0)
+        init_sec = time.time() - t0
+
+        update_ms = []
+        for k in range(N_UPDATES):
+            df = mkdf(MULTI_INIT_ROWS + k, 1)
+            t0 = time.time()
+            pipe.process_epoch(df, k + 1)
+            update_ms.append((time.time() - t0) * 1000)
+
+        return {
+            "cols": MULTI_COLS,
+            "init_rows": MULTI_INIT_ROWS,
+            "init_sec": round(init_sec, 2),
+            "single_row_update_ms_median": round(statistics.median(update_ms), 1),
+            "single_row_update_ms_min": round(min(update_ms), 1),
+            "full_reencodes": pipe.full_reencodes,
+            "epochs": pipe.epochs,
+            "reference_note": (
+                "pipeline_3_diabetes.rs:12-60 / paper Fig.3: DD loses to "
+                "sklearn end-to-end; bottleneck is the 21-way row-id join "
+                "to assemble vectors. This engine assembles with one "
+                "array projection (zero joins) and folds all 21 "
+                "statistics in one aggregate job per epoch."
+            ),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_dict(spark) -> dict:
+    """Reference harness mirror (src/main.rs:376-435): init `base` rows
+    over 100 uniques, then 25 single-row updates (new unique every
+    20th). Measures the streaming incremental vocabulary's per-update
+    micro-batch execution time (triggerExecution from query progress,
+    isolating batch cost from availableNow query startup)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from diffdataflowmlpipelines_spark.streaming.sink import (
+        ExactlyOnceParquetSink,
+    )
+    from diffdataflowmlpipelines_spark.streaming.sources import EpochFileSource
+    from diffdataflowmlpipelines_spark.streaming.vocabulary import (
+        incremental_vocabulary,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("token", T.StringType(), False),
+            T.StructField("diff", T.LongType(), False),
+            T.StructField("event_time", T.TimestampType(), False),
+        ]
+    )
+    t0_ts = datetime(2024, 1, 1)
+    uniques, appends = 100, 25
+    results = []
+    for base in DICT_BASES:
+        work = tempfile.mkdtemp(prefix="latbench_dict_")
+        try:
+            src = EpochFileSource(spark, f"{work}/src", schema)
+            sink = ExactlyOnceParquetSink(f"{work}/out", ["token"], lineage="off")
+
+            def run_query():
+                q = (
+                    incremental_vocabulary(src.stream(), n_shards=4)
+                    .writeStream.foreachBatch(sink.foreach_batch())
+                    .outputMode("update")
+                    .option("checkpointLocation", f"{work}/ckpt")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(600)
+                durs = [
+                    p["durationMs"]["triggerExecution"]
+                    for p in q.recentProgress
+                    if p.get("numInputRows", 0) > 0
+                ]
+                return durs
+
+            init = pd.DataFrame(
+                {
+                    "token": [str(i % uniques) for i in range(base)],
+                    "diff": [1] * base,
+                    "event_time": [t0_ts] * base,
+                }
+            )
+            src.add_epoch(init)
+            t0 = time.time()
+            init_durs = run_query()
+            init_sec = time.time() - t0
+
+            update_ms, new_unique = [], uniques
+            for i in range(appends):
+                if i % 20 == 0:
+                    new_unique += 1
+                    val = str(new_unique)
+                else:
+                    val = str(i % uniques)
+                src.add_epoch(
+                    pd.DataFrame(
+                        {
+                            "token": [val],
+                            "diff": [1],
+                            "event_time": [t0_ts + timedelta(seconds=i + 1)],
+                        }
+                    )
+                )
+                durs = run_query()
+                if durs:
+                    update_ms.append(durs[-1])
+            results.append(
+                {
+                    "base_rows": base,
+                    "uniques": uniques,
+                    "init_sec": round(init_sec, 2),
+                    "init_batch_ms": init_durs[-1] if init_durs else None,
+                    "update_batch_ms_median": round(
+                        statistics.median(update_ms), 1
+                    ),
+                    "update_batch_ms_min": round(min(update_ms), 1),
+                }
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return {
+        "bases": results,
+        "appends": appends,
+        "reference_note": (
+            "src/main.rs:376-435 / paper §3: dictionary updates are "
+            "constant-time, independent of base size (break-even vs "
+            "sklearn at ~10 updates). Here the dictionary state holds "
+            "only the uniques, so per-update batch cost is flat in "
+            "base_rows by construction; the measured floor is Spark's "
+            "micro-batch overhead."
+        ),
+    }
+
+
+def main() -> None:
+    from diffdataflowmlpipelines_spark.session import get_spark
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "scaler"
+    spark = get_spark(app_name="update-latency")
+    try:
+        out = {}
+        if mode in ("scaler", "all"):
+            out["scaler"] = bench_scaler(spark)
+        if mode in ("multi", "all"):
+            out["multi"] = bench_multi(spark)
+        if mode in ("dict", "all"):
+            out["dict"] = bench_dict(spark)
+        print(json.dumps(out))
+    finally:
         spark.stop()
 
 
