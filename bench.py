@@ -61,21 +61,81 @@ def _sustained(q) -> float:
     return round(statistics.median(vals), 1) if vals else 0.0
 
 
-def bench_streaming(spark, workdir: str) -> dict:
-    """Sustained throughput: windowed token agg and stream-stream join
-    over an epoch-file stream of STREAM_ROWS sequences (3 micro-batches;
-    per-batch size is the throughput lever at fixed overhead)."""
+def prepare_scaling_inputs(
+    spark, tok_dir: str, lab_dir: str, rows: int, epochs: int = 3
+) -> int:
+    """Spark-native generation of the (larger) scaling input — same F1
+    shape as the pandas fixture, but built with JVM column expressions
+    (the pandas generator costs ~45 s/M rows, which would dominate the
+    bench). One parquet file per epoch so availableNow+maxFilesPerTrigger
+    gives one micro-batch per epoch."""
+    import glob
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    idc = F.col("id")
+    df = spark.range(rows).select(
+        idc,
+        F.concat(F.lit("doc-"), F.lpad(idc.cast("string"), 8, "0")).alias("doc_id"),
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                (F.lit(5) + F.pmod(F.xxhash64(idc, F.lit(1)), F.lit(6))).cast("int"),
+            ),
+            lambda i: F.pmod(
+                F.xxhash64(idc * F.lit(13) + i.cast("long"), F.lit(7)), F.lit(32000)
+            ).cast("int"),
+        ).alias("tokens"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("books"), F.lit("code"), F.lit("chat")),
+            (F.pmod(idc, F.lit(4)) + 1).cast("int"),
+        ).alias("source"),
+        (base + F.make_interval(secs=idc.cast("double") / F.lit(50000.0))).alias(
+            "event_time"
+        ),
+        F.lit(1).cast("long").alias("diff"),
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+
+    lab = df.select(
+        "id",
+        "doc_id",
+        "source",
+        F.pmod(F.xxhash64(idc, F.lit(9)), F.lit(2)).cast("int").alias("label"),
+        "event_time",
+    )
+
+    def write_epochs(src_df, cols, out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+        per = rows // epochs
+        for k in range(epochs):
+            lo, hi = k * per, (k + 1) * per if k < epochs - 1 else rows
+            tmp = os.path.join(out_dir, f"__tmp_{k}")
+            (
+                src_df.filter((F.col("id") >= lo) & (F.col("id") < hi))
+                .select(*cols)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            sh.move(part, os.path.join(out_dir, f"epoch-{k:05d}.parquet"))
+            sh.rmtree(tmp, ignore_errors=True)
+
+    write_epochs(
+        df, ["doc_id", "tokens", "n_tok", "source", "event_time", "diff"], tok_dir
+    )
+    write_epochs(lab, ["doc_id", "source", "label", "event_time"], lab_dir)
+    return rows
+
+
+def prepare_stream_inputs(workdir: str) -> tuple[str, str, int]:
     from diffdataflowmlpipelines_spark.sources.fixtures import (
-        LABELS_SCHEMA,
-        TOKENS_STREAM_SCHEMA,
         gen_labels_pdf,
         gen_tokens_pdf,
     )
-    from diffdataflowmlpipelines_spark.streaming.join import label_join
     from diffdataflowmlpipelines_spark.streaming.sources import write_epoch_files
-    from diffdataflowmlpipelines_spark.streaming.windows import (
-        tumbling_token_frequency,
-    )
 
     pdf = gen_tokens_pdf(STREAM_ROWS, seed=42, rows_per_second=20000.0)
     n_seq = len(pdf)
@@ -84,6 +144,56 @@ def bench_streaming(spark, workdir: str) -> dict:
     lab_pdf = gen_labels_pdf(pdf, seed=43)
     lab_dir = os.path.join(workdir, "lab")
     write_epoch_files(lab_pdf, lab_dir, 3)
+    return tok_dir, lab_dir, n_seq
+
+
+def bench_join(spark, tok_dir: str, lab_dir: str, n_seq: int, ckpt: str) -> dict:
+    """Stateful stream-stream join on (doc_id, source): wall-clock +
+    sustained per-batch rate."""
+    from diffdataflowmlpipelines_spark.sources.fixtures import (
+        LABELS_SCHEMA,
+        TOKENS_STREAM_SCHEMA,
+    )
+    from diffdataflowmlpipelines_spark.streaming.join import label_join
+
+    tok_s = (
+        spark.readStream.schema(TOKENS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tok_dir)
+    )
+    lab_s = (
+        spark.readStream.schema(LABELS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lab_dir)
+    )
+    j = label_join(tok_s, lab_s)
+    t0 = time.time()
+    q = (
+        j.writeStream.foreachBatch(lambda df, eid: run_noop(df))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 2),
+        "seq_per_s": round(n_seq / dt, 1),
+        "sustained_seq_per_s": _sustained(q),
+    }
+
+
+def bench_streaming(spark, workdir: str, tok_dir: str, lab_dir: str, n_seq: int) -> dict:
+    """Sustained throughput: windowed token agg and stream-stream join
+    over an epoch-file stream of STREAM_ROWS sequences (3 micro-batches;
+    per-batch size is the throughput lever at fixed overhead)."""
+    from diffdataflowmlpipelines_spark.sources.fixtures import (
+        TOKENS_STREAM_SCHEMA,
+    )
+    from diffdataflowmlpipelines_spark.streaming.windows import (
+        tumbling_token_frequency,
+    )
 
     out = {}
 
@@ -109,30 +219,10 @@ def bench_streaming(spark, workdir: str) -> dict:
     out["windowed_agg_sustained_seq_per_s"] = _sustained(q)
 
     # (b) stateful stream-stream join on (doc_id, source)
-    tok_s = (
-        spark.readStream.schema(TOKENS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(tok_dir)
-    )
-    lab_s = (
-        spark.readStream.schema(LABELS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(lab_dir)
-    )
-    j = label_join(tok_s, lab_s)
-    t0 = time.time()
-    q = (
-        j.writeStream.foreachBatch(lambda df, eid: run_noop(df))
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(workdir, "ckpt_join"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    dt = time.time() - t0
-    out["stream_join_sec"] = round(dt, 2)
-    out["stream_join_seq_per_s"] = round(n_seq / dt, 1)
-    out["stream_join_sustained_seq_per_s"] = _sustained(q)
+    jn = bench_join(spark, tok_dir, lab_dir, n_seq, os.path.join(workdir, "ckpt_join"))
+    out["stream_join_sec"] = jn["sec"]
+    out["stream_join_seq_per_s"] = jn["seq_per_s"]
+    out["stream_join_sustained_seq_per_s"] = jn["sustained_seq_per_s"]
     return out
 
 
@@ -175,8 +265,51 @@ def main() -> None:
         total += dt
 
     workdir = tempfile.mkdtemp(prefix="bench_stream_")
+    scaling = None
     try:
-        stream_stats = bench_streaming(spark, workdir)
+        tok_dir, lab_dir, n_seq = prepare_stream_inputs(workdir)
+        stream_stats = bench_streaming(spark, workdir, tok_dir, lab_dir, n_seq)
+
+        # two-cluster-size evidence (north rule: >=0.8 efficiency N -> 4N):
+        # opt-in here (BENCH_SCALING=1) — the authoritative measurement is
+        # tools/scaling_bench.py (one FRESH JVM per parallelism level;
+        # reusing this bench's long-lived JVM for the low-cores run was
+        # measured to confound the comparison), recorded in SCALING.md
+        # and BASELINE.md. efficiency = rate_high / (rate_low * ratio).
+        if os.environ.get("BENCH_SCALING", "0") == "1" and CPUS >= 32:
+            s_rows = int(os.environ.get("BENCH_SCALING_ROWS", "2400000"))
+            s_tok = os.path.join(workdir, "s_tok")
+            s_lab = os.path.join(workdir, "s_lab")
+            n_s = prepare_scaling_inputs(spark, s_tok, s_lab, s_rows, epochs=3)
+
+            high = bench_join(
+                spark, s_tok, s_lab, n_s, os.path.join(workdir, "ckpt_shigh")
+            )
+            low_cpus = CPUS // 4
+            spark.stop()
+            spark = get_spark(
+                app_name="bench_low",
+                master=f"local[{low_cpus}]",
+                shuffle_partitions=low_cpus,
+                extra_conf=conf,
+            )
+            low = bench_join(
+                spark, s_tok, s_lab, n_s, os.path.join(workdir, "ckpt_slow")
+            )
+            hi_rate = high["sustained_seq_per_s"]
+            lo_rate = low["sustained_seq_per_s"]
+            scaling = {
+                "rows": n_s,
+                "cores_low": low_cpus,
+                "cores_high": CPUS,
+                "join_sustained_low_seq_per_s": lo_rate,
+                "join_sustained_high_seq_per_s": hi_rate,
+                "efficiency_low_to_high": round(
+                    hi_rate / (lo_rate * (CPUS / low_cpus)), 3
+                )
+                if lo_rate
+                else None,
+            }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     times["streaming_windowed_agg"] = stream_stats["windowed_agg_sec"]
@@ -205,6 +338,7 @@ def main() -> None:
                         "stream_join_sustained_seq_per_s"
                     ],
                 },
+                "scaling": scaling,
             }
         )
     )

@@ -18,6 +18,11 @@ from diffdataflowmlpipelines_spark.functions.similarity import (
     cosine_topk,
     lsh_topk,
 )
+from diffdataflowmlpipelines_spark.functions.sketches import (
+    count_min_estimate,
+    count_min_sketch,
+    windowed_count_min,
+)
 from diffdataflowmlpipelines_spark.functions.text import (
     bpe_ish_token_count,
     quality_features,
@@ -40,6 +45,8 @@ __all__ = [
     "TfidfTransformer",
     "bpe_ish_token_count",
     "cosine_topk",
+    "count_min_estimate",
+    "count_min_sketch",
     "dup_clusters",
     "embedding_near_dups",
     "exact_dedup",
@@ -58,6 +65,7 @@ __all__ = [
     "token_count",
     "token_counts",
     "tokenize",
+    "windowed_count_min",
     "word_fingerprint",
     "word_shingles",
 ]

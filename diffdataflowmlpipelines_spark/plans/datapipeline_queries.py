@@ -360,6 +360,92 @@ def t3_fingerprint(spark, sf_dir):
     return docs.select("doc_id", word_fingerprint("toks").alias("fp"))
 
 
+# --- count-min sketch (north-star "count-min feature aggregation") -----------
+
+def _cm_sql_parts(depth: int, width: int):
+    params = _minhash_params(depth, 42)
+    cell_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT (({a} * h + {b}) % {MERSENNE_P}) % {width} AS bucket, "
+        f"{j} AS depth_j FROM hashed"
+        for j, (a, b) in enumerate(params)
+    )
+    probe_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT token, {j} AS depth_j, "
+        f"(({a} * h + {b}) % {MERSENNE_P}) % {width} AS bucket FROM tok_h"
+        for j, (a, b) in enumerate(params)
+    )
+    return cell_selects, probe_selects
+
+
+def _cm1_sql(depth: int = 4, width: int = 64) -> str:
+    cells, _ = _cm_sql_parts(depth, width)
+    return f"""
+    WITH toks AS ({_DOC_TOKENS_SQL}),
+    hashed AS (
+      SELECT CAST(CONCAT('0x', substr(md5(token), 1, 15)) AS BIGINT)
+               % {MERSENNE_P} AS h
+      FROM toks
+    ),
+    cells AS (
+      {cells}
+    )
+    SELECT depth_j, bucket, CAST(COUNT(*) AS BIGINT) AS cell_count
+    FROM cells GROUP BY depth_j, bucket
+    """
+
+
+@q("cm1_count_min_sketch", _cm1_sql())
+def cm1_count_min_sketch(spark, sf_dir):
+    from diffdataflowmlpipelines_spark.functions.sketches import count_min_sketch
+
+    docs = _tokenized_docs(spark, sf_dir)
+    sk = count_min_sketch(docs, "toks", depth=4, width=64, seed=42)
+    return sk.withColumnRenamed("count", "cell_count")
+
+
+def _cm2_sql(depth: int = 4, width: int = 64) -> str:
+    cells, probes = _cm_sql_parts(depth, width)
+    return f"""
+    WITH toks AS ({_DOC_TOKENS_SQL}),
+    hashed AS (
+      SELECT CAST(CONCAT('0x', substr(md5(token), 1, 15)) AS BIGINT)
+               % {MERSENNE_P} AS h
+      FROM toks
+    ),
+    cells AS (
+      {cells}
+    ),
+    sketch AS (
+      SELECT depth_j, bucket, COUNT(*) AS c FROM cells GROUP BY depth_j, bucket
+    ),
+    tok_h AS (
+      SELECT token,
+             CAST(CONCAT('0x', substr(md5(token), 1, 15)) AS BIGINT)
+               % {MERSENNE_P} AS h
+      FROM (SELECT DISTINCT token FROM toks)
+    ),
+    probes AS (
+      {probes}
+    )
+    SELECT token, CAST(MIN(coalesce(s.c, 0)) AS BIGINT) AS est
+    FROM probes p LEFT JOIN sketch s USING (depth_j, bucket)
+    GROUP BY token
+    """
+
+
+@q("cm2_count_min_estimate", _cm2_sql())
+def cm2_count_min_estimate(spark, sf_dir):
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    docs = _tokenized_docs(spark, sf_dir)
+    sk = count_min_sketch(docs, "toks", depth=4, width=64, seed=42)
+    toks = docs.select(F.explode("toks").alias("token"))
+    return count_min_estimate(sk, toks, "token", depth=4, width=64, seed=42)
+
+
 # --- multimodal --------------------------------------------------------------
 # the media table is a committed parquet fixture (tools/make_fixtures.py,
 # seed=42) so the DuckDB oracle reads the identical rows. The fixture

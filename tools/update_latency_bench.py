@@ -125,7 +125,11 @@ def bench_multi(spark) -> dict:
     def mkdf(start, n):
         data = {"row_id": np.arange(start, start + n, dtype="int64")}
         for j, c in enumerate(cols):
-            data[c] = rng.normal(10.0 * (j + 1), 2.0 * (j + 1), size=n)
+            # diabetes-like scales (normalized features, sigma <= 1): the
+            # per-insert statistic drift sigma^2/n must sit well under the
+            # (-2, -1) rounding grain or suppression never fires — with
+            # sigma=0.5, var drift ~ 0.25/7e4 per row vs grain 0.1
+            data[c] = rng.normal(float(j), 0.5, size=n)
         data["diff"] = np.ones(n, dtype="int64")
         return spark.createDataFrame(pd.DataFrame(data), schema)
 
