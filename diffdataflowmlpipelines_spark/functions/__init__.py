@@ -3,9 +3,11 @@ from diffdataflowmlpipelines_spark.functions.dedup import (
     embedding_near_dups,
     exact_dedup,
     jaccard_pairs,
+    lsh_band_buckets,
     md5_hash60,
     minhash_lsh_candidates,
     minhash_signatures,
+    minhash_signatures_rowwise,
     simhash,
     word_shingles,
 )
@@ -53,10 +55,12 @@ __all__ = [
     "extract_media_features",
     "frame_sample_plan",
     "jaccard_pairs",
+    "lsh_band_buckets",
     "lsh_topk",
     "md5_hash60",
     "minhash_lsh_candidates",
     "minhash_signatures",
+    "minhash_signatures_rowwise",
     "quality_features",
     "simhash",
     "simple_language_id",

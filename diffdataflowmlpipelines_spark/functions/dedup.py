@@ -100,6 +100,62 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_rowwise(
+    df: DataFrame,
+    key: str,
+    tokens_col: str,
+    *,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash as a PURE PROJECTION — zero shuffle, zero state.
+
+    The signature is a per-document statistic, so it never needed the
+    explode + groupBy of :func:`minhash_signatures` (kept as the oracle
+    twin): each row's shingle set lives in its own token array, so
+    min((a*h+b) mod p) folds over the array JVM-side. At 100 TB this is
+    the difference between a full-corpus shuffle and a map-only scan;
+    it is also what makes MinHash usable on an unbounded STREAM (a
+    stateless select — see streaming/dedup.py). Bit-identical output to
+    minhash_signatures (parity-tested)."""
+    params = _minhash_params(n_hashes, seed)
+    sh = F.array_distinct(word_shingles(F.col(tokens_col), shingle_n))
+    hashes = F.transform(
+        sh, lambda s: md5_hash60(s) % F.lit(MERSENNE_P)
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P),
+            )
+        )
+        for (a, b) in params
+    ]
+    return df.select(key, F.array(*mins).alias("sig"))
+
+
+def lsh_band_buckets(
+    sig_col: Column, *, bands: int, sig_len: int
+) -> Column:
+    """(band, bucket) structs for a signature — shared by the batch
+    candidate join and the streaming self-join."""
+    r = sig_len // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[sig_col[i * r + j].cast("string") for j in range(r)],
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame, key: str, *, bands: int = 4, sig_len: int | None = None
 ) -> DataFrame:

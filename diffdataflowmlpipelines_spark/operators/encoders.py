@@ -164,20 +164,57 @@ class KBinsDiscretizer(ColumnEncoder):
     """Reference ``kbins_discretizer.rs:10-47``: uniform-width bins over
     [min, max]; ``bin = floor((x - min)/range * k)`` with the bin==k edge
     (x == max) clamped to k-1 (branchless in the reference ``:40-44``).
+
+    ``strategy="quantile"`` extends beyond the reference (sklearn's other
+    KBins strategy, which the reference does not implement): edges are
+    the exact k-quantiles (linear interpolation — matches numpy/sklearn
+    and DuckDB's quantile_cont), bin = number of interior edges <= x.
+    At 100 TB swap the exact percentile for ``percentile_approx`` — the
+    transform is unchanged.
     """
 
-    def __init__(self, k: int):
+    def __init__(self, k: int, strategy: str = "uniform"):
         self.k = int(k)
+        if strategy not in ("uniform", "quantile"):  # pragma: no cover
+            raise ValueError(strategy)
+        self.strategy = strategy
 
     def fit(self, df, col):
-        MinMaxScaler.fit(self, df, col)  # same (min, range) statistic
+        if self.strategy == "uniform":
+            MinMaxScaler.fit(self, df, col)  # same (min, range) statistic
+            return self
+        df = with_diff(df)
+        alive = consolidate(
+            df.select(F.col(col).cast("double").alias("__v"), DIFF)
+        ).filter(F.col(DIFF) > 0)
+        fracs = [i / self.k for i in range(1, self.k)]
+        # consolidate nets duplicates to one row per VALUE — weight the
+        # percentile by the net multiplicity or it runs over the distinct
+        # values, not the multiset (found via a 6-row oracle mismatch)
+        row = alive.agg(
+            F.percentile(
+                F.col("__v"),
+                F.array(*[F.lit(f) for f in fracs]),
+                F.col(DIFF),
+            ).alias("q")
+        ).first()
+        self.edges_ = [float(x) for x in (row["q"] or [])]
         return self
 
     def transform(self, df, col, out):
         x = F.col(col).cast("double")
-        raw = F.floor((x - F.lit(self.min_)) / F.lit(self.range_) * F.lit(self.k))
-        clamped = F.when(raw == self.k, F.lit(self.k - 1)).otherwise(raw)
-        return df.withColumn(out, clamped.cast("double"))
+        if self.strategy == "uniform":
+            raw = F.floor(
+                (x - F.lit(self.min_)) / F.lit(self.range_) * F.lit(self.k)
+            )
+            clamped = F.when(raw == self.k, F.lit(self.k - 1)).otherwise(raw)
+            return df.withColumn(out, clamped.cast("double"))
+        b = None
+        for e in self.edges_:
+            term = (x >= F.lit(e)).cast("int")
+            b = term if b is None else b + term
+        b = F.lit(0) if b is None else b
+        return df.withColumn(out, b.cast("double"))
 
 
 def overprovisioned_len(n_values: int) -> int:

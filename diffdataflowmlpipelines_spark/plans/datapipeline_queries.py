@@ -14,7 +14,7 @@ from diffdataflowmlpipelines_spark.functions.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_candidates,
-    minhash_signatures,
+    minhash_signatures_rowwise,
     simhash,
 )
 from diffdataflowmlpipelines_spark.functions.similarity import cosine_topk, lsh_topk
@@ -82,8 +82,12 @@ def _minhash_sql(n_hashes: int) -> str:
 
 @q("d2_minhash_signatures", _minhash_sql(8))
 def d2_minhash_signatures(spark, sf_dir):
+    # row-wise form: a pure projection (zero shuffle) — bit-identical to
+    # the explode+groupBy form (pytest parity) and to the SQL oracle
     docs = _tokenized_docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, "doc_id", "toks", n_hashes=8, shingle_n=3)
+    sigs = minhash_signatures_rowwise(
+        docs, "doc_id", "toks", n_hashes=8, shingle_n=3
+    )
     cols = [F.col("sig")[i].alias(f"m{i}") for i in range(8)]
     return sigs.select("doc_id", *cols)
 
@@ -144,8 +148,8 @@ def _lsh_jaccard_pairs(spark, sf_dir, *, threshold: float, n_hashes: int = 8,
     d3/d6): signatures -> band-bucket candidates -> candidate-pair-
     driven exact verify."""
     docs = _tokenized_docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, "doc_id", "toks", n_hashes=n_hashes,
-                              shingle_n=3)
+    sigs = minhash_signatures_rowwise(docs, "doc_id", "toks",
+                                      n_hashes=n_hashes, shingle_n=3)
     cand = minhash_lsh_candidates(sigs, "doc_id", bands=bands,
                                   sig_len=n_hashes)
     return jaccard_pairs(
@@ -431,6 +435,30 @@ def _cm2_sql(depth: int = 4, width: int = 64) -> str:
     FROM probes p LEFT JOIN sketch s USING (depth_j, bucket)
     GROUP BY token
     """
+
+
+def _cm3_sql(depth: int = 4, width: int = 64, threshold: int = 500) -> str:
+    return (
+        _cm2_sql(depth, width)
+        + f"    HAVING MIN(coalesce(s.c, 0)) >= {threshold}\n"
+    )
+
+
+@q("cm3_heavy_hitters", _cm3_sql())
+def cm3_heavy_hitters(spark, sf_dir):
+    """Heavy hitters straight off the sketch: tokens whose CMS estimate
+    clears the support threshold — the standard approximate top-token
+    query a 100 TB corpus scan answers without a per-token exact count."""
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    docs = _tokenized_docs(spark, sf_dir)
+    sk = count_min_sketch(docs, "toks", depth=4, width=64, seed=42)
+    toks = docs.select(F.explode("toks").alias("token"))
+    est = count_min_estimate(sk, toks, "token", depth=4, width=64, seed=42)
+    return est.filter(F.col("est") >= 500)
 
 
 @q("cm2_count_min_estimate", _cm2_sql())

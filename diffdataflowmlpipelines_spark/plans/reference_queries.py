@@ -308,6 +308,28 @@ def c5_kbins(spark, sf_dir):
     return out.select("event_id", "bin")
 
 
+# --- C5b: quantile-strategy KBins (sklearn surface beyond the reference) ----
+
+_KQ_FRACS = ", ".join(str(i / 8) for i in range(1, 8))
+_KQ_BIN = " + ".join(
+    f"CASE WHEN value >= qs[{i}] THEN 1 ELSE 0 END" for i in range(1, 8)
+)
+
+
+@q(
+    "c5_kbins_quantile",
+    f"""
+    WITH q AS (SELECT quantile_cont(value, [{_KQ_FRACS}]) AS qs FROM events)
+    SELECT event_id, CAST(({_KQ_BIN}) AS DOUBLE) AS bin
+    FROM events, q
+    """,
+)
+def c5_kbins_quantile(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    out = KBinsDiscretizer(8, strategy="quantile").fit_transform(ev, "value", "bin")
+    return out.select("event_id", "bin")
+
+
 # --- C7: OrdinalEncoder (sorted dictionary; dense_rank oracle) -------------
 
 @q(

@@ -1,6 +1,10 @@
 from diffdataflowmlpipelines_spark.streaming.count_vectorizer import (
     StreamingCountVectorizer,
 )
+from diffdataflowmlpipelines_spark.streaming.dedup import (
+    streaming_near_dup_candidates,
+    streaming_signatures,
+)
 from diffdataflowmlpipelines_spark.streaming.incremental_transform import (
     IncrementalMultiScalerPipeline,
     IncrementalScalerPipeline,
@@ -37,6 +41,8 @@ __all__ = [
     "salted_label_join",
     "session_token_activity",
     "sliding_token_frequency",
+    "streaming_near_dup_candidates",
+    "streaming_signatures",
     "tfidf_from_counts",
     "tumbling_token_frequency",
     "windowed_doc_token_counts",

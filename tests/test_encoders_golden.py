@@ -92,6 +92,19 @@ def test_kbins_golden(spark):
         assert got[i] == pytest.approx(math.floor((i % 5) / 1.4), abs=1e-12)
 
 
+def test_kbins_quantile_golden(spark):
+    # extension beyond the reference (sklearn strategy="quantile"):
+    # 0..9, k=4 -> interior edges [2.25, 4.5, 6.75] (linear interp),
+    # bins = {0,1,2}->0, {3,4}->1, {5,6}->2, {7,8,9}->3
+    df = _col_df(spark, list(range(10)))
+    got = rows_map(
+        KBinsDiscretizer(4, strategy="quantile").fit_transform(df, "x", "y")
+    )
+    want = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3, 9: 3}
+    for i in range(10):
+        assert got[i] == pytest.approx(float(want[i]), abs=1e-12), i
+
+
 def test_overprovisioned_len_policy(spark):
     # integer_assignment_aggregate.rs:84-93: 1, 2, 3, 5, 8, 12, 18, 27 ...
     assert [overprovisioned_len(n) for n in [1, 2, 3, 4, 5, 6, 8, 9, 12, 13]] == [

@@ -29,6 +29,10 @@ HIGH = int(os.environ.get("SCALE_HIGH", "32"))
 ROWS = int(os.environ.get("SCALE_ROWS", "4000000"))
 N_EPOCHS = int(os.environ.get("SCALE_EPOCHS", "3"))
 PROVIDERS = os.environ.get("SCALE_PROVIDERS", "hdfs,rocksdb").split(",")
+WORKLOADS = os.environ.get(
+    "SCALE_WORKLOADS",
+    "stream_agg,stream_shingle_agg,stream_join,stream_join_salted",
+).split(",")
 
 
 def run(cpus: int, tok: str, lab: str, provider: str) -> dict:
@@ -104,7 +108,7 @@ def main() -> None:
                 f"| workload | local[{LOW}] rate (rows/s) | local[{HIGH}] rate | rate ratio | efficiency | wall {LOW}c | wall {HIGH}c |",
                 "|---|---|---|---|---|---|---|",
             ]
-            for w in ("stream_agg", "stream_shingle_agg", "stream_join", "stream_join_salted"):
+            for w in WORKLOADS:
                 r_lo, r_hi = lo[f"{w}_rows_per_s"], hi[f"{w}_rows_per_s"]
                 sp = r_hi / r_lo
                 eff = sp / ratio

@@ -17,6 +17,8 @@ Provider is a CLI arg; scaling evidence reports both, headline = hdfs
 state sizes.
 
 Usage: scaling_one.py <cpus> <tok_dir> <lab_dir> <provider>
+Env: SCALE_WORKLOADS — csv subset of
+  stream_agg,stream_shingle_agg,stream_join,stream_join_salted
 """
 
 from __future__ import annotations
@@ -34,6 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CPUS = int(sys.argv[1])
 TOK_DIR, LAB_DIR = sys.argv[2], sys.argv[3]
 PROVIDER = sys.argv[4] if len(sys.argv) > 4 else "hdfs"
+WORKLOADS = set(
+    os.environ.get(
+        "SCALE_WORKLOADS",
+        "stream_agg,stream_shingle_agg,stream_join,stream_join_salted",
+    ).split(",")
+)
 
 
 def sustained(progress: list[dict]) -> float:
@@ -77,101 +85,76 @@ def main() -> None:
     noop = lambda df, eid: df.write.format("noop").mode("overwrite").save()  # noqa: E731
     work = tempfile.mkdtemp(prefix=f"scale_{CPUS}_")
     out: dict = {"cpus": CPUS, "provider": PROVIDER}
-    try:
-        stream = (
+
+    def tok_stream():
+        return (
             spark.readStream.schema(TOKENS_STREAM_SCHEMA)
             .option("maxFilesPerTrigger", 1)
             .parquet(TOK_DIR)
         )
+
+    def run_query(df, mode, tag):
         t0 = time.time()
         q = (
-            tumbling_token_frequency(stream, window="60 seconds")
-            .writeStream.foreachBatch(noop)
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/ckpt_agg")
+            df.writeStream.foreachBatch(noop)
+            .outputMode(mode)
+            .option("checkpointLocation", f"{work}/ckpt_{tag}")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(1800)
-        out["stream_agg_wall_sec"] = round(time.time() - t0, 2)
-        out["stream_agg_rows_per_s"] = sustained(
+        out[f"{tag}_wall_sec"] = round(time.time() - t0, 2)
+        out[f"{tag}_rows_per_s"] = sustained(
             [json.loads(p.json) for p in q.recentProgress]
         )
 
-        # compute-dense variant: windowed aggregation over md5-hashed
-        # 3-gram shingles (the north star's "count-min / feature-hashing"
-        # statistic) — per-row CPU dominates scan/shuffle, isolating
-        # compute scaling from the memory-bandwidth ceiling a single box
-        # imposes on scan-bound aggregation.
-        stream2 = (
-            spark.readStream.schema(TOKENS_STREAM_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(TOK_DIR)
-        )
-        sh = stream2.select(
-            "event_time",
-            F.explode(word_shingles(F.col("tokens").cast("array<string>"), 3)).alias("s"),
-            F.col("diff"),
-        ).select(
-            "event_time",
-            (md5_hash60(F.col("s")) % F.lit(1 << 20)).alias("bucket"),
-            "diff",
-        )
-        agg2 = (
-            sh.withWatermark("event_time", "30 seconds")
-            .groupBy(F.window("event_time", "60 seconds").alias("w"), "bucket")
-            .agg(F.sum("diff").alias("tf"))
-        )
-        t0 = time.time()
-        q = (
-            agg2.writeStream.foreachBatch(noop)
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/ckpt_shingle")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(1800)
-        out["stream_shingle_agg_wall_sec"] = round(time.time() - t0, 2)
-        out["stream_shingle_agg_rows_per_s"] = sustained(
-            [json.loads(p.json) for p in q.recentProgress]
-        )
+    try:
+        if "stream_agg" in WORKLOADS:
+            run_query(
+                tumbling_token_frequency(tok_stream(), window="60 seconds"),
+                "update",
+                "stream_agg",
+            )
+
+        if "stream_shingle_agg" in WORKLOADS:
+            # compute-dense variant: windowed aggregation over md5-hashed
+            # 3-gram shingles (the north star's "count-min / feature-
+            # hashing" statistic) — per-row CPU dominates scan/shuffle,
+            # isolating compute scaling from the memory-bandwidth ceiling
+            # a single box imposes on scan-bound aggregation.
+            sh = tok_stream().select(
+                "event_time",
+                F.explode(
+                    word_shingles(F.col("tokens").cast("array<string>"), 3)
+                ).alias("s"),
+                F.col("diff"),
+            ).select(
+                "event_time",
+                (md5_hash60(F.col("s")) % F.lit(1 << 20)).alias("bucket"),
+                "diff",
+            )
+            agg2 = (
+                sh.withWatermark("event_time", "30 seconds")
+                .groupBy(F.window("event_time", "60 seconds").alias("w"), "bucket")
+                .agg(F.sum("diff").alias("tf"))
+            )
+            run_query(agg2, "update", "stream_shingle_agg")
 
         def run_join(join_fn, tag):
-            tok_s = (
-                spark.readStream.schema(TOKENS_STREAM_SCHEMA)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(TOK_DIR)
-            )
             lab_s = (
                 spark.readStream.schema(LABELS_SCHEMA)
                 .option("maxFilesPerTrigger", 1)
                 .parquet(LAB_DIR)
             )
-            t0 = time.time()
-            q = (
-                join_fn(tok_s, lab_s)
-                .writeStream.foreachBatch(noop)
-                .outputMode("append")
-                .option("checkpointLocation", f"{work}/ckpt_{tag}")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(1800)
-            out[f"{tag}_wall_sec"] = round(time.time() - t0, 2)
-            progress = [json.loads(p.json) for p in q.recentProgress]
-            rates = [
-                p["sources"][0]["processedRowsPerSecond"]
-                for p in progress
-                if p["numInputRows"] > 0
-            ]
-            rates = rates[1:] if len(rates) > 1 else rates
-            out[f"{tag}_rows_per_s"] = round(statistics.median(rates), 1)
+            run_query(join_fn(tok_stream(), lab_s), "append", tag)
 
-        run_join(label_join, "stream_join")
-        run_join(
-            lambda t, l: salted_label_join(t, l, HOT_KEYS, n_salts=8),
-            "stream_join_salted",
-        )
+        if "stream_join" in WORKLOADS:
+            run_join(label_join, "stream_join")
+        if "stream_join_salted" in WORKLOADS:
+            run_join(
+                lambda t, l: salted_label_join(t, l, HOT_KEYS, n_salts=8),
+                "stream_join_salted",
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
