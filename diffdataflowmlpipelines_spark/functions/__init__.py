@@ -18,6 +18,7 @@ from diffdataflowmlpipelines_spark.functions.multimodal import (
 )
 from diffdataflowmlpipelines_spark.functions.similarity import (
     cosine_topk,
+    ivf_topk,
     lsh_topk,
 )
 from diffdataflowmlpipelines_spark.functions.sketches import (
@@ -54,6 +55,7 @@ __all__ = [
     "exact_dedup",
     "extract_media_features",
     "frame_sample_plan",
+    "ivf_topk",
     "jaccard_pairs",
     "lsh_band_buckets",
     "lsh_topk",

@@ -124,16 +124,22 @@ def minhash_signatures_rowwise(
     hashes = F.transform(
         sh, lambda s: md5_hash60(s) % F.lit(MERSENNE_P)
     )
+    # hoist the md5 array into its own projection: each of the n_hashes
+    # mins references it, and CollapseProject does not inline non-cheap
+    # exprs with multiple references — without this the md5s are inlined
+    # into every min and computed n_hashes times per row (measured 4x
+    # slower than the grouped form; hoisted, rowwise wins)
+    with_h = df.select(key, hashes.alias("__hs"))
     mins = [
         F.array_min(
             F.transform(
-                hashes,
+                F.col("__hs"),
                 lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P),
             )
         )
         for (a, b) in params
     ]
-    return df.select(key, F.array(*mins).alias("sig"))
+    return with_h.select(key, F.array(*mins).alias("sig"))
 
 
 def lsh_band_buckets(

@@ -86,6 +86,97 @@ def sign_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+    round_to: int = 9,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into centroid
+    cells, probe only the query's ``nprobe`` nearest cells, exact-rank
+    inside them — the other standard scale path next to LSH.
+
+    ``centroids`` defaults to the ``n_centroids`` lowest-key corpus
+    vectors (seeded random-sample init, deterministic and therefore
+    oracle-replicable); production would refine them with
+    ``pyspark.ml.clustering.KMeans`` — the assignment/probe/re-rank
+    dataflow below is unchanged by better centroids.
+
+    Scale shape: assignment is one broadcast O(N x C) projection + a
+    per-row argmax (no shuffle); query probing touches nprobe/C of the
+    corpus; the only shuffle is the final per-query top-k window over
+    candidates. Output: (query_id, neighbor_id, cosine, rank).
+    """
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(F.col(key)).limit(n_centroids)
+        )
+    cent = centroids.select(
+        F.col(key).alias("__cid"),
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cnorm"),
+    )
+
+    def assign(df: DataFrame, id_alias: str, keep_vec: str, top: int) -> DataFrame:
+        """top nearest centroids per row (cosine, ties by centroid id)."""
+        scored = (
+            df.select(
+                F.col(key).alias(id_alias),
+                F.col(vec_col).alias(keep_vec),
+                _norm(F.col(vec_col)).alias(f"{keep_vec}_n"),
+            )
+            .join(F.broadcast(cent))
+            .withColumn(
+                "__csim",
+                F.round(
+                    _dot(F.col(keep_vec), F.col("__cvec"))
+                    / (F.col(f"{keep_vec}_n") * F.col("__cnorm")),
+                    round_to,
+                ),
+            )
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("__csim").desc(), F.col("__cid").asc()
+        )
+        return (
+            scored.withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= top)
+            .select(id_alias, keep_vec, f"{keep_vec}_n", "__cid")
+        )
+
+    assigned = assign(corpus, "neighbor_id", "__cv", 1)
+    probed = assign(queries, "query_id", "__qv", nprobe)
+
+    scored = (
+        F.broadcast(probed)
+        .join(assigned, "__cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qv_n") * F.col("__cv_n")),
+                round_to,
+            ),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

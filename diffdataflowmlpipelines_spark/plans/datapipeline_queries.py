@@ -280,6 +280,67 @@ def _lsh_sql(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
     """
 
 
+def _ivf_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    """Mirror of ivf_topk with the same deterministic centroid init
+    (lowest-key vectors) and the same rounding/tie-break discipline."""
+    dot = (
+        "ROUND(list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i])) / ({an} * {bn}), 9)"
+    )
+    c_asg = dot.format(a="c.v", b="ct.cv", an="c.nn", bn="ct.cn")
+    c_probe = dot.format(a="q.v", b="ct.cv", an="q.nn", bn="ct.cn")
+    c_cand = dot.format(a="p.qv", b="a.cv2", an="p.qn", bn="a.cn2")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+          FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
+             WHERE vec_id < {n_centroids}),
+    asg AS (
+      SELECT neighbor_id, cv2, cn2, cid FROM (
+        SELECT c.vec_id AS neighbor_id, c.v AS cv2, c.nn AS cn2, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {c_asg} DESC, ct.cid) AS r
+        FROM n c CROSS JOIN cent ct
+      ) WHERE r = 1
+    ),
+    probe AS (
+      SELECT query_id, qv, qn, cid FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.nn AS qn, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {c_probe} DESC, ct.cid) AS r
+        FROM n q CROSS JOIN cent ct WHERE q.vec_id < 16
+      ) WHERE r <= {nprobe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id, {c_cand} AS cosine
+      FROM probe p JOIN asg a USING (cid)
+      WHERE p.query_id <> a.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("s3_ivf_ann_topk", _ivf_sql())
+def s3_ivf_ann_topk(spark, sf_dir):
+    from diffdataflowmlpipelines_spark.functions.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 16)
+    out = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=8, nprobe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @q("s2_lsh_ann_topk", _lsh_sql())
 def s2_lsh_ann_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").select(

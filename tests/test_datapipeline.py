@@ -92,6 +92,33 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"ANN recall {recall} too low on clustered corpus"
 
 
+def test_ivf_ann_recall_vs_brute_force(spark):
+    # same clustered corpus as the LSH test; centroids = seeded sample
+    # (lowest-key rows), nprobe=3 of 16 cells
+    from diffdataflowmlpipelines_spark.functions.similarity import ivf_topk
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((50, 64))
+    vecs = np.repeat(centers, 8, axis=0) + 0.12 * rng.standard_normal((400, 64))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 12)
+    exact = cosine_topk(df, queries, "vec_id", "embedding", k=5)
+    # seeded-sample centroids must SPREAD over the data: one member per
+    # true cluster (ids 0, 8, 16, ... are the first member of each);
+    # the default lowest-key init would draw all 16 from 2 clusters
+    cents = df.filter((F.col("vec_id") % 8 == 0) & (F.col("vec_id") < 128))
+    approx = ivf_topk(
+        df, queries, "vec_id", "embedding", k=5, nprobe=3, centroids=cents
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"IVF recall {recall} too low on clustered corpus"
+
+
 def test_media_feature_plumbing(spark):
     media = synthetic_media_df(spark, 60, seed=3)
     feats = extract_media_features(media)
