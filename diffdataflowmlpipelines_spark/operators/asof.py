@@ -1,0 +1,91 @@
+"""As-of join — named in the build brief's custom-operator list; the
+reference has only incremental hash equi-joins (SURVEY.md §2.3 "no ...
+as-of"), and Spark has no native ASOF JOIN either.
+
+Scale-first construction (the "union trick"): instead of a range join
+(whose cost is the product of per-key row counts), union both sides,
+shuffle ONCE on the join keys, sort within each partition by event time,
+and carry the most recent right-side values forward with
+``last(..., ignorenulls=True)`` over a running window. Cost is one
+shuffle + one in-partition sort — linear in rows per key, immune to the
+quadratic blowup a BETWEEN join suffers on hot keys.
+
+Tie semantics: a right row AT the left row's timestamp matches
+(inclusive, ``l.t >= r.t``) — right rows sort before left rows at equal
+timestamps. This matches DuckDB's ASOF JOIN, which the registry oracle
+uses as the cross-engine check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    *,
+    how: str = "inner",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_time`` <= ``left_time`` within the same ``keys`` group.
+
+    ``value_cols`` are the right-side columns to carry (they must not
+    collide with left column names). The matched right timestamp is
+    emitted as ``__asof_time``. ``how='inner'`` drops left rows with no
+    prior right row; ``'left'`` keeps them with nulls.
+    """
+    lcols = [c for c in left.columns]
+    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
+    l = (
+        left.withColumn("__t", F.col(left_time))
+        .withColumn("__side", F.lit(1))
+    )
+    for c in value_cols:
+        l = l.withColumn(c, F.lit(None).cast(rtypes[c]))
+    l = l.withColumn("__asof_src_time", F.lit(None).cast("timestamp"))
+
+    r = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+        F.col(right_time).alias("__asof_src_time"),
+    )
+    for c in lcols:
+        if c not in keys:
+            r = r.withColumn(c, F.lit(None).cast(ltypes[c]))
+
+    all_cols = [*keys, "__t", "__side", "__asof_src_time", *value_cols] + [
+        c for c in lcols if c not in keys
+    ]
+    u = l.select(*all_cols).unionByName(r.select(*all_cols))
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols
+    ]
+    asof_t = F.last("__asof_src_time", ignorenulls=True).over(w).alias(
+        "__asof_time"
+    )
+    out = (
+        u.select(
+            *[c for c in lcols], "__side", *carried, asof_t
+        )
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )
+    if how == "inner":
+        out = out.filter(F.col("__asof_time").isNotNull())
+    elif how != "left":  # pragma: no cover
+        raise ValueError(how)
+    return out

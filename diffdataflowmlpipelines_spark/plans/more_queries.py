@@ -309,6 +309,73 @@ def a1_rollup(spark, sf_dir):
     )
 
 
+# --- j3: as-of join (DuckDB ASOF JOIN is the oracle) ---------------------------
+
+@q(
+    "j3_asof_join",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.purchase_id, c.click_id, c.ts AS click_ts
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j3_asof_join(spark, sf_dir):
+    # most recent prior click per purchase — true as-of semantics (j1 is
+    # the bounded-interval variant). Union-trick construction: one
+    # shuffle on user_id, no range join. (operators/asof.py)
+    from diffdataflowmlpipelines_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(p, c, ["user_id"], "ts", "ts", ["click_id"], how="inner")
+    return out.select(
+        "purchase_id", "click_id", F.col("__asof_time").alias("click_ts")
+    )
+
+
+# --- a2: time-hierarchy rollup (hypertable-style day/hour granularities) -------
+
+@q(
+    "a2_time_rollup",
+    """
+    SELECT COALESCE(CAST(d AS VARCHAR), '(all)') AS day,
+           COALESCE(CAST(h AS VARCHAR), '(all)') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS total
+    FROM (SELECT time_bucket(INTERVAL '1 day', ts) AS d,
+                 time_bucket(INTERVAL '1 hour', ts) AS h, value
+          FROM events)
+    GROUP BY ROLLUP (d, h)
+    """,
+)
+def a2_time_rollup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+    )
+    out = ev.rollup("d", "h").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+    ts_str = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    return out.select(
+        F.coalesce(ts_str(F.col("d")), F.lit("(all)")).alias("day"),
+        F.coalesce(ts_str(F.col("h")), F.lit("(all)")).alias("hour"),
+        "n",
+        "total",
+    )
+
+
 # --- j2: interval join chained into a windowed aggregation --------------------
 # batch analogue of the north-star join->window composition on testdata.
 
