@@ -29,6 +29,10 @@ AUDITED = [
     "d2_minhash_signatures",
     "d3_jaccard_pairs",
     "s1_cosine_topk",
+    "s3_ivf_ann_topk",
+    "j3_asof_join",
+    "cm1_count_min_sketch",
+    "c5_kbins_quantile",
 ]
 
 # dictionary-bearing plans must not rank the vocabulary in one task
