@@ -1,5 +1,6 @@
 from diffdataflowmlpipelines_spark.functions.dedup import (
     dup_clusters,
+    dup_clusters_star,
     embedding_near_dups,
     exact_dedup,
     jaccard_pairs,
@@ -51,6 +52,7 @@ __all__ = [
     "count_min_estimate",
     "count_min_sketch",
     "dup_clusters",
+    "dup_clusters_star",
     "embedding_near_dups",
     "exact_dedup",
     "extract_media_features",

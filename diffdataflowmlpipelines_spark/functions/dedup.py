@@ -344,6 +344,100 @@ def embedding_near_dups(
     )
 
 
+def dup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the 100 TB upgrade over min-label propagation: converges in
+    O(log n) rounds instead of O(diameter), so a long dup-chain costs
+    ~log rounds of shuffles rather than chain-length rounds.
+
+    large-star: every node points its LARGER neighbors at the minimum
+    of its neighborhood; small-star: every node folds its SMALLER
+    neighbors onto that minimum. Both steps are one groupBy(min) + one
+    window per round, all JVM-side. Returns (doc, cluster_rep) with
+    cluster_rep = component minimum — identical output to
+    :func:`dup_clusters` (parity-tested on random graphs).
+    """
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("n")))
+        .dropDuplicates()
+    )
+    edges = (
+        pairs.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
+            e.select(F.col("v").alias("s"), F.col("u").alias("d"))
+        )
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = _sym(e)
+        w = Window.partitionBy("s")
+        m = F.least(F.min("d").over(w), F.col("s"))
+        out = sym.withColumn("m", m).filter(F.col("d") > F.col("s")).select(
+            F.col("d").alias("s"), F.col("m").alias("d")
+        )
+        return _canon(out)
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient towards the larger endpoint; fold smaller neighbors +
+        # self onto the neighborhood minimum
+        ori = e.select(F.col("v").alias("s"), F.col("u").alias("d"))
+        w = Window.partitionBy("s")
+        m = F.least(F.min("d").over(w), F.col("s"))
+        with_m = ori.withColumn("m", m)
+        out = with_m.select(F.col("d").alias("s"), F.col("m").alias("d")).unionByName(
+            with_m.select(F.col("s"), F.col("m").alias("d")).dropDuplicates()
+        )
+        return _canon(out)
+
+    def _checksum(e: DataFrame):
+        # per-edge hash bounded to 2^31 so the ANSI-mode sum cannot
+        # overflow int64 below ~2^32 edges
+        row = e.agg(
+            F.count("*").alias("c"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 31))).alias("h"),
+        ).first()
+        return (row["c"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # at convergence every node is directly attached to its component
+    # minimum: label = min(self, neighbors)
+    sym = _sym(edges)
+    labels = sym.groupBy(F.col("s").alias("doc")).agg(
+        F.least(F.min("d"), F.first("s")).alias("cluster_rep")
+    )
+    return (
+        nodes.join(labels, nodes["n"] == labels["doc"], "left")
+        .select(
+            F.col("n").alias("doc"),
+            F.coalesce(F.col("cluster_rep"), F.col("n")).alias("cluster_rep"),
+        )
+    )
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     """Connected components over near-dup pairs -> (doc, cluster_rep)
     where cluster_rep is the minimum doc id reachable through dup edges

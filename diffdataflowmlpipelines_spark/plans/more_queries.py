@@ -215,14 +215,16 @@ def _d6_sql() -> str:
 @q("d6_dup_clusters", _d6_sql())
 def d6_dup_clusters(spark, sf_dir):
     # near-dup clusters over the LSH-pruned pair set (same scale path as
-    # d3; the recursive-CTE oracle replicates the banding literally)
-    from diffdataflowmlpipelines_spark.functions.dedup import dup_clusters
+    # d3; the recursive-CTE oracle replicates the banding literally).
+    # large-star/small-star CC: O(log n) rounds vs min-label
+    # propagation's O(diameter) — the 100 TB path.
+    from diffdataflowmlpipelines_spark.functions.dedup import dup_clusters_star
     from diffdataflowmlpipelines_spark.plans.datapipeline_queries import (
         _lsh_jaccard_pairs,
     )
 
     pairs = _lsh_jaccard_pairs(spark, sf_dir, threshold=0.1)
-    return dup_clusters(pairs.select("a", "b"))
+    return dup_clusters_star(pairs.select("a", "b"))
 
 
 def _tokenized_docs_mq(spark, sf_dir):

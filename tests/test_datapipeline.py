@@ -146,3 +146,30 @@ def test_dup_clusters_connected_components(spark):
     )
     got = {r["doc"]: r["cluster_rep"] for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_star_matches_label_propagation(spark):
+    """large-star/small-star (the O(log n)-round 100 TB path) must
+    produce identical components to min-label propagation on adversarial
+    shapes: a long chain (worst case for propagation), a clique, random
+    sparse edges, and singleton pairs."""
+    from diffdataflowmlpipelines_spark.functions.dedup import (
+        dup_clusters,
+        dup_clusters_star,
+    )
+
+    rng = np.random.default_rng(17)
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 140)]          # 41-node chain
+    edges += [(200 + i, 200 + j) for i in range(6) for j in range(i)]  # K6
+    base = rng.integers(300, 380, size=(40, 2)).tolist()     # random sparse
+    edges += [(int(a), int(b)) for a, b in base if a != b]
+    edges += [(500, 501), (600, 601)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+
+    prop = {r["doc"]: r["cluster_rep"] for r in dup_clusters(pairs, max_iter=60).collect()}
+    star = {r["doc"]: r["cluster_rep"] for r in dup_clusters_star(pairs).collect()}
+    assert star == prop
+    # chain collapses to its minimum — the shape where propagation needs
+    # O(length) rounds and star needs O(log)
+    assert star[139] == 100 and star[140] == 100
