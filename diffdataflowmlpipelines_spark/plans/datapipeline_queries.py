@@ -92,11 +92,9 @@ def d2_minhash_signatures(spark, sf_dir):
     return sigs.select("doc_id", *cols)
 
 
-def _lsh_jaccard_cte(n_hashes: int = 8, bands: int = 4) -> str:
-    """Shared CTE block replicating the Spark LSH-pruned Jaccard scale
-    path: minhash signatures (same literal (a,b) params), band buckets,
-    candidate pairs from bucket equality, exact intersection restricted
-    to candidate pairs."""
+def _lsh_bands_cte(n_hashes: int = 8, bands: int = 4) -> str:
+    """CTE block up to band buckets: minhash signatures (same literal
+    (a,b) params as the Spark side) banded into (band, bucket) rows."""
     params = _minhash_params(n_hashes)
     r = n_hashes // bands
     mins = ",\n           ".join(
@@ -126,7 +124,14 @@ def _lsh_jaccard_cte(n_hashes: int = 8, bands: int = 4) -> str:
     sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
     bands AS (
       {band_sel}
-    ),
+    )"""
+
+
+def _lsh_jaccard_cte(n_hashes: int = 8, bands: int = 4) -> str:
+    """Shared CTE block replicating the Spark LSH-pruned Jaccard scale
+    path: band buckets, candidate pairs from bucket equality, exact
+    intersection restricted to candidate pairs."""
+    return f"""{_lsh_bands_cte(n_hashes, bands)},
     cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
       FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
@@ -423,6 +428,48 @@ def t2_language_id(spark, sf_dir):
 def t3_fingerprint(spark, sf_dir):
     docs = _tokenized_docs(spark, sf_dir)
     return docs.select("doc_id", word_fingerprint("toks").alias("fp"))
+
+
+# --- d7: streaming near-dup candidates, batch twin -----------------------------
+# the exact code path streaming/dedup.streaming_near_dup_candidates runs
+# on the arriving stream (streaming=False here); event_time is derived
+# deterministically from doc_id on BOTH engines so the +-30s tolerance
+# window is oracle-checkable.
+
+@q(
+    "d7_near_dup_candidates",
+    f"""
+    WITH {_lsh_bands_cte()},
+    t AS (SELECT doc_id,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + to_seconds(CAST(doc_id AS BIGINT)) AS event_time
+          FROM documents)
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+           ta.event_time AS a_time, tb.event_time AS b_time
+    FROM bands l
+    JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+    JOIN t ta ON ta.doc_id = l.doc_id
+    JOIN t tb ON tb.doc_id = r.doc_id
+    WHERE l.doc_id < r.doc_id
+      AND tb.event_time BETWEEN ta.event_time - INTERVAL 30 SECOND
+                            AND ta.event_time + INTERVAL 30 SECOND
+    """,
+)
+def d7_near_dup_candidates(spark, sf_dir):
+    from diffdataflowmlpipelines_spark.streaming.dedup import (
+        streaming_near_dup_candidates,
+    )
+
+    docs = _tokenized_docs(spark, sf_dir).withColumn(
+        "event_time",
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+        + F.make_interval(secs=F.col("doc_id").cast("double")),
+    )
+    out = streaming_near_dup_candidates(
+        docs, tokens_col="toks", n_hashes=8, bands=4, tolerance_s=30,
+        streaming=False,
+    )
+    return out.dropDuplicates()
 
 
 # --- count-min sketch (north-star "count-min feature aggregation") -----------

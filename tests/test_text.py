@@ -85,6 +85,19 @@ def test_tfidf_transformer_reference_inverted_presence(spark, docs):
     assert got[0][4] == 0.0
 
 
+def test_tfidf_pairs_round_to_is_decimal_places(spark, docs):
+    """round_to follows the decimal-places convention (ADVICE r1: the
+    sign was inverted, so round_to=6 rounded idf to the nearest 10^6 and
+    zeroed every weight)."""
+    from diffdataflowmlpipelines_spark.functions.vectorizers import tfidf_pairs
+
+    out = tfidf_pairs(docs, "doc_id", "toks", round_to=6)
+    got = {(r["doc_id"], r["token"]): r["weight"] for r in out.collect()}
+    # token 'a': tf=2 in doc 0, df=1, N=3 -> 2 * round(ln 3, 6dp)
+    assert got[(0, "a")] == pytest.approx(2 * round(math.log(3), 6), abs=1e-12)
+    assert all(w != 0.0 for w in got.values())
+
+
 def test_hash_vectorizer_semantics(spark, docs):
     hv = HashVectorizer(n_features=8)
     got = {
