@@ -378,6 +378,61 @@ def a2_time_rollup(spark, sf_dir):
     )
 
 
+# --- w6: trending tokens — windowed tf chained into per-window top-k ----------
+
+@q(
+    "w6_trending_tokens",
+    f"""
+    WITH tf AS (
+      SELECT time_bucket(INTERVAL '1 day', e.ts) AS window_start,
+             t.token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM events e
+      JOIN ({_DOC_TOKENS_SQL}) t ON t.doc_id = e.event_id % 500
+      GROUP BY window_start, t.token
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY tf DESC, token) AS rn
+      FROM tf
+    )
+    SELECT window_start, token, tf, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def w6_trending_tokens(spark, sf_dir):
+    """Per-window top-3 tokens: the windowed token-frequency statistic
+    (the engine's M1 spine) chained into a ranking — corpus-monitoring
+    shape. Events are linked to documents via a deterministic key so
+    both engines see identical token-to-time attribution."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("window_start"),
+        (F.col("event_id") % 500).alias("doc_id"),
+    )
+    toks = _doc_tokens_mq(spark, sf_dir)
+    tf = (
+        ev.join(toks, "doc_id")
+        .groupBy("window_start", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("tf").desc(), F.col("token")
+    )
+    return (
+        tf.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("window_start", "token", "tf", "rn")
+    )
+
+
+def _doc_tokens_mq(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    )
+
+
 # --- j2: interval join chained into a windowed aggregation --------------------
 # batch analogue of the north-star join->window composition on testdata.
 
