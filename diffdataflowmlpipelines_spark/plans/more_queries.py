@@ -378,6 +378,28 @@ def a2_time_rollup(spark, sf_dir):
     )
 
 
+# --- w7: exact distinct count per window (grouped distinct agg) ----------------
+# the streaming analogue (HLL++, bounded state) is
+# streaming/windows.windowed_distinct_count, bound-tested in pytest;
+# the registry pins the EXACT batch semantics cross-engine.
+
+@q(
+    "w7_distinct_users_per_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def w7_distinct_users_per_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_users")
+    )
+
+
 # --- w6: trending tokens — windowed tf chained into per-window top-k ----------
 
 @q(

@@ -26,6 +26,7 @@ from diffdataflowmlpipelines_spark.streaming.windows import (
     session_token_activity,
     sliding_token_frequency,
     tumbling_token_frequency,
+    windowed_distinct_count,
 )
 
 __all__ = [
@@ -45,6 +46,7 @@ __all__ = [
     "streaming_signatures",
     "tfidf_from_counts",
     "tumbling_token_frequency",
+    "windowed_distinct_count",
     "windowed_doc_token_counts",
     "write_epoch_files",
 ]

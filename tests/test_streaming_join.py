@@ -89,6 +89,29 @@ def test_salted_join_parity_with_plain(spark, tmp_path):
     pd.testing.assert_frame_equal(_canon(plain), _canon(salted), check_dtype=False)
 
 
+def test_salted_join_with_autodetected_hot_keys(spark, tmp_path):
+    """End-to-end auto-skew path: hot keys derived from batch key
+    frequencies (detect_hot_keys over the input prefix) feed
+    salted_label_join; output must equal the plain join's multiset."""
+    from diffdataflowmlpipelines_spark.operators.skew import detect_hot_keys
+    from diffdataflowmlpipelines_spark.sources.fixtures import HOT_KEYS
+    from diffdataflowmlpipelines_spark.streaming.join import salted_label_join
+
+    tok_pdf = gen_tokens_pdf(800, seed=46, rows_per_second=50, hot_frac=0.2)
+    lab_pdf = gen_labels_pdf(tok_pdf, seed=47)
+    tokens = spark.createDataFrame(tok_pdf, TOKENS_STREAM_SCHEMA)
+    labels = spark.createDataFrame(lab_pdf, LABELS_SCHEMA)
+
+    hot = detect_hot_keys(tokens, "doc_id", min_share=0.005, skew_factor=4.0)
+    assert hot and set(hot) <= set(HOT_KEYS)
+
+    plain = label_join(tokens, labels, streaming=False).toPandas()
+    salted = salted_label_join(
+        tokens, labels, hot, n_salts=4, streaming=False
+    ).toPandas()
+    pd.testing.assert_frame_equal(_canon(plain), _canon(salted), check_dtype=False)
+
+
 def test_salted_join_streaming(spark, tmp_path):
     """Streaming salted join: same epoch-fed protocol as the plain test,
     compared against the batch salted output."""

@@ -139,6 +139,51 @@ def test_session_window_parity(spark, tmp_path, fixture_pdf):
     assert_frame_match(got, want)
 
 
+def test_windowed_distinct_count_hll(spark, tmp_path, fixture_pdf):
+    """HLL windowed distinct: streaming == batch bit-identically
+    (register merge is order-independent), and within the rsd bound of
+    the exact distinct count."""
+    from diffdataflowmlpipelines_spark.streaming.windows import (
+        windowed_distinct_count,
+    )
+
+    ex = lambda s: s.select(  # noqa: E731
+        "event_time", F.explode("tokens").alias("token")
+    )
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["window_start"])
+    run_stream(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "ckpt"),
+        sink,
+        lambda s: windowed_distinct_count(ex(s), "token", window="60 seconds"),
+        fixture_pdf,
+    )
+    got = {
+        r["window_start"]: r["n_distinct"]
+        for r in sink.read_current(spark).collect()
+    }
+    batch = spark.createDataFrame(fixture_pdf, TOKENS_STREAM_SCHEMA)
+    approx = {
+        r["window_start"]: r["n_distinct"]
+        for r in windowed_distinct_count(
+            ex(batch), "token", window="60 seconds", streaming=False
+        ).collect()
+    }
+    exact = {
+        r["w"]: r["n"]
+        for r in ex(batch)
+        .groupBy(F.window("event_time", "60 seconds").alias("win"))
+        .agg(F.countDistinct("token").alias("n"))
+        .select(F.col("win.start").alias("w"), "n")
+        .collect()
+    }
+    assert got == approx  # streaming == batch HLL, bit-identical
+    assert set(got) == set(exact)
+    for w, n in exact.items():
+        assert abs(got[w] - n) / n <= 0.15, (w, got[w], n)
+
+
 def test_checkpoint_resume(spark, tmp_path, fixture_pdf):
     """Kill-and-restart: first half of the epochs in run 1, the rest in
     run 2 from the same checkpoint; final state equals batch recompute
