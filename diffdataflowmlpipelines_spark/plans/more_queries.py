@@ -455,6 +455,66 @@ def _doc_tokens_mq(spark, sf_dir):
     )
 
 
+# --- a3: ordered-statistic aggregate (exact grouped median/p90) ----------------
+# SURVEY §2.3: the reference has "no sort-based agg"; a complete engine
+# needs ordered statistics. Exact percentile here (linear interpolation,
+# matching DuckDB quantile_cont); at 100 TB swap percentile_approx.
+
+@q(
+    "a3_grouped_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_grouped_percentiles(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+# --- p15: pivot (event_type -> columns) -----------------------------------------
+
+@q(
+    "p15_pivot_event_types",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           ROUND(COALESCE(SUM(value) FILTER (event_type = 'purchase'), 0), 4)
+             AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def p15_pivot_event_types(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count("*") is invalid in Pivot
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("v"),
+        )
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return piv.select(
+        "user_id",
+        z("click_n").alias("n_click"),
+        z("view_n").alias("n_view"),
+        z("purchase_n").alias("n_purchase"),
+        F.round(F.coalesce(F.col("purchase_v"), F.lit(0.0)), 4).alias(
+            "purchase_value"
+        ),
+    )
+
+
 # --- j2: interval join chained into a windowed aggregation --------------------
 # batch analogue of the north-star join->window composition on testdata.
 
