@@ -39,29 +39,39 @@ def asof_join(
     collide with left column names). The matched right timestamp is
     emitted as ``__asof_time``. ``how='inner'`` drops left rows with no
     prior right row; ``'left'`` keeps them with nulls.
+
+    All carried columns come from ONE matched right row: the right side
+    is packed into a single struct and `last(struct, ignorenulls=True)`
+    carries the whole row forward, so a NULL inside a value column of
+    the matched row stays NULL instead of resurrecting a stale non-null
+    value from an older right row (ADVICE r2 — per-column carry
+    diverged from DuckDB ASOF semantics on null-bearing value_cols).
     """
     lcols = [c for c in left.columns]
-    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+
+    payload = F.struct(
+        F.col(right_time).alias("__asof_src_time"),
+        *[F.col(c) for c in value_cols],
+    )
+    payload_type = right.select(payload.alias("p")).schema[0].dataType
+
     l = (
         left.withColumn("__t", F.col(left_time))
         .withColumn("__side", F.lit(1))
+        .withColumn("__asof_payload", F.lit(None).cast(payload_type))
     )
-    for c in value_cols:
-        l = l.withColumn(c, F.lit(None).cast(rtypes[c]))
-    l = l.withColumn("__asof_src_time", F.lit(None).cast("timestamp"))
-
     r = right.select(
         *keys,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in value_cols],
-        F.col(right_time).alias("__asof_src_time"),
+        payload.alias("__asof_payload"),
     )
     for c in lcols:
         if c not in keys:
             r = r.withColumn(c, F.lit(None).cast(ltypes[c]))
 
-    all_cols = [*keys, "__t", "__side", "__asof_src_time", *value_cols] + [
+    all_cols = [*keys, "__t", "__side", "__asof_payload"] + [
         c for c in lcols if c not in keys
     ]
     u = l.select(*all_cols).unionByName(r.select(*all_cols))
@@ -71,15 +81,13 @@ def asof_join(
         .orderBy(F.col("__t"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols
-    ]
-    asof_t = F.last("__asof_src_time", ignorenulls=True).over(w).alias(
-        "__asof_time"
-    )
+    matched = F.last("__asof_payload", ignorenulls=True).over(w)
     out = (
         u.select(
-            *[c for c in lcols], "__side", *carried, asof_t
+            *[c for c in lcols],
+            "__side",
+            *[matched[c].alias(c) for c in value_cols],
+            matched["__asof_src_time"].alias("__asof_time"),
         )
         .filter(F.col("__side") == 1)
         .drop("__side")

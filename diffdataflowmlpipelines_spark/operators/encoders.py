@@ -196,9 +196,20 @@ class KBinsDiscretizer(ColumnEncoder):
                 F.col("__v"),
                 F.array(*[F.lit(f) for f in fracs]),
                 F.col(DIFF),
-            ).alias("q")
+            ).alias("q"),
+            F.min("__v").alias("mn"),
+            F.max("__v").alias("mx"),
         ).first()
-        self.edges_ = [float(x) for x in (row["q"] or [])]
+        # sklearn dedupes equal bin edges (np.unique over the FULL edge
+        # list [min, q_1..q_{k-1}, max], interior = unique[1:-1]):
+        # constant / low-cardinality columns collapse coinciding edges
+        # to one boundary instead of jumping most rows to bin k-1
+        # (ADVICE r2). Continuous columns are unaffected.
+        full = sorted(
+            {float(x) for x in (row["q"] or [])}
+            | {float(row["mn"]), float(row["mx"])}
+        ) if row["mn"] is not None else []
+        self.edges_ = full[1:-1]
         return self
 
     def transform(self, df, col, out):
@@ -281,6 +292,12 @@ def fit_dictionary(
     # rows to the driver — same convention as the scalers' 1-row fit
     # statistics); the persist pins partition ids across the two jobs.
     counts = part.groupBy("__pid").agg(F.count("*").alias("__c")).collect()
+    # Unpersist before returning (ADVICE r2: each fit leaked a cached
+    # frame for the session lifetime). The consumer's recompute of the
+    # same RDD lineage is safe: RangePartitioner's sample seed derives
+    # from the (unchanged) RDD id, so boundaries and pids reproduce
+    # exactly — and __idx is boundary-independent anyway (global rank).
+    part.unpersist()
     if not counts:
         return part.select(col, F.lit(0).cast("long").alias("__idx")).limit(0)
     offsets, acc = {}, 0

@@ -130,9 +130,19 @@ class ExactlyOnceParquetSink:
         )
 
     def read_current(self, spark: SparkSession) -> DataFrame:
-        """Latest value per key across committed epochs (upsert view)."""
+        """Latest value per key across committed epochs (upsert view).
+
+        Ties WITHIN an epoch are broken by net multiplicity descending
+        when the payload carries a ``diff`` column: a value-update epoch
+        (retract old value + insert new) emits BOTH a net-0 tombstone
+        row and a net-positive row for the same key in the same epoch,
+        and the live row must deterministically win over the tombstone.
+        """
         df = self.read_all(spark)
-        w = Window.partitionBy(*self.key_cols).orderBy(F.col("epoch").desc())
+        order = [F.col("epoch").desc()]
+        if "diff" in df.columns:
+            order.append(F.col("diff").desc())
+        w = Window.partitionBy(*self.key_cols).orderBy(*order)
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

@@ -59,3 +59,26 @@ def test_asof_plan_has_no_range_join(spark):
     # union trick: single key-partitioned sort window, no join operator
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_asof_null_value_cols_not_resurrected(spark):
+    """ADVICE r2: when the matched right row has NULL in a value column,
+    that NULL must be preserved — the old per-column carry resurrected a
+    stale non-null from an OLDER right row, and different value_cols
+    could come from different right rows. DuckDB ASOF carries the whole
+    matched row; so do we (struct carry)."""
+    left = spark.createDataFrame(
+        [(1, "u", T(25))], "lid long, k string, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", T(5), 100.0, 1.0),
+            ("u", T(20), None, 2.0),  # the matched row: val is NULL
+        ],
+        "k string, rt timestamp, val double, aux double",
+    )
+    out = asof_join(left, right, ["k"], "lt", "rt", ["val", "aux"])
+    row = out.collect()[0]
+    assert row["__asof_time"] == T(20)
+    assert row["val"] is None        # NOT 100.0 from the older row
+    assert row["aux"] == 2.0         # same matched row for every col

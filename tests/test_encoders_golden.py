@@ -30,6 +30,7 @@ from diffdataflowmlpipelines_spark.operators.encoders import (
     Pipeline,
     PolynomialFeatures,
     StandardScaler,
+    fit_dictionary,
     overprovisioned_len,
 )
 
@@ -103,6 +104,39 @@ def test_kbins_quantile_golden(spark):
     want = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3, 9: 3}
     for i in range(10):
         assert got[i] == pytest.approx(float(want[i]), abs=1e-12), i
+
+
+def test_kbins_quantile_duplicate_edges_dedupe(spark):
+    """ADVICE r2: coinciding quantile edges (constant / low-cardinality
+    columns) must collapse like sklearn's np.unique(edges), not jump
+    most rows to bin k-1."""
+    # constant column: all 7 interior edges coincide -> everything bin 0
+    df = _col_df(spark, [5] * 20)
+    got = rows_map(
+        KBinsDiscretizer(8, strategy="quantile").fit_transform(df, "x", "y")
+    )
+    assert set(got.values()) == {0.0}
+    # two-valued column: one surviving edge -> exactly bins {0, 1}
+    df2 = _col_df(spark, [1] * 10 + [9] * 10)
+    enc = KBinsDiscretizer(8, strategy="quantile").fit(df2, "x")
+    assert len(enc.edges_) < 7  # duplicates collapsed
+    got2 = rows_map(enc.transform(df2, "x", "y"))
+    assert {got2[i] for i in range(10)} == {0.0}
+    assert {got2[i] for i in range(10, 20)} == {1.0}
+
+
+def test_fit_dictionary_no_persist_leak(spark):
+    """ADVICE r2: fit_dictionary persisted the range-partitioned frame
+    and never unpersisted — every encoder fit leaked session-lifetime
+    cache. Fits must leave no cached RDDs behind."""
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = _col_df(spark, list(range(50))).withColumn(
+        "w", F.concat(F.lit("v"), F.col("x").cast("string"))
+    )
+    d = fit_dictionary(df, "w")
+    assert d.count() == 50
+    OrdinalEncoder().fit_transform(df, "w", "code").count()
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == base
 
 
 def test_overprovisioned_len_policy(spark):

@@ -158,3 +158,51 @@ def test_incremental_transform_rounding_suppression(spark, tmp_path):
     }
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+def test_incremental_value_update_same_epoch_cascade(spark, tmp_path):
+    """ADVICE r2: an epoch that UPDATES a key's value (retract old +
+    insert new — the canonical diff-dataflow update) makes the cascade
+    path emit both a net-0 tombstone and a net-1 row for that key in
+    the SAME epoch; read_current must deterministically keep the live
+    row (diff-desc tie-break), never the tombstone."""
+    epochs = [
+        ep(0, [(i, float(i)) for i in range(10)]),
+        # same-epoch value update for key 5: 5.0 -> 99.0
+        ep(1, [(5, 5.0, -1), (5, 99.0, 1)]),
+    ]
+    pipe = run_epochs(spark, tmp_path, epochs, round_to=None)
+    got = {r["row_id"]: r["scaled"] for r in pipe.current_output().collect()}
+    want = batch_oracle(spark, epochs)
+    assert set(got) == set(range(10))  # key 5 survives, exactly once
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k
+
+
+def test_incremental_value_update_same_epoch_no_cascade(spark, tmp_path):
+    """Same-epoch value update on the UNCHANGED-statistic path (rounding
+    suppresses the cascade): the affected-keys branch also emits net-0 +
+    net-1 rows for the updated key at one epoch."""
+    epochs = [
+        ep(0, [(i, 490.0 if i % 2 else 510.0) for i in range(1000)]),
+        # swap row 0's value 510.0 -> 509.9: rounded (mean, var) with
+        # grain 10^-1 is unmoved, so no cascade — 'else' branch
+        ep(1, [(0, 510.0, -1), (0, 509.9, 1)]),
+    ]
+    pipe = run_epochs(spark, tmp_path, epochs, round_to=(-1, -1))
+    assert pipe.full_reencodes == 1  # only init cascaded
+    got = {r["row_id"]: r["scaled"] for r in pipe.current_output().collect()}
+    assert len(got) == 1000
+    full = pd.concat(epochs, ignore_index=True)
+    df = spark.createDataFrame(full, SCHEMA)
+    want = {
+        r["row_id"]: r["y"]
+        for r in StandardScaler(round_to=(-1, -1))
+        .fit_transform(
+            df.select("row_id", "x", "diff"), "x", "y"
+        )
+        .collect()
+    }
+    assert got[0] == pytest.approx(want[0], rel=1e-9)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k

@@ -184,3 +184,24 @@ def test_multicolumn_driver_restart(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-9), k
+
+
+def test_multicolumn_value_update_same_epoch(spark, tmp_path):
+    """ADVICE r2 (multi-column twin): retract-old + insert-new for one
+    key in one epoch; the live row must win over the net-0 tombstone."""
+    rng = np.random.default_rng(17)
+    init = gen_rows(rng, 30)
+    new_row = gen_rows(rng, 1)
+    epochs = [
+        mk_epoch(0, list(range(30)), init),
+        mk_epoch(1, [7, 7], [init[7], new_row[0]], diffs=[-1, 1]),
+    ]
+    pipe = run_epochs(spark, tmp_path, epochs, round_to=None)
+    got = {
+        r["row_id"]: list(r["features"])
+        for r in pipe.current_output().collect()
+    }
+    want = batch_oracle(epochs, None)
+    assert set(got) == set(range(30))
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k
