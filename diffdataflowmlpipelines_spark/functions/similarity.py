@@ -177,6 +177,47 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    key: str,
+    vec_col: str,
+    *,
+    n_centroids: int = 8,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """KMeans-refined IVF centroids (VERDICT r2 item 4: the sample-init
+    default degrades on clustered corpora). Returns a frame shaped like
+    ``corpus`` (key, vec_col) for ``ivf_topk(..., centroids=...)`` — the
+    assignment/probe/re-rank dataflow is unchanged, only cell quality
+    improves.
+
+    Scale: ``pyspark.ml.clustering.KMeans`` is distributed Lloyd's over
+    the executors; only the C x dim center matrix (C small by
+    construction) returns to the driver. Deterministic under a fixed
+    seed, so recall tests are stable.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    key_type = dict(corpus.dtypes)[key]
+    vec_type = dict(corpus.dtypes)[vec_col]
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = corpus.sparkSession.createDataFrame(
+        rows, "__k long, __v array<double>"
+    )
+    return cents.select(
+        F.col("__k").cast(key_type).alias(key),
+        F.col("__v").cast(vec_type).alias(vec_col),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
