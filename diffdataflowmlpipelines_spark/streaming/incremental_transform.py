@@ -32,6 +32,29 @@ from diffdataflowmlpipelines_spark.operators.collection import (
 from diffdataflowmlpipelines_spark.streaming.sink import ExactlyOnceParquetSink
 
 
+def _rows_to_pdf(rows, schema):
+    """Collected Rows -> pandas frame with parquet-stable dtypes.
+    Timestamps are localized to UTC (the session tz is pinned UTC) so
+    pyarrow writes isAdjustedToUTC micros, matching Spark-written
+    epochs."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({f.name: [r[f.name] for r in rows] for f in schema.fields})
+    for f in schema.fields:
+        t = f.dataType.simpleString()
+        if t == "timestamp":
+            pdf[f.name] = pd.to_datetime(pdf[f.name]).dt.tz_localize("UTC")
+        elif t == "bigint":
+            pdf[f.name] = pdf[f.name].astype("int64")
+        elif t == "int":
+            pdf[f.name] = pdf[f.name].astype("int32")
+        elif t == "double":
+            pdf[f.name] = pdf[f.name].astype("float64")
+        elif t == "float":
+            pdf[f.name] = pdf[f.name].astype("float32")
+    return pdf
+
+
 class IncrementalScalerPipeline:
     """StandardScaler fit+transform maintained across epochs.
 
@@ -47,11 +70,16 @@ class IncrementalScalerPipeline:
         key_cols: list[str],
         value_col: str,
         round_to: tuple[int, int] | None = None,
+        small_epoch_rows: int = 64,
     ):
         self.spark = spark
         self.key_cols = list(key_cols)
         self.value_col = value_col
         self.round_to = round_to
+        # epochs at or under this row count take the driver-local fast
+        # path: ONE Spark job (the collect probe) + pyarrow commits,
+        # instead of 3-4 distributed jobs. 0 disables.
+        self.small_epoch_rows = small_epoch_rows
         # 'rows' lineage: row counts from parquet footers, no extra job
         self.input_sink = ExactlyOnceParquetSink(
             f"{workdir}/input", key_cols, lineage="rows"
@@ -136,11 +164,107 @@ class IncrementalScalerPipeline:
             (F.col(self.value_col).cast("double") - F.lit(mean)) / F.lit(var),
         )
 
+    # -- small-epoch fast path --------------------------------------------------
+
+    def _fold_pdf(self, pdf) -> tuple:
+        """Driver-side twin of _fold_batch: fold the tiny batch's signed
+        partial sums without a Spark job."""
+        x = pdf[self.value_col].astype("float64")
+        d = pdf[DIFF].astype("float64")
+        self._last_batch_insert_only = len(pdf) == 0 or int(pdf[DIFF].min()) > 0
+        self._n += int(pdf[DIFF].sum())
+        self._s1 += float((x * d).sum())
+        self._s2 += float((x * x * d).sum())
+        return self._current_meta()
+
+    def _encode_pdf(self, pdf, meta):
+        """Driver-side twin of _encode over a consolidated tiny batch."""
+        mean, var = meta
+        out = pdf.copy()
+        out["scaled"] = (out[self.value_col].astype("float64") - mean) / var
+        return out
+
+    def _process_small_epoch(self, rows, schema, epoch_id: int) -> None:
+        """The reference's per-row-update shape (``src/main.rs:306-374``:
+        single-row epochs at 1.45 ms in-process). A tiny delta needs no
+        distributed jobs: input commit, statistic fold, consolidation,
+        and (when the rounded statistic is unchanged) the output commit
+        all happen driver-side — the exactly-once layout is identical.
+        Only a statistic CHANGE (the DD cascade, O(snapshot) by design)
+        or a retraction-bearing batch (needs key history) goes
+        distributed."""
+        pdf = _rows_to_pdf(rows, schema)
+        if DIFF not in pdf.columns:
+            pdf[DIFF] = 1
+        pdf[DIFF] = pdf[DIFF].astype("int64")
+        self.input_sink.write_batch_local(pdf, epoch_id)
+        self.epochs += 1
+        meta = self._fold_pdf(pdf)
+        insert_only = self._last_batch_insert_only
+        if meta != self.last_meta:
+            out = self._encode(self._consolidated(), meta)
+            self.output_sink.write_batch(out, epoch_id)
+            self.full_reencodes += 1
+        elif insert_only:
+            cols = [c for c in pdf.columns if c != DIFF]
+            net = pdf.groupby(cols, as_index=False, sort=False)[DIFF].sum()
+            net = net[net[DIFF] != 0]
+            self.output_sink.write_batch_local(self._encode_pdf(net, meta), epoch_id)
+        else:
+            batch_keys = self.spark.createDataFrame(
+                pdf[self.key_cols].drop_duplicates()
+            )
+            affected = self._consolidated().join(
+                batch_keys, on=self.key_cols, how="left_semi"
+            )
+            self.output_sink.write_batch(self._encode(affected, meta), epoch_id)
+        self.last_meta = meta
+
+    def _repair_output(self, epoch_id: int) -> None:
+        """Crash-window repair: the input epoch committed but the output
+        didn't (failure between the two commits; on replay the early
+        return would otherwise leave the output epoch missing forever).
+        The restored statistic already includes this epoch; cascade-vs-
+        affected is re-decided by subtracting the epoch's partial sums
+        to recover the PRE-epoch meta."""
+        ep = with_diff(self.spark.read.parquet(self.input_sink.epoch_dir(epoch_id)))
+        x = F.col(self.value_col).cast("double")
+        row = ep.agg(
+            F.sum(F.col(DIFF)).alias("n"),
+            F.sum(x * F.col(DIFF)).alias("s1"),
+            F.sum(x * x * F.col(DIFF)).alias("s2"),
+        ).first()
+        saved = (self._n, self._s1, self._s2)
+        self._n -= int(row["n"] or 0)
+        self._s1 -= float(row["s1"] or 0.0)
+        self._s2 -= float(row["s2"] or 0.0)
+        meta_before = self._current_meta()
+        self._n, self._s1, self._s2 = saved
+        meta = self._current_meta()
+        if meta != meta_before:
+            out = self._encode(self._consolidated(), meta)
+            self.full_reencodes += 1
+        else:  # affected-keys re-encode is correct for any batch shape
+            keys = ep.select(*self.key_cols).dropDuplicates()
+            affected = self._consolidated().join(
+                keys, on=self.key_cols, how="left_semi"
+            )
+            out = self._encode(affected, meta)
+        self.output_sink.write_batch(out, epoch_id)
+        self.last_meta = meta
+
     # -- foreachBatch body ----------------------------------------------------
 
     def process_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.input_sink.is_committed(epoch_id):
-            return  # replay: input and output already committed
+            if not self.output_sink.is_committed(epoch_id):
+                self._repair_output(epoch_id)
+            return  # replay: input (and now output) committed
+        if self.small_epoch_rows:
+            rows = batch_df.limit(self.small_epoch_rows + 1).collect()
+            if len(rows) <= self.small_epoch_rows:
+                self._process_small_epoch(rows, batch_df.schema, epoch_id)
+                return
         batch_df = with_diff(batch_df).persist()
         self.input_sink.write_batch(batch_df, epoch_id)
         self.epochs += 1
@@ -213,11 +337,13 @@ class IncrementalMultiScalerPipeline:
         key_cols: list[str],
         value_cols: list[str],
         round_to: tuple[int, int] | None = None,
+        small_epoch_rows: int = 64,
     ):
         self.spark = spark
         self.key_cols = list(key_cols)
         self.value_cols = list(value_cols)
         self.round_to = round_to
+        self.small_epoch_rows = small_epoch_rows
         self.input_sink = ExactlyOnceParquetSink(
             f"{workdir}/input", key_cols, lineage="rows"
         )
@@ -299,9 +425,93 @@ class IncrementalMultiScalerPipeline:
             F.sum(DIFF).alias(DIFF)
         )
 
+    def _fold_pdf(self, pdf) -> tuple:
+        """Driver-side twin of _fold_batch: all k columns' signed partial
+        sums folded without a Spark job."""
+        d = pdf[DIFF].astype("float64")
+        self._last_batch_insert_only = len(pdf) == 0 or int(pdf[DIFF].min()) > 0
+        self._n += int(pdf[DIFF].sum())
+        for i, c in enumerate(self.value_cols):
+            x = pdf[c].astype("float64")
+            self._s1[i] += float((x * d).sum())
+            self._s2[i] += float((x * x * d).sum())
+        return self._current_meta()
+
+    def _encode_pdf(self, pdf, meta):
+        out = pdf.copy()
+        out["features"] = [
+            [
+                (float(row[c]) - m) / v
+                for c, (m, v) in zip(self.value_cols, meta)
+            ]
+            for _, row in out.iterrows()
+        ]
+        return out
+
+    def _process_small_epoch(self, rows, schema, epoch_id: int) -> None:
+        """Single-row-update fast path — see the single-column twin."""
+        pdf = _rows_to_pdf(rows, schema)
+        if DIFF not in pdf.columns:
+            pdf[DIFF] = 1
+        pdf[DIFF] = pdf[DIFF].astype("int64")
+        self.input_sink.write_batch_local(pdf, epoch_id)
+        self.epochs += 1
+        meta = self._fold_pdf(pdf)
+        insert_only = self._last_batch_insert_only
+        if meta != self.last_meta:
+            out = self._encode(self._consolidated(), meta)
+            self.output_sink.write_batch(out, epoch_id)
+            self.full_reencodes += 1
+        elif insert_only:
+            cols = [c for c in pdf.columns if c != DIFF]
+            net = pdf.groupby(cols, as_index=False, sort=False)[DIFF].sum()
+            net = net[net[DIFF] != 0]
+            self.output_sink.write_batch_local(self._encode_pdf(net, meta), epoch_id)
+        else:
+            batch_keys = self.spark.createDataFrame(
+                pdf[self.key_cols].drop_duplicates()
+            )
+            affected = self._consolidated().join(
+                batch_keys, on=self.key_cols, how="left_semi"
+            )
+            self.output_sink.write_batch(self._encode(affected, meta), epoch_id)
+        self.last_meta = meta
+
+    def _repair_output(self, epoch_id: int) -> None:
+        """See the single-column twin: input committed, output missing
+        (crash between the two commits)."""
+        ep = with_diff(self.spark.read.parquet(self.input_sink.epoch_dir(epoch_id)))
+        row = ep.agg(*self._sum_exprs()).first()
+        saved = (self._n, list(self._s1), list(self._s2))
+        self._n -= int(row["n"] or 0)
+        for i in range(len(self.value_cols)):
+            self._s1[i] -= float(row[f"s1_{i}"] or 0.0)
+            self._s2[i] -= float(row[f"s2_{i}"] or 0.0)
+        meta_before = self._current_meta()
+        self._n, self._s1, self._s2 = saved[0], saved[1], saved[2]
+        meta = self._current_meta()
+        if meta != meta_before:
+            out = self._encode(self._consolidated(), meta)
+            self.full_reencodes += 1
+        else:
+            keys = ep.select(*self.key_cols).dropDuplicates()
+            affected = self._consolidated().join(
+                keys, on=self.key_cols, how="left_semi"
+            )
+            out = self._encode(affected, meta)
+        self.output_sink.write_batch(out, epoch_id)
+        self.last_meta = meta
+
     def process_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.input_sink.is_committed(epoch_id):
+            if not self.output_sink.is_committed(epoch_id):
+                self._repair_output(epoch_id)
             return
+        if self.small_epoch_rows:
+            rows = batch_df.limit(self.small_epoch_rows + 1).collect()
+            if len(rows) <= self.small_epoch_rows:
+                self._process_small_epoch(rows, batch_df.schema, epoch_id)
+                return
         batch_df = with_diff(batch_df).persist()
         self.input_sink.write_batch(batch_df, epoch_id)
         self.epochs += 1

@@ -107,6 +107,52 @@ class ExactlyOnceParquetSink:
         ) as f:
             json.dump(lineage, f)
 
+    def write_batch_local(self, pdf, epoch_id: int) -> None:
+        """Driver-local exactly-once commit for TINY epochs: identical
+        staging + atomic-rename protocol, but the parquet file is
+        written in-process by pyarrow — zero Spark jobs. This is the
+        single-row-update fast path (the reference's per-row epochs,
+        ``src/main.rs:306-374``): a 1-row delta does not need a
+        distributed write job, and the commit layout/readers are
+        unchanged, so replay idempotence and read_current behave
+        exactly as for Spark-written epochs.
+
+        ``pdf`` is a pandas frame whose column order matches the
+        Spark-written epochs. Timestamp columns must already be
+        tz-aware UTC (Spark-written epochs store isAdjustedToUTC
+        micros; a naive pandas column would read back TIMESTAMP_NTZ
+        and break the cross-epoch schema merge).
+        """
+        if self.is_committed(epoch_id):
+            return
+        staging = os.path.join(
+            self.root, "_staging", f"epoch={epoch_id}.{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(staging, exist_ok=True)
+        pdf.to_parquet(
+            os.path.join(staging, "part-00000.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        try:
+            os.rename(staging, self.epoch_dir(epoch_id))  # atomic commit
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+        if self.lineage_mode == "off":
+            return
+        lineage = {
+            "epoch": epoch_id,
+            "committed_at": time.time(),
+            "rows": int(len(pdf)),
+            "local": True,
+        }
+        with open(
+            os.path.join(self.root, "_lineage", f"epoch={epoch_id}.json"), "w"
+        ) as f:
+            json.dump(lineage, f)
+
     def foreach_batch(self):
         return lambda df, epoch_id: self.write_batch(df, epoch_id)
 

@@ -130,42 +130,64 @@ class ShardDict:
         return d
 
 
-def _vocab_fn(n_shards: int):
-    def fn(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        shard = int(key[0])
-        d = ShardDict.from_state(state.get) if state.exists else ShardDict()
-        # snapshot assignments before the batch: a compression triggered
-        # mid-batch renumbers live tokens that this batch never touched;
-        # those must be re-emitted or the sink's upsert view keeps their
-        # stale indices (the TWS variant re-emits them the same way).
-        before = dict(d.val_to_index)
-        touched: dict[str, Any] = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["event_time", "token"], kind="stable")
-            for token, diff in zip(pdf["token"], pdf["diff"]):
-                d.update(str(token), int(diff))
-                touched[str(token)] = True
-        for t, i in d.val_to_index.items():
-            if before.get(t) != i:
-                touched[t] = True
-        state.update(d.to_state())
-        out = pd.DataFrame(
-            {
-                "shard": shard,
-                "token": list(touched),
-                "idx": [
+def _apply_shard_batch(
+    d: ShardDict, shard: int, pdf: pd.DataFrame, n_shards: int
+) -> pd.DataFrame:
+    """Apply one shard's batch rows (in (event_time, token) order) and
+    return the update-mode output rows. Shared by the stateful streaming
+    operator and the driver-state pipeline so their emissions are
+    identical by construction."""
+    # snapshot assignments before the batch: a compression triggered
+    # mid-batch renumbers live tokens that this batch never touched;
+    # those must be re-emitted or the sink's upsert view keeps their
+    # stale indices (the TWS variant re-emits them the same way).
+    before = dict(d.val_to_index)
+    touched: dict[str, Any] = {}
+    pdf = pdf.sort_values(["event_time", "token"], kind="stable")
+    for token, diff in zip(pdf["token"], pdf["diff"]):
+        d.update(str(token), int(diff))
+        touched[str(token)] = True
+    for t, i in d.val_to_index.items():
+        if before.get(t) != i:
+            touched[t] = True
+    return pd.DataFrame(
+        {
+            "shard": pd.array([shard] * len(touched), dtype="int32"),
+            "token": list(touched),
+            "idx": pd.array(
+                [
                     # global index; -1 when the value is currently dead
                     (d.val_to_index[t] * n_shards + shard)
                     if t in d.val_to_index
                     else -1
                     for t in touched
                 ],
-                "count": [d.val_to_count[t] for t in touched],
-                "vec_len": d.length * n_shards,
-            }
+                dtype="int64",
+            ),
+            "count": pd.array(
+                [d.val_to_count[t] for t in touched], dtype="int64"
+            ),
+            "vec_len": pd.array(
+                [d.length * n_shards] * len(touched), dtype="int64"
+            ),
+        }
+    )
+
+
+def _vocab_fn(n_shards: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        shard = int(key[0])
+        d = ShardDict.from_state(state.get) if state.exists else ShardDict()
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({"token": [], "diff": [], "event_time": []})
         )
+        out = _apply_shard_batch(d, shard, batch, n_shards)
+        state.update(d.to_state())
         yield out
 
     return fn
@@ -193,3 +215,134 @@ def incremental_vocabulary(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class DriverVocabularyPipeline:
+    """Latency-oriented driver-state twin of ``incremental_vocabulary``
+    (reference latency protocol ``src/main.rs:376-435``: 25 single-row
+    dictionary updates, constant-time in base size).
+
+    The stateful-streaming operator pays Spark's micro-batch machinery
+    per epoch (~0.7-2 s measured locally: state-store restore/commit,
+    WAL, python worker round trips) — 2-3 orders over the reference's
+    in-process 1.45 ms. This twin keeps the ``n_shards`` ShardDicts in
+    DRIVER memory and commits epochs through the same exactly-once
+    parquet sink protocol: a tiny epoch costs ONE Spark job (the collect
+    probe, which also computes the JVM-side xxhash64 sharding) plus two
+    pyarrow commits.
+
+    Scope trade (documented, by design): the dictionary must fit the
+    driver — true for vocabularies up to ~10^7 entries; beyond that use
+    ``incremental_vocabulary`` (executor-sharded state). Sharding,
+    apply order, and emission rule are IDENTICAL to the streaming
+    operator (same ``_apply_shard_batch``), so outputs are parity-equal
+    row for row.
+
+    Restore after driver restart replays the committed input prefix
+    (driver-local parquet reads, no Spark jobs). The crash window
+    between the input and output commits is repaired on replay by
+    re-emitting the full current dictionary for that epoch.
+    """
+
+    def __init__(self, spark, workdir: str, n_shards: int = 4, token_col: str = "token"):
+        from diffdataflowmlpipelines_spark.streaming.sink import (
+            ExactlyOnceParquetSink,
+        )
+
+        self.spark = spark
+        self.n_shards = n_shards
+        self.token_col = token_col
+        self.input_sink = ExactlyOnceParquetSink(
+            f"{workdir}/input", ["shard", "token"], lineage="rows"
+        )
+        self.output_sink = ExactlyOnceParquetSink(
+            f"{workdir}/output", ["shard", "token"], lineage="rows"
+        )
+        self.shards: dict[int, ShardDict] = {}
+        self.epochs = 0
+        self._restore_from_sink()
+
+    # -- plumbing -------------------------------------------------------------
+
+    def _keyed(self, batch_df: DataFrame) -> DataFrame:
+        return batch_df.select(
+            F.pmod(F.xxhash64(F.col(self.token_col)), F.lit(self.n_shards))
+            .cast("int")
+            .alias("shard"),
+            F.col(self.token_col).cast("string").alias("token"),
+            F.col("diff").cast("long").alias("diff"),
+            F.col("event_time"),
+        )
+
+    @staticmethod
+    def _rows_to_pdf(rows) -> pd.DataFrame:
+        pdf = pd.DataFrame(
+            {
+                "shard": pd.array([r["shard"] for r in rows], dtype="int32"),
+                "token": [r["token"] for r in rows],
+                "diff": pd.array([r["diff"] for r in rows], dtype="int64"),
+                "event_time": pd.to_datetime(
+                    [r["event_time"] for r in rows]
+                ).tz_localize("UTC"),
+            }
+        )
+        return pdf
+
+    def _apply_pdf(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for shard, g in pdf.groupby("shard", sort=True):
+            d = self.shards.setdefault(int(shard), ShardDict())
+            outs.append(_apply_shard_batch(d, int(shard), g, self.n_shards))
+        if not outs:
+            return _apply_shard_batch(ShardDict(), 0, pdf, self.n_shards).iloc[0:0]
+        return pd.concat(outs, ignore_index=True)
+
+    def _full_state_pdf(self) -> pd.DataFrame:
+        rows = []
+        for shard in sorted(self.shards):
+            d = self.shards[shard]
+            for t in sorted(d.val_to_count):
+                idx = (
+                    d.val_to_index[t] * self.n_shards + shard
+                    if t in d.val_to_index
+                    else -1
+                )
+                rows.append((shard, t, idx, d.val_to_count[t], d.length * self.n_shards))
+        return pd.DataFrame(
+            {
+                "shard": pd.array([r[0] for r in rows], dtype="int32"),
+                "token": [r[1] for r in rows],
+                "idx": pd.array([r[2] for r in rows], dtype="int64"),
+                "count": pd.array([r[3] for r in rows], dtype="int64"),
+                "vec_len": pd.array([r[4] for r in rows], dtype="int64"),
+            }
+        )
+
+    def _restore_from_sink(self) -> None:
+        for e in self.input_sink.committed_epochs():
+            pdf = pd.read_parquet(self.input_sink.epoch_dir(e))
+            self._apply_pdf(pdf)
+            self.epochs += 1
+            if not self.output_sink.is_committed(e):
+                # crash window: input committed, output missing
+                self.output_sink.write_batch_local(self._full_state_pdf(), e)
+
+    # -- foreachBatch body ------------------------------------------------------
+
+    def process_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self.input_sink.is_committed(epoch_id):
+            if not self.output_sink.is_committed(epoch_id):
+                self.output_sink.write_batch_local(self._full_state_pdf(), epoch_id)
+            return
+        pdf = self._rows_to_pdf(self._keyed(batch_df).collect())  # one job
+        self.input_sink.write_batch_local(pdf, epoch_id)
+        out = self._apply_pdf(pdf)
+        self.output_sink.write_batch_local(out, epoch_id)
+        self.epochs += 1
+
+    def foreach_batch(self):
+        return lambda df, eid: self.process_epoch(df, eid)
+
+    def current_vocabulary(self) -> DataFrame:
+        """Upsert view: latest row per (shard, token)."""
+        return self.output_sink.read_current(self.spark)

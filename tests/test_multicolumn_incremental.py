@@ -173,7 +173,13 @@ def test_multicolumn_driver_restart(spark, tmp_path):
     )
     assert pipe2._n == pipe1._n
     assert pipe2._s1 == pytest.approx(pipe1._s1)
-    assert pipe2.last_meta == pipe1.last_meta
+    # unrounded meta: restore recomputes in ONE Spark aggregate while the
+    # live pipeline accumulated per-epoch partials — float addition order
+    # differs, so compare to ulp tolerance (a last-bit mismatch costs at
+    # most one extra cascade, never a wrong output; rounded production
+    # configs are exactly stable)
+    for a, b in zip(pipe2.last_meta, pipe1.last_meta):
+        assert a == pytest.approx(b, rel=1e-12)
 
     run_one(pipe2, e2)
     got = {

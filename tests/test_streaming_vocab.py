@@ -274,3 +274,114 @@ def test_vocabulary_tws_matches_v1(spark, tmp_path):
     for tok, cnt in oracle.val_to_count.items():
         want_idx = oracle.val_to_index.get(tok, -1)
         assert got[tok] == (want_idx, cnt), tok
+
+
+def test_driver_vocabulary_parity_with_streaming_operator(spark, tmp_path):
+    """DriverVocabularyPipeline (latency twin: driver-held ShardDicts,
+    one Spark job per epoch) must emit row-for-row the SAME per-epoch
+    outputs as the applyInPandasWithState operator — same xxhash64
+    sharding, same apply order, same emission rule."""
+    from diffdataflowmlpipelines_spark.streaming.vocabulary import (
+        DriverVocabularyPipeline,
+    )
+
+    epochs = _epochs()
+    n_shards = 2
+
+    # streaming-operator run (per-epoch availableNow)
+    src = EpochFileSource(spark, str(tmp_path / "src"), TOK_SCHEMA)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["shard", "token"])
+    for i, ep in enumerate(epochs):
+        src.add_epoch(ep)
+        q = (
+            incremental_vocabulary(src.stream(), n_shards=n_shards)
+            .writeStream.foreachBatch(sink.foreach_batch())
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # driver-state run over the SAME epochs
+    pipe = DriverVocabularyPipeline(
+        spark, str(tmp_path / "drv"), n_shards=n_shards
+    )
+    for i, ep in enumerate(epochs):
+        pipe.process_epoch(spark.createDataFrame(ep, TOK_SCHEMA), i)
+
+    def rows_of(sink_obj, e):
+        import pandas as pd  # noqa: F811
+
+        pdf = pd.read_parquet(sink_obj.epoch_dir(e))
+        return sorted(
+            zip(pdf["shard"], pdf["token"], pdf["idx"], pdf["count"], pdf["vec_len"])
+        )
+
+    # per-epoch emissions identical (streaming run may interleave an
+    # empty watermark-commit batch: compare epoch dirs that have rows)
+    stream_epochs = [
+        e for e in sink.committed_epochs() if rows_of(sink, e)
+    ]
+    for se, de in zip(stream_epochs, pipe.output_sink.committed_epochs()):
+        assert rows_of(sink, se) == rows_of(pipe.output_sink, de), (se, de)
+
+    # driver restart: a fresh object restores state from the input
+    # prefix and keeps assigning consistently
+    pipe2 = DriverVocabularyPipeline(
+        spark, str(tmp_path / "drv"), n_shards=n_shards
+    )
+    extra = pd.DataFrame(
+        {
+            "token": ["mango"],
+            "diff": [1],
+            "event_time": [datetime(2024, 1, 1, 0, 5)],
+        }
+    )
+    pipe2.process_epoch(spark.createDataFrame(extra, TOK_SCHEMA), len(epochs))
+    cur = {
+        r["token"]: (r["idx"], r["count"])
+        for r in pipe2.current_vocabulary().filter(F.col("idx") >= 0).collect()
+    }
+    # oracle replay: pure-python ShardDicts over all epochs,
+    # sharded via the committed input (authoritative)
+    dicts = {s: ShardDict() for s in range(n_shards)}
+    inp = pd.concat(
+        [pd.read_parquet(pipe2.input_sink.epoch_dir(e))
+         for e in pipe2.input_sink.committed_epochs()],
+        ignore_index=True,
+    )
+    for _, r in inp.sort_values(["event_time", "token"], kind="stable").iterrows():
+        dicts[int(r["shard"])].update(str(r["token"]), int(r["diff"]))
+    want = {}
+    for s, d in dicts.items():
+        for t, i in d.val_to_index.items():
+            want[t] = (i * n_shards + s, d.val_to_count[t])
+    assert cur == want
+
+
+def test_driver_vocabulary_crash_window_repair(spark, tmp_path):
+    """Input committed, output missing (crash between commits): restore
+    must re-emit the epoch's output so the upsert view is complete."""
+    import shutil as sh
+
+    from diffdataflowmlpipelines_spark.streaming.vocabulary import (
+        DriverVocabularyPipeline,
+    )
+
+    epochs = _epochs()
+    pipe = DriverVocabularyPipeline(spark, str(tmp_path / "drv"), n_shards=2)
+    for i, ep in enumerate(epochs):
+        pipe.process_epoch(spark.createDataFrame(ep, TOK_SCHEMA), i)
+    before = {
+        (r["shard"], r["token"]): (r["idx"], r["count"])
+        for r in pipe.current_vocabulary().collect()
+    }
+    sh.rmtree(pipe.output_sink.epoch_dir(2))
+    pipe2 = DriverVocabularyPipeline(spark, str(tmp_path / "drv"), n_shards=2)
+    assert pipe2.output_sink.is_committed(2)
+    after = {
+        (r["shard"], r["token"]): (r["idx"], r["count"])
+        for r in pipe2.current_vocabulary().collect()
+    }
+    assert after == before

@@ -194,28 +194,31 @@ def bench_dict(spark) -> dict:
     t0_ts = datetime(2024, 1, 1)
     uniques, appends = 100, 25
     results = []
+    # tiny-epoch tuning: the stateful exchange pins state partitions =
+    # shuffle partitions at first query start; 32 state-store commits
+    # per 1-row batch is pure overhead. 4 shards of vocabulary state
+    # need exactly 4.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     for base in DICT_BASES:
         work = tempfile.mkdtemp(prefix="latbench_dict_")
         try:
             src = EpochFileSource(spark, f"{work}/src", schema)
             sink = ExactlyOnceParquetSink(f"{work}/out", ["token"], lineage="off")
 
-            def run_query():
-                q = (
-                    incremental_vocabulary(src.stream(), n_shards=4)
-                    .writeStream.foreachBatch(sink.foreach_batch())
-                    .outputMode("update")
-                    .option("checkpointLocation", f"{work}/ckpt")
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination(600)
-                durs = [
-                    p["durationMs"]["triggerExecution"]
-                    for p in q.recentProgress
-                    if p.get("numInputRows", 0) > 0
-                ]
-                return durs
+            # ONE long-running query; per-update cost is measured by
+            # processAllAvailable wall time (VERDICT r2: the per-epoch
+            # availableNow restart dominated the old medians — a real
+            # deployment keeps the query alive, so the restart cost is
+            # paid once, not per update).
+            q = (
+                incremental_vocabulary(src.stream(), n_shards=4)
+                .writeStream.foreachBatch(sink.foreach_batch())
+                .outputMode("update")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
 
             init = pd.DataFrame(
                 {
@@ -226,7 +229,7 @@ def bench_dict(spark) -> dict:
             )
             src.add_epoch(init)
             t0 = time.time()
-            init_durs = run_query()
+            q.processAllAvailable()
             init_sec = time.time() - t0
 
             update_ms, new_unique = [], uniques
@@ -245,23 +248,64 @@ def bench_dict(spark) -> dict:
                         }
                     )
                 )
-                durs = run_query()
-                if durs:
-                    update_ms.append(durs[-1])
+                t0 = time.time()
+                q.processAllAvailable()
+                update_ms.append((time.time() - t0) * 1000)
+            batch_ms = [
+                p["durationMs"]["triggerExecution"]
+                for p in q.recentProgress
+                if 0 < p.get("numInputRows", 0) <= 2
+            ]
+            q.stop()
+
+            # driver-state twin (DriverVocabularyPipeline): same epochs
+            # driven through foreachBatch-style process_epoch — the
+            # latency path for dictionary-sized state
+            from diffdataflowmlpipelines_spark.streaming.vocabulary import (
+                DriverVocabularyPipeline,
+            )
+
+            pipe = DriverVocabularyPipeline(
+                spark, f"{work}/drv", n_shards=4
+            )
+            sdf = spark.createDataFrame(init, schema)
+            pipe.process_epoch(sdf, 0)
+            drv_ms = []
+            for i in range(appends):
+                val = str(i % uniques)
+                one = pd.DataFrame(
+                    {
+                        "token": [val],
+                        "diff": [1],
+                        "event_time": [t0_ts + timedelta(seconds=100 + i)],
+                    }
+                )
+                sdf = spark.createDataFrame(one, schema)
+                t0 = time.time()
+                pipe.process_epoch(sdf, i + 1)
+                drv_ms.append((time.time() - t0) * 1000)
+
             results.append(
                 {
                     "base_rows": base,
                     "uniques": uniques,
                     "init_sec": round(init_sec, 2),
-                    "init_batch_ms": init_durs[-1] if init_durs else None,
-                    "update_batch_ms_median": round(
+                    "update_wall_ms_median": round(
                         statistics.median(update_ms), 1
                     ),
-                    "update_batch_ms_min": round(min(update_ms), 1),
+                    "update_wall_ms_min": round(min(update_ms), 1),
+                    "update_batch_ms_median": (
+                        round(statistics.median(batch_ms), 1) if batch_ms else None
+                    ),
+                    "driver_state_update_ms_median": round(
+                        statistics.median(drv_ms), 1
+                    ),
+                    "driver_state_update_ms_min": round(min(drv_ms), 1),
                 }
             )
         finally:
             shutil.rmtree(work, ignore_errors=True)
+    spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return {
         "bases": results,
         "appends": appends,
