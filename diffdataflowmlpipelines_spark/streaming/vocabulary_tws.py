@@ -54,37 +54,50 @@ class VocabularyProcessor(StatefulProcessor):
         self.entries = handle.getMapState(
             "entries", "token string", "idx long, count long"
         )
-        # (next_local, length, n_free) + free-list as its own map
+        # (next_local, length, n_free, live)
         self.meta = handle.getValueState(
-            "meta", "next_local long, length long, n_free long"
+            "meta", "next_local long, length long, n_free long, live long"
         )
         self.free = handle.getListState("free", "idx long")
 
     # -- helpers mirroring ShardDict ------------------------------------------
 
-    def _load_meta(self) -> tuple[int, int, int]:
+    def _load_meta(self) -> tuple[int, int, int, int]:
         if self.meta.exists():
             m = self.meta.get()
-            return int(m[0]), int(m[1]), int(m[2])
-        return 0, 1, 0
-
-    def _live_count(self) -> int:
-        n = 0
-        for _ in self.entries.iterator():
-            pass
-        # cheap live count: assigned entries = all entries with idx >= 0
-        for _k, v in self.entries.iterator():
-            if v[0] >= 0:
-                n += 1
-        return n
+            return int(m[0]), int(m[1]), int(m[2]), int(m[3])
+        return 0, 1, 0, 0
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timer_values
     ) -> Iterator[pd.DataFrame]:
+        """Per-row ShardDict-exact replay over a (cache overlay, MapState)
+        view: only the batch's tokens touch state — O(batch) MapState
+        traffic — except when a mid-batch compress fires, which is
+        inherently O(live) (it renumbers every live token, exactly as
+        the reference's compress does,
+        ``src/types/integer_assignment_aggregate.rs:70-95``). Sizing
+        runs after EVERY update, not at batch end, so emissions are
+        bit-identical to the applyInPandasWithState path
+        (``_apply_shard_batch``) for any interleaving — pinned by
+        tests/test_tws_processor_logic.py's hypothesis suite."""
         shard = int(key[0])
-        next_local, length, n_free = self._load_meta()
+        next_local, length, n_free, live = self._load_meta()
         free = [int(x[0]) for x in self.free.get()] if n_free else []
-        touched: dict[str, None] = {}
+        cache: dict[str, list | None] = {}  # overlay; None = not in state
+        before: dict[str, int] = {}  # pre-batch live idx per loaded token
+        in_batch: dict[str, None] = {}
+
+        def load(token: str):
+            if token not in cache:
+                if self.entries.containsKey((token,)):
+                    idx, cnt = self.entries.getValue((token,))
+                    cache[token] = [int(idx), int(cnt)]
+                    if int(idx) >= 0:
+                        before[token] = int(idx)
+                else:
+                    cache[token] = None
+            return cache[token]
 
         def assign() -> int:
             nonlocal next_local
@@ -93,55 +106,77 @@ class VocabularyProcessor(StatefulProcessor):
             next_local += 1
             return next_local - 1
 
+        def compress() -> None:
+            nonlocal next_local, free
+            stored = [
+                (k[0], (int(v[0]), int(v[1])))
+                for k, v in self.entries.iterator()
+                if k[0] not in cache
+            ]
+            merged = stored + [
+                (t, (e[0], e[1])) for t, e in cache.items() if e is not None
+            ]
+            live_toks = sorted(t for t, (i, _c) in merged if i >= 0)
+            for i, tok in enumerate(live_toks):
+                load(tok)[0] = i
+            free = []
+            next_local = len(live_toks)
+
+        def update(token: str, diff: int) -> None:
+            nonlocal live, length
+            e = load(token)
+            if e is None:
+                cache[token] = [assign() if diff > 0 else -1, diff]
+                if diff > 0:
+                    live += 1
+            else:
+                old = e[1]
+                new = old + diff
+                e[1] = new
+                if old > 0 and new <= 0:
+                    free.append(e[0])
+                    e[0] = -1
+                    live -= 1
+                elif old <= 0 and new > 0:
+                    e[0] = assign()
+                    live += 1
+            # sizing after every update (ShardDict.update parity)
+            if live > length:
+                while live > length:
+                    length = int(length * 1.5 + 0.5)
+            elif live < int(length * 0.66):
+                compress()
+                while live < int(length * 0.66) and length > 1:
+                    new_len = -int(-length * 0.66 // 1)  # ceil(len*0.66)
+                    length = new_len if new_len < length else length - 1
+
         for pdf in rows:
             pdf = pdf.sort_values(["event_time", "token"], kind="stable")
             for token, diff in zip(pdf["token"], pdf["diff"]):
-                token, diff = str(token), int(diff)
-                if self.entries.containsKey((token,)):
-                    idx, cnt = self.entries.getValue((token,))
-                    idx, cnt = int(idx), int(cnt)
-                    new = cnt + diff
-                    if cnt > 0 and new <= 0 and idx >= 0:
-                        free.append(idx)
-                        idx = -1
-                    elif cnt <= 0 and new > 0:
-                        idx = assign()
-                    self.entries.updateValue((token,), (idx, new))
-                else:
-                    idx = assign() if diff > 0 else -1
-                    self.entries.updateValue((token,), (idx, diff))
-                touched[token] = None
+                update(str(token), int(diff))
+                in_batch[str(token)] = None
 
-        # sizing policy (reference x1.5 grow / 0.66 compress-shrink)
-        live = self._live_count()
-        if live > length:
-            while live > length:
-                length = int(length * 1.5 + 0.5)
-        elif live < int(length * 0.66):
-            # compress: renumber live tokens densely in sorted order
-            live_tokens = sorted(
-                k[0] for k, v in self.entries.iterator() if v[0] >= 0
-            )
-            for i, tok in enumerate(live_tokens):
-                _idx, cnt = self.entries.getValue((tok,))
-                self.entries.updateValue((tok,), (i, int(cnt)))
-                touched[tok] = None
-            free = []
-            next_local = len(live_tokens)
-            while live < int(length * 0.66) and length > 1:
-                new_len = -int(-length * 0.66 // 1)
-                length = new_len if new_len < length else length - 1
-
-        self.meta.update((next_local, length, len(free)))
+        # write back the overlay and the meta/free state
+        for tok, e in cache.items():
+            if e is not None:
+                self.entries.updateValue((tok,), (int(e[0]), int(e[1])))
+        self.meta.update((next_local, length, len(free), live))
         self.free.clear()
         if free:
             self.free.put([(int(i),) for i in free])
 
+        # emission rule (identical to _apply_shard_batch): every batch
+        # token, plus any token whose live index changed (compress)
+        touched = dict(in_batch)
+        for tok, e in cache.items():
+            if e is not None and e[0] >= 0 and before.get(tok) != e[0]:
+                touched[tok] = None
         out_rows = []
         for tok in touched:
-            idx, cnt = self.entries.getValue((tok,))
-            g = int(idx) * self.n_shards + shard if int(idx) >= 0 else -1
-            out_rows.append((shard, tok, g, int(cnt), length * self.n_shards))
+            e = cache[tok]
+            idx, cnt = (e[0], e[1]) if e is not None else (-1, 0)
+            g = idx * self.n_shards + shard if idx >= 0 else -1
+            out_rows.append((shard, tok, g, cnt, length * self.n_shards))
         yield pd.DataFrame(
             out_rows, columns=["shard", "token", "idx", "count", "vec_len"]
         )
