@@ -148,11 +148,17 @@ def main() -> None:
             )
             run_query(join_fn(tok_stream(), lab_s), "append", tag)
 
+        hot_keys = (
+            os.environ["SCALE_HOT_KEYS"].split(",")
+            if os.environ.get("SCALE_HOT_KEYS")
+            else HOT_KEYS
+        )
+        n_salts = int(os.environ.get("SCALE_SALTS", "8"))
         if "stream_join" in WORKLOADS:
             run_join(label_join, "stream_join")
         if "stream_join_salted" in WORKLOADS:
             run_join(
-                lambda t, l: salted_label_join(t, l, HOT_KEYS, n_salts=8),
+                lambda t, l: salted_label_join(t, l, hot_keys, n_salts=n_salts),
                 "stream_join_salted",
             )
     finally:
