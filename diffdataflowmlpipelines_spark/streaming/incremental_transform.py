@@ -276,7 +276,14 @@ class IncrementalScalerPipeline:
             # re-emitted; dead keys get their <=0 net rows as tombstones
             # (the upsert view drops them). O(snapshot) — by design, as
             # in the reference's full re-transform on meta change.
-            net = self._consolidated()
+            if insert_only and self.input_sink.committed_epochs() == [epoch_id]:
+                # first-ever epoch: the snapshot IS this batch — encode
+                # from the in-memory cache instead of re-scanning the
+                # parquet snapshot (saves a full input re-read at init,
+                # the reference's dominant init phase)
+                net = consolidate(batch_df)
+            else:
+                net = self._consolidated()
             out = self._encode(net, meta)
             self.full_reencodes += 1
         elif insert_only:
@@ -519,7 +526,12 @@ class IncrementalMultiScalerPipeline:
         meta = self._fold_batch(batch_df)
         insert_only = self._last_batch_insert_only
         if meta != self.last_meta:
-            out = self._encode(self._consolidated(), meta)
+            if insert_only and self.input_sink.committed_epochs() == [epoch_id]:
+                # first-ever epoch: snapshot == batch (see single-column twin)
+                net = consolidate(batch_df)
+            else:
+                net = self._consolidated()
+            out = self._encode(net, meta)
             self.full_reencodes += 1
         elif insert_only:
             out = self._encode(consolidate(batch_df), meta)
