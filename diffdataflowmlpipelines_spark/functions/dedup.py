@@ -487,3 +487,50 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster_rep"))
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    token_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, how many of
+    its distinct token n-grams appear anywhere in a held-out benchmark
+    set (the standard pre-training hygiene check; production uses
+    n=13 — the n here is a parameter, the dataflow is identical).
+
+    Scale shape: the benchmark n-gram set is tiny next to a 100 TB
+    corpus, so it is BROADCAST — the corpus side never shuffles for the
+    join; the only shuffle is the per-document aggregation (map-side
+    partials). Per-document n-grams are deduplicated row-wise
+    (``array_distinct``, no shuffle) before the explode. Documents with
+    fewer than ``n`` tokens have no n-grams and are excluded (matching
+    the SQL oracle's ``len >= n`` guard).
+
+    Returns (id_col, n_ngrams, n_contaminated, contamination_frac).
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return df.filter(F.size(token_col) >= n).select(
+            id_col,
+            F.explode(F.array_distinct(word_shingles(F.col(token_col), n))).alias(
+                "__g"
+            ),
+        )
+
+    bench_grams = grams(bench).select("__g").distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    joined = grams(docs).join(F.broadcast(bench_grams), "__g", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias(
+            "n_contaminated"
+        ),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("contamination_frac"),
+    )

@@ -78,6 +78,31 @@ def simple_language_id(text: Column | str) -> Column:
     return F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("unknown"))
 
 
+def duplicate_ngram_stats(tokens: Column | str, n: int = 2) -> dict[str, Column]:
+    """Gopher-style intra-document repetition signal: the fraction of a
+    document's n-grams that are duplicates of an earlier n-gram in the
+    same document (filter rule: high duplicate-n-gram fraction marks
+    boilerplate/spam). ZERO-shuffle: a pure row-wise projection
+    (``array_distinct`` over the in-row gram array), so at 100 TB this
+    is a map-only pass fused into the scan. Documents shorter than
+    ``n`` tokens score 0 over 0 grams.
+    """
+    from diffdataflowmlpipelines_spark.functions.dedup import word_shingles
+
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    long_enough = F.size(c) >= n
+    n_grams = F.when(long_enough, F.size(c) - n + 1).otherwise(F.lit(0)).cast("long")
+    n_distinct = (
+        F.when(long_enough, F.size(F.array_distinct(word_shingles(c, n))))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    dup_frac = F.round(
+        (n_grams - n_distinct).cast("double") / F.greatest(n_grams, F.lit(1)), 6
+    )
+    return {"n_grams": n_grams, "n_distinct": n_distinct, "dup_frac": dup_frac}
+
+
 FP_BASE = 31
 FP_MOD = 1_000_000_007
 

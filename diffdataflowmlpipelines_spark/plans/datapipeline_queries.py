@@ -15,11 +15,14 @@ from diffdataflowmlpipelines_spark.functions.dedup import (
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_signatures_rowwise,
+    ngram_contamination,
     simhash,
 )
+from diffdataflowmlpipelines_spark.functions.sampling import stratified_sample
 from diffdataflowmlpipelines_spark.functions.similarity import cosine_topk, lsh_topk
 from diffdataflowmlpipelines_spark.functions.text import (
     STOPWORDS,
+    duplicate_ngram_stats,
     quality_features,
     simple_language_id,
     tokenize,
@@ -680,3 +683,93 @@ def m2_frame_sample_plan(spark, sf_dir):
     return frame_sample_plan(media, every_ms=5000).withColumn(
         "frame_ms", F.col("frame_ms").cast("long")
     )
+
+
+# --- round-3 curation ops: decontamination, repetition, quotas ---------------
+
+@q(
+    "t5_decontamination",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS gs
+      FROM toks WHERE len(t) >= 3
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 19 = 0),
+    corpus AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 19 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           ROUND(CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS contamination_frac
+    FROM corpus c LEFT JOIN bench b USING (g)
+    GROUP BY c.doc_id
+    """,
+)
+def t5_decontamination(spark, sf_dir):
+    """Benchmark decontamination: every 19th doc_id plays the held-out
+    eval set; the rest of the corpus is scored by distinct-3-gram
+    overlap against it (broadcast bench-set join; see
+    functions/dedup.ngram_contamination for the 100-TB shape)."""
+    docs = _tokenized_docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    corpus = docs.filter(F.col("doc_id") % 19 != 0)
+    return ngram_contamination(corpus, bench, "doc_id", "toks", n=3)
+
+
+@q(
+    "t6_repetition_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS BIGINT)
+               AS n_grams,
+             CAST(CASE WHEN len(t) >= 2
+                  THEN len(list_distinct(list_transform(range(1, len(t)),
+                                         i -> t[i] || chr(1) || t[i+1])))
+                  ELSE 0 END AS BIGINT) AS n_distinct
+      FROM toks
+    )
+    SELECT doc_id, n_grams, n_distinct,
+           ROUND(CAST(n_grams - n_distinct AS DOUBLE)
+                 / GREATEST(n_grams, 1), 6) AS dup_frac
+    FROM s
+    """,
+)
+def t6_repetition_stats(spark, sf_dir):
+    """Gopher-style duplicate-bigram fraction per document — a pure
+    row-wise projection (zero shuffle; functions/text.
+    duplicate_ngram_stats)."""
+    docs = _tokenized_docs(spark, sf_dir)
+    stats = duplicate_ngram_stats(F.col("toks"), n=2)
+    return docs.select(
+        "doc_id",
+        stats["n_grams"].alias("n_grams"),
+        stats["n_distinct"].alias("n_distinct"),
+        stats["dup_frac"].alias("dup_frac"),
+    )
+
+
+@q(
+    "t7_stratified_sample",
+    """
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    thr AS (SELECT source, CAST(10 AS BIGINT) * 1000000 // n AS t FROM counts)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000 < thr.t
+    """,
+)
+def t7_stratified_sample(spark, sf_dir):
+    """Per-source quota sampling (~10 docs/source) via the portable
+    md5 hash gate — deterministic across engines/retries, map-only on
+    the corpus side (functions/sampling.stratified_sample)."""
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "source", "doc_id", target_per_stratum=10
+    ).select("doc_id", "source")
