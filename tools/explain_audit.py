@@ -33,7 +33,14 @@ AUDITED = [
     "j3_asof_join",
     "cm1_count_min_sketch",
     "c5_kbins_quantile",
+    "t5_decontamination",
+    "t6_repetition_stats",
+    "t7_stratified_sample",
 ]
+
+# curation queries whose small side (bench n-gram set / per-stratum
+# thresholds) must be broadcast — the corpus side must not shuffle
+MUST_BROADCAST = {"t5_decontamination", "t7_stratified_sample"}
 
 # dictionary-bearing plans must not rank the vocabulary in one task
 # (fit_dictionary is sharded: range-partitioned local rank + offsets)
@@ -60,6 +67,8 @@ def flags(plan: str, name: str) -> list[str]:
             out.append(f"wide scan ({ncols} cols) — check column pruning")
     if name == "p3_projection_filter" and "PushedFilters: []" in plan:
         out.append("filter NOT pushed to parquet")
+    if name in MUST_BROADCAST and "BroadcastHashJoin" not in plan:
+        out.append("small side not broadcast — corpus would shuffle")
     return out
 
 
