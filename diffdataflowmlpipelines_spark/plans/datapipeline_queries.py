@@ -773,3 +773,39 @@ def t7_stratified_sample(spark, sf_dir):
     return stratified_sample(
         docs, "source", "doc_id", target_per_stratum=10
     ).select("doc_id", "source")
+
+
+from diffdataflowmlpipelines_spark.functions.packing import pack_sequences
+
+
+@q(
+    "t8_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS strt
+      FROM toks
+    )
+    SELECT source, doc_id, n_tok,
+           CAST(strt // 512 AS BIGINT) AS chunk,
+           CAST(strt % 512 AS BIGINT) AS chunk_offset
+    FROM c
+    """,
+)
+def t8_sequence_packing(spark, sf_dir):
+    """Concat-and-split packing of the documents stream into 512-token
+    training chunks per source (functions/packing.pack_sequences; the
+    sharded distributed-prefix-sum twin is parity-tested in
+    tests/test_packing.py)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).cast("long").alias("n_tok"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tok", "source", budget=512)
