@@ -39,6 +39,7 @@ REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
 ROWS = int(os.environ.get("SKEW_ROWS", "2000000"))
+EPOCHS = int(os.environ.get("SKEW_EPOCHS", "3"))
 HOT_FRAC = float(os.environ.get("SKEW_HOT_FRAC", "0.25"))
 CPUS = int(os.environ.get("SKEW_CPUS", "32"))
 SALTS = int(os.environ.get("SKEW_SALTS", "8"))
@@ -81,7 +82,7 @@ def main() -> None:
     gen = get_spark(app_name="skew-gen", master="local[8]", shuffle_partitions=8)
     try:
         prepare_scaling_inputs(
-            gen, tok, lab, ROWS, epochs=3, hot_frac=HOT_FRAC, hot_key=HOT_KEY
+            gen, tok, lab, ROWS, epochs=EPOCHS, hot_frac=HOT_FRAC, hot_key=HOT_KEY
         )
         gen.stop()
 
@@ -103,6 +104,7 @@ def main() -> None:
         )
         out = {
             "rows": ROWS,
+            "epochs": EPOCHS,
             "hot_frac": HOT_FRAC,
             "hot_keys": 1,
             "cpus": CPUS,
