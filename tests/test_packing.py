@@ -58,3 +58,67 @@ def test_sharded_packing_parity(spark):
     # chunk boundaries are token-exact: next chunk's first doc starts at
     # offset (prev_start + len) mod budget
     assert len({(s, c) for s, _, _, c, _ in got}) > 20  # real multi-chunk load
+
+
+def test_streaming_batch_packing_any_epoch_split(spark, tmp_path):
+    """Property: for ANY split of an id-ordered stream into epochs, the
+    streaming packer's accumulated emissions equal the batch packing of
+    the union (state carries exact token offsets across boundaries)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from diffdataflowmlpipelines_spark.streaming.packing import (
+        incremental_packing,
+    )
+    from diffdataflowmlpipelines_spark.streaming.sink import (
+        ExactlyOnceParquetSink,
+    )
+    from diffdataflowmlpipelines_spark.streaming.sources import EpochFileSource
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.LongType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("event_time", T.TimestampType(), False),
+        ]
+    )
+    t0 = datetime(2024, 1, 1)
+    n = 90
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:06d}" for i in range(n)],
+            "n_tok": [((i * 101) % 217) + 1 for i in range(n)],
+            "source": [f"s{i % 2}" for i in range(n)],
+            "event_time": [t0 + timedelta(seconds=i) for i in range(n)],
+        }
+    )
+    for cuts in ([13], [1, 2, 3], [45, 89]):  # uneven, tiny, boundary epochs
+        edges = [0, *cuts, n]
+        wd = tmp_path / f"cut{'_'.join(map(str, cuts))}"
+        src = EpochFileSource(spark, str(wd / "src"), schema)
+        sink = ExactlyOnceParquetSink(str(wd / "out"), ["source", "doc_id"])
+        for a, b in zip(edges, edges[1:]):
+            src.add_epoch(pdf.iloc[a:b])
+            q = (
+                incremental_packing(src.stream(), budget=128)
+                .writeStream.foreachBatch(sink.foreach_batch())
+                .outputMode("update")
+                .option("checkpointLocation", str(wd / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        got = sorted(
+            (r["source"], r["doc_id"], r["chunk"], r["chunk_offset"])
+            for r in sink.read_current(spark).collect()
+        )
+        want = sorted(
+            (r["source"], r["doc_id"], r["chunk"], r["chunk_offset"])
+            for r in pack_sequences(
+                spark.createDataFrame(pdf, schema), "doc_id", "n_tok", "source", 128
+            ).collect()
+        )
+        assert got == want, cuts

@@ -36,6 +36,7 @@ AUDITED = [
     "t5_decontamination",
     "t6_repetition_stats",
     "t7_stratified_sample",
+    "t8_sequence_packing",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
