@@ -76,7 +76,16 @@ def pack_sequences_sharded(
     part = df.select(
         strata_col, id_col, F.col(len_col).cast("long").alias(len_col)
     ).repartitionByRange(n_shards, strata_col, id_col)
-    part = part.withColumn("__pid", F.spark_partition_id())
+    # localCheckpoint pins the range-partition layout: the subtotal
+    # aggregate and the mapInPandas pass are separately planned queries,
+    # and an uncached repartitionByRange re-executes in each with a
+    # different RDD-id-derived sample seed — a row crossing a shifted
+    # boundary would make the broadcast offsets silently wrong (or
+    # KeyError). Checkpoint blocks are ContextCleaner-released when the
+    # frame becomes unreachable (same pattern as encoders.fit_dictionary).
+    part = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
 
     # one small aggregate: per-(partition, stratum) token subtotals
     subtotals = (
@@ -93,9 +102,12 @@ def pack_sequences_sharded(
         by_stratum[r[strata_col]] = offsets[key] + int(r["__sub"])
     b_offsets = spark.sparkContext.broadcast(offsets)
 
+    # output schema derived from the input's own types (doc ids are
+    # strings in most corpus relations, longs in others — both work)
+    in_types = {f.name: f.dataType.simpleString() for f in part.schema.fields}
     schema = (
-        f"{strata_col} string, {id_col} long, {len_col} long, "
-        "chunk long, chunk_offset long"
+        f"{strata_col} {in_types[strata_col]}, {id_col} {in_types[id_col]}, "
+        f"{len_col} bigint, chunk bigint, chunk_offset bigint"
     )
 
     def add_offsets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

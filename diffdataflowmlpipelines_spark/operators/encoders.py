@@ -287,17 +287,22 @@ def fit_dictionary(
         alive = alive_cols.filter(F.col(DIFF) > 0).select(col, "__row_order")
 
     part = alive.repartitionByRange(n_shards, *[F.col(c) for c in sort_cols])
-    part = part.withColumn("__pid", F.spark_partition_id()).persist()
+    # localCheckpoint PINS the range-partition layout: the offsets
+    # aggregate below and the consumer's transform are SEPARATELY
+    # planned queries, and an uncached repartitionByRange re-executes
+    # in each with a different RDD-id-derived sample seed — boundaries
+    # (hence __pid -> offset) could differ between the two jobs,
+    # silently corrupting indices once the vocabulary is large enough
+    # for partial range sampling. Unlike persist() (which leaked for
+    # the session lifetime, ADVICE r2), checkpoint blocks are released
+    # by the ContextCleaner when the frame becomes unreachable.
+    part = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     # per-partition offsets: one tiny fit-time aggregate (<= n_shards
     # rows to the driver — same convention as the scalers' 1-row fit
-    # statistics); the persist pins partition ids across the two jobs.
+    # statistics).
     counts = part.groupBy("__pid").agg(F.count("*").alias("__c")).collect()
-    # Unpersist before returning (ADVICE r2: each fit leaked a cached
-    # frame for the session lifetime). The consumer's recompute of the
-    # same RDD lineage is safe: RangePartitioner's sample seed derives
-    # from the (unchanged) RDD id, so boundaries and pids reproduce
-    # exactly — and __idx is boundary-independent anyway (global rank).
-    part.unpersist()
     if not counts:
         return part.select(col, F.lit(0).cast("long").alias("__idx")).limit(0)
     offsets, acc = {}, 0

@@ -150,8 +150,15 @@ class VocabularyProcessor(StatefulProcessor):
                     new_len = -int(-length * 0.66 // 1)  # ceil(len*0.66)
                     length = new_len if new_len < length else length - 1
 
-        for pdf in rows:
-            pdf = pdf.sort_values(["event_time", "token"], kind="stable")
+        # concatenate ALL Arrow chunks before the one global sort — the
+        # v1 path (_vocab_fn) sorts the whole micro-batch, and a
+        # multi-chunk batch sorted per-chunk would apply updates in a
+        # different arrival order (different index assignment)
+        chunks = list(rows)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["event_time", "token"], kind="stable"
+            )
             for token, diff in zip(pdf["token"], pdf["diff"]):
                 update(str(token), int(diff))
                 in_batch[str(token)] = None

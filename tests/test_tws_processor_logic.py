@@ -119,7 +119,12 @@ def _pdf(items, base_s=0):
 def _run_tws(epochs, n_shards=1, shard=0, handle=None, restart_each=False):
     """Drive VocabularyProcessor through fake handles; returns per-epoch
     output row-sets. restart_each simulates a checkpoint resume before
-    every micro-batch (fresh processor object, persisted handle)."""
+    every micro-batch (fresh processor object, persisted handle).
+
+    Each batch is delivered as MULTIPLE Arrow chunks split so the
+    later chunk holds EARLIER event_times — the processor must
+    concatenate before its global sort exactly like the v1 path (a
+    per-chunk sort gives a different arrival order)."""
     handle = handle or FakeHandle()
     proc = VocabularyProcessor(n_shards)
     proc.init(handle)
@@ -128,9 +133,15 @@ def _run_tws(epochs, n_shards=1, shard=0, handle=None, restart_each=False):
         if restart_each:
             proc = VocabularyProcessor(n_shards)
             proc.init(handle)
-        chunks = list(
-            proc.handleInputRows((shard,), iter([_pdf(items, i * 1000)]), None)
+        pdf = _pdf(items, i * 1000)
+        mid = len(pdf) // 2
+        batch = (
+            # out-of-order chunking: second-half times first
+            [pdf.iloc[mid:].reset_index(drop=True), pdf.iloc[:mid].reset_index(drop=True)]
+            if mid
+            else [pdf]
         )
+        chunks = list(proc.handleInputRows((shard,), iter(batch), None))
         out = pd.concat(chunks, ignore_index=True)
         outs.append(
             sorted(
