@@ -27,8 +27,14 @@ from diffdataflowmlpipelines_spark.functions.sketches import (
     count_min_sketch,
     windowed_count_min,
 )
+from diffdataflowmlpipelines_spark.functions.cep import event_funnel, funnel_cascade
+from diffdataflowmlpipelines_spark.functions.sampling import (
+    mixture_weights,
+    stratified_sample,
+)
 from diffdataflowmlpipelines_spark.functions.text import (
     bpe_ish_token_count,
+    redact_pii,
     quality_features,
     simple_language_id,
     token_count,
@@ -52,6 +58,8 @@ __all__ = [
     "count_min_estimate",
     "count_min_sketch",
     "dup_clusters",
+    "event_funnel",
+    "funnel_cascade",
     "dup_clusters_star",
     "embedding_near_dups",
     "exact_dedup",
@@ -65,8 +73,11 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_signatures",
     "minhash_signatures_rowwise",
+    "mixture_weights",
     "quality_features",
+    "redact_pii",
     "simhash",
+    "stratified_sample",
     "simple_language_id",
     "synthetic_media_df",
     "tfidf_pairs",

@@ -49,3 +49,44 @@ def stratified_sample(
         .filter(gate < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    budget_rows: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum (training-mix
+    design: w_s = n_s^alpha / sum_t n_t^alpha, alpha<1 upweights small
+    sources — the multinomial sampling rule of multilingual/multi-domain
+    LM training).
+
+    Returns (stratum, n, weight, target_rows) where ``weight`` is
+    rounded to 6 decimals and ``target_rows = round(budget * weight)``
+    is computed FROM the rounded weight so both engines hit the same
+    integer.
+
+    Scale shape: one aggregation to |strata| rows, the 1-row total is
+    broadcast back (no single-partition window over data rows) — same
+    convention as the tfidf doc-count broadcast.
+    """
+    pows = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n"))
+    pows = pows.select(
+        stratum_col,
+        F.col("n").cast("long").alias("n"),
+        F.pow(F.col("n").cast("double"), F.lit(float(alpha))).alias("__pw"),
+    )
+    total = pows.agg(F.sum("__pw").alias("__tot"))
+    w = F.round(F.col("__pw") / F.col("__tot"), 6)
+    return (
+        pows.crossJoin(F.broadcast(total))
+        .select(
+            stratum_col,
+            "n",
+            w.alias("weight"),
+            F.round(w * F.lit(float(budget_rows)), 0)
+            .cast("long")
+            .alias("target_rows"),
+        )
+    )

@@ -120,3 +120,36 @@ def word_fingerprint(tokens: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * FP_BASE + code(t)) % FP_MOD,
     )
+
+
+# --- PII redaction (curation stage: scrub before training) ------------------
+# Patterns kept to the RE2-compatible subset so the DuckDB oracle can run
+# the byte-identical regexes (no lookaround, no backrefs). Order matters:
+# emails first (an email contains dot-separated digits a later pattern
+# could half-match), then IPv4, then phone numbers.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> dict[str, Column]:
+    """Redacted text plus per-kind match counts — pure column
+    expressions (JVM regex, zero shuffle; the 100-TB shape is a map-only
+    projection). Counts are taken BEFORE redaction of that kind, on the
+    text already redacted by the preceding kinds, exactly like the
+    sequential replace — the oracle replicates the same order.
+
+    Returns {"redacted": Column, "n_email": .., "n_ipv4": .., "n_phone": ..}.
+    """
+    cur = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    for kind, pat, repl in PII_PATTERNS:
+        out[f"n_{kind}"] = F.coalesce(
+            F.regexp_count(cur, F.lit(pat)), F.lit(0)
+        ).cast("long")
+        cur = F.regexp_replace(cur, pat, repl)
+    out["redacted"] = cur
+    return out

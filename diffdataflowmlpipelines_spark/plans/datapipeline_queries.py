@@ -809,3 +809,85 @@ def t8_sequence_packing(spark, sf_dir):
         F.size(tokenize("text")).cast("long").alias("n_tok"),
     )
     return pack_sequences(docs, "doc_id", "n_tok", "source", budget=512)
+
+
+# --- round-3b curation ops: PII redaction, training-mix weights -------------
+
+from diffdataflowmlpipelines_spark.functions.sampling import mixture_weights
+from diffdataflowmlpipelines_spark.functions.text import PII_PATTERNS, redact_pii
+
+_EMAIL_PAT, _IP_PAT, _PHONE_PAT = (p for _, p, _ in PII_PATTERNS)
+
+
+@q(
+    "t9_pii_redaction",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || ' tel 555-867-530' || CAST(doc_id % 10 AS VARCHAR) AS t0
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(t0, '{_EMAIL_PAT}')) AS BIGINT)
+                    AS n_email,
+                  regexp_replace(t0, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS t1
+           FROM aug),
+    s2 AS (SELECT doc_id, n_email,
+                  CAST(len(regexp_extract_all(t1, '{_IP_PAT}')) AS BIGINT)
+                    AS n_ipv4,
+                  regexp_replace(t1, '{_IP_PAT}', '<IP>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ipv4,
+                  CAST(len(regexp_extract_all(t2, '{_PHONE_PAT}')) AS BIGINT)
+                    AS n_phone,
+                  regexp_replace(t2, '{_PHONE_PAT}', '<PHONE>', 'g') AS redacted
+           FROM s2)
+    SELECT doc_id, n_email, n_ipv4, n_phone, redacted FROM s3
+    """,
+)
+def t9_pii_redaction(spark, sf_dir):
+    """PII scrub (emails / IPv4 / phone numbers) — map-only projection,
+    JVM regex, zero shuffle. The corpus is deterministically augmented
+    with synthetic PII per doc_id so every row exercises all three
+    patterns on both engines (functions/text.redact_pii)."""
+    docs = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" tel 555-867-530"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    r = redact_pii(aug)
+    return docs.select(
+        "doc_id",
+        r["n_email"].alias("n_email"),
+        r["n_ipv4"].alias("n_ipv4"),
+        r["n_phone"].alias("n_phone"),
+        r["redacted"].alias("redacted"),
+    )
+
+
+@q(
+    "t10_domain_mixture",
+    """
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY source),
+    p AS (SELECT source, n, POWER(CAST(n AS DOUBLE), 0.5) AS pw FROM c),
+    t AS (SELECT SUM(pw) AS tot FROM p)
+    SELECT source, n, ROUND(pw / tot, 6) AS weight,
+           CAST(ROUND(ROUND(pw / tot, 6) * 1000000, 0) AS BIGINT) AS target_rows
+    FROM p, t
+    """,
+)
+def t10_domain_mixture(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) training-mix weights per source —
+    the multinomial upweighting rule for small domains; 1-row total
+    broadcast back, no data-row shuffle (functions/sampling.
+    mixture_weights)."""
+    docs = load(spark, sf_dir, "documents")
+    return mixture_weights(docs, "source", alpha=0.5, budget_rows=1_000_000)

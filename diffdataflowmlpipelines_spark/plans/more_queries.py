@@ -563,3 +563,47 @@ def j2_join_then_window(spark, sf_dir):
         .select(F.col("w.start").alias("window_start"), "n_attributed",
                 "n_purchases", "attributed_value")
     )
+
+
+# --- CEP: ordered event-sequence (funnel) detection per key -----------------
+# The north rule names a "structured-streaming / CEP engine"; this is the
+# batch registry surface of functions/cep.event_funnel (streaming twin:
+# streaming/cep.py). Earliest-anchor cascade semantics — deterministic, so
+# DuckDB replicates it exactly with chained MIN aggregates.
+
+from diffdataflowmlpipelines_spark.functions.cep import event_funnel  # noqa: E402
+
+
+@q(
+    "cep1_event_funnel",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL '1 day'
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+                         JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s1.t1 + INTERVAL '1 day'
+           GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t1 AS step_1_ts, s2.t2 AS step_2_ts, s3.t3 AS step_3_ts,
+           CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS INT)
+             AS steps_completed
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def cep1_event_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel within 1 day of the anchor view,
+    per user. One groupBy shuffle; the cascade itself is a Catalyst
+    higher-order-function fold (no Python in the hot path)."""
+    ev = load(spark, sf_dir, "events")
+    return event_funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within_s=86400,
+    )

@@ -21,6 +21,7 @@ from diffdataflowmlpipelines_spark.streaming.tfidf import (
     tfidf_from_counts,
     windowed_doc_token_counts,
 )
+from diffdataflowmlpipelines_spark.streaming.cep import streaming_event_funnel
 from diffdataflowmlpipelines_spark.streaming.vocabulary import incremental_vocabulary
 from diffdataflowmlpipelines_spark.streaming.windows import (
     session_token_activity,
@@ -42,6 +43,7 @@ __all__ = [
     "salted_label_join",
     "session_token_activity",
     "sliding_token_frequency",
+    "streaming_event_funnel",
     "streaming_near_dup_candidates",
     "streaming_signatures",
     "tfidf_from_counts",

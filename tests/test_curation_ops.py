@@ -99,3 +99,56 @@ def test_stratified_sample_gate_and_quota(spark):
         .collect()
     }
     assert again == kept
+
+
+def test_redact_pii_hand_cases(spark):
+    from diffdataflowmlpipelines_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call 555-123-4567 or 555 987 6543"),
+            (4, "clean text, no pii at all"),
+            (5, "a@b.io via 1.2.3.4 tel 111-222-3333"),
+        ],
+        "i int, s string",
+    )
+    r = redact_pii("s")
+    got = {
+        row["i"]: (row["n_email"], row["n_ipv4"], row["n_phone"], row["red"])
+        for row in df.select(
+            "i",
+            r["n_email"].alias("n_email"),
+            r["n_ipv4"].alias("n_ipv4"),
+            r["n_phone"].alias("n_phone"),
+            r["redacted"].alias("red"),
+        ).collect()
+    }
+    assert got[1] == (1, 0, 0, "mail <EMAIL> now")
+    assert got[2] == (0, 2, 0, "server at <IP> and <IP> up")
+    assert got[3] == (0, 0, 2, "call <PHONE> or <PHONE>")
+    assert got[4] == (0, 0, 0, "clean text, no pii at all")
+    # ordering: the email is consumed before its dotted host could be
+    # half-matched; the IP is consumed before the phone pass
+    assert got[5] == (1, 1, 1, "<EMAIL> via <IP> tel <PHONE>")
+
+
+def test_mixture_weights_closed_form(spark):
+    from diffdataflowmlpipelines_spark.functions.sampling import mixture_weights
+
+    # 9 a-rows, 1 b-row, alpha=0.5: pw = 3, 1 -> weights .75/.25
+    df = spark.createDataFrame(
+        [("a",)] * 9 + [("b",)], "source string"
+    )
+    got = {
+        r["source"]: (r["n"], r["weight"], r["target_rows"])
+        for r in mixture_weights(df, "source", alpha=0.5, budget_rows=1000).collect()
+    }
+    assert got == {"a": (9, 0.75, 750), "b": (1, 0.25, 250)}
+    # alpha=1 degenerates to proportional sampling
+    got1 = {
+        r["source"]: r["weight"]
+        for r in mixture_weights(df, "source", alpha=1.0, budget_rows=1000).collect()
+    }
+    assert got1 == {"a": 0.9, "b": 0.1}

@@ -37,6 +37,9 @@ AUDITED = [
     "t6_repetition_stats",
     "t7_stratified_sample",
     "t8_sequence_packing",
+    "cep1_event_funnel",
+    "t9_pii_redaction",
+    "t10_domain_mixture",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
