@@ -607,3 +607,36 @@ def cep1_event_funnel(spark, sf_dir):
         ev, "user_id", "ts", "event_type",
         ["view", "click", "purchase"], within_s=86400,
     )
+
+
+@q(
+    "cep2_absence",
+    """
+    SELECT v.user_id, v.ts AS view_ts
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '1 day'
+      )
+    """,
+)
+def cep2_absence(spark, sf_dir):
+    """CEP negation pattern: every 'view' NOT followed by a 'purchase'
+    by the same user within 1 day (abandonment detection). An interval
+    LEFT ANTI join — equi-key shuffle on user_id with the time range as
+    a join residual; no cartesian, scale-safe like j1."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (v["user_id"] == p["p_user"])
+        & (p["p_ts"] > v["view_ts"])
+        & (p["p_ts"] <= v["view_ts"] + F.expr("INTERVAL 1 DAY"))
+    )
+    return v.join(p, cond, "left_anti")

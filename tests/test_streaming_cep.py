@@ -224,3 +224,68 @@ def test_streaming_funnel_checkpoint_resume(spark, tmp_path):
         if r["step_1_ts"] is not None
     }
     assert got == _python_funnel(rows, 20_000)
+
+
+# --- pure-python property: pruned incremental == full recompute -------------
+# The streaming processor's correctness rests on the pruning proofs in
+# streaming/cep.py; this drives them with hypothesis: arbitrary event
+# times, arbitrary batch splits and arrival orders, with and without a
+# `within` horizon — the pruned incremental state must always yield the
+# same cascade as an unpruned recompute over everything seen so far.
+
+import bisect as _bisect
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _incremental(batches, k, within_us):
+    lists = [[] for _ in range(k)]
+    results = []
+    for batch in batches:
+        for step_i, t in batch:
+            _bisect.insort(lists[step_i], t)
+        comp = funnel_cascade(lists, within_us)
+        # mirror streaming/cep._funnel_fn pruning exactly
+        lists[0] = lists[0][:1]
+        horizon = (
+            lists[0][0] + within_us if within_us is not None and lists[0] else None
+        )
+        for i in range(1, k):
+            if comp[i] is not None:
+                lists[i] = lists[i][: _bisect.bisect_right(lists[i], comp[i])]
+            if horizon is not None:
+                lists[i] = lists[i][: _bisect.bisect_right(lists[i], horizon)]
+        results.append(comp)
+    return results
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), max_size=60
+    ),
+    splits=st.lists(st.integers(0, 59), max_size=6),
+    within=st.one_of(st.none(), st.integers(1, 300)),
+    data=st.data(),
+)
+def test_pruned_incremental_equals_full_recompute(events, splits, within, data):
+    k = 3
+    order = data.draw(st.permutations(range(len(events))))
+    seq = [events[i] for i in order]
+    cuts = sorted({s for s in splits if s < len(seq)})
+    batches, prev = [], 0
+    for c in cuts + [len(seq)]:
+        if c > prev:
+            batches.append(seq[prev:c])
+            prev = c
+    if not batches:
+        batches = [[]]
+    got = _incremental(batches, k, within)
+    # full recompute after each batch, no pruning
+    seen: list[list[int]] = [[] for _ in range(k)]
+    for bi, batch in enumerate(batches):
+        for step_i, t in batch:
+            _bisect.insort(seen[step_i], t)
+        want = funnel_cascade([list(x) for x in seen], within)
+        assert got[bi] == want, (bi, batches, within)

@@ -38,6 +38,7 @@ AUDITED = [
     "t7_stratified_sample",
     "t8_sequence_packing",
     "cep1_event_funnel",
+    "cep2_absence",
     "t9_pii_redaction",
     "t10_domain_mixture",
 ]
