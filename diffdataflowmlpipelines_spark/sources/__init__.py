@@ -1,3 +1,4 @@
+from diffdataflowmlpipelines_spark.sources.jsonl import read_jsonl_quarantine
 from diffdataflowmlpipelines_spark.sources.fixtures import (
     TOKENS_SCHEMA,
     TOKENS_STREAM_SCHEMA,
@@ -13,5 +14,6 @@ __all__ = [
     "gen_labels_pdf",
     "gen_tokens_pdf",
     "labels_df",
+    "read_jsonl_quarantine",
     "tokens_df",
 ]

@@ -97,3 +97,35 @@ def test_progress_listener(spark, tmp_path):
         assert all("stateOperators" in p for p in prog)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_read_jsonl_quarantine(spark, tmp_path):
+    """Malformed lines land in quarantine with the raw text; clean rows
+    carry the declared schema; type-mismatched lines quarantine too
+    (PERMISSIVE corrupt-record routing, not silent nulls)."""
+    from diffdataflowmlpipelines_spark.sources.jsonl import read_jsonl_quarantine
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "hello world", "n_tok": 2}',
+                "this is not json at all",
+                '{"doc_id": 2, "text": "ok", "n_tok": 1}',
+                '{"doc_id": "NaNope", "text": "bad id", "n_tok": 3}',
+                "",  # blank line: skipped entirely, not quarantined
+                '{"doc_id": 4, "text": null, "n_tok": 0}',
+            ]
+        )
+    )
+    clean, quar = read_jsonl_quarantine(
+        spark, str(p), "doc_id long, text string, n_tok int"
+    )
+    rows = {r["doc_id"]: (r["text"], r["n_tok"]) for r in clean.collect()}
+    # null text is VALID json for a nullable field -> clean
+    assert rows == {1: ("hello world", 2), 2: ("ok", 1), 4: (None, 0)}
+    raw = sorted(r["raw_line"] for r in quar.collect())
+    assert raw == [
+        "this is not json at all",
+        '{"doc_id": "NaNope", "text": "bad id", "n_tok": 3}',
+    ]
