@@ -39,6 +39,7 @@ BATCH_QUERIES = [
     "d2_minhash_signatures",
     "d4_simhash",
     "s1_cosine_topk",
+    "cep1_event_funnel",
 ]
 
 

@@ -640,3 +640,63 @@ def cep2_absence(spark, sf_dir):
         & (p["p_ts"] <= v["view_ts"] + F.expr("INTERVAL 1 DAY"))
     )
     return v.join(p, cond, "left_anti")
+
+
+@q(
+    "p17_region_rollout",
+    """
+    WITH sa AS (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_s,
+                       SUM(s_acctbal) AS sb
+                FROM supplier GROUP BY s_nationkey),
+    ca AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_c,
+                  SUM(c_acctbal) AS cb
+           FROM customer GROUP BY c_nationkey)
+    SELECT r.r_name AS region,
+           CAST(COALESCE(SUM(sa.n_s), 0) AS BIGINT) AS n_suppliers,
+           CAST(COALESCE(SUM(ca.n_c), 0) AS BIGINT) AS n_customers,
+           ROUND(COALESCE(SUM(sa.sb), 0), 2) AS supplier_acctbal,
+           ROUND(COALESCE(SUM(ca.cb), 0), 2) AS customer_acctbal
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN sa ON sa.s_nationkey = n.n_nationkey
+    LEFT JOIN ca ON ca.c_nationkey = n.n_nationkey
+    GROUP BY r.r_name
+    """,
+)
+def p17_region_rollout(spark, sf_dir):
+    """Region -> nation -> supplier/customer snowflake rollup with
+    AGGREGATE-BEFORE-JOIN: supplier and customer are reduced to
+    per-nation partials first (map-side combinable), then joined onto
+    the broadcast dimension chain — joining both fact tables onto
+    nation directly would cartesian suppliers x customers per nation
+    and double-count the sums. Exercises the two tables (region,
+    supplier) no other registry query touches."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    sa = (
+        load(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_s"),
+            F.sum("s_acctbal").alias("sb"),
+        )
+    )
+    ca = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_c"),
+            F.sum("c_acctbal").alias("cb"),
+        )
+    )
+    j = (
+        r.join(F.broadcast(n), n["n_regionkey"] == r["r_regionkey"])
+        .join(sa, sa["s_nationkey"] == n["n_nationkey"], "left")
+        .join(ca, ca["c_nationkey"] == n["n_nationkey"], "left")
+    )
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        F.coalesce(F.sum("n_s"), F.lit(0)).cast("long").alias("n_suppliers"),
+        F.coalesce(F.sum("n_c"), F.lit(0)).cast("long").alias("n_customers"),
+        F.round(F.coalesce(F.sum("sb"), F.lit(0.0)), 2).alias("supplier_acctbal"),
+        F.round(F.coalesce(F.sum("cb"), F.lit(0.0)), 2).alias("customer_acctbal"),
+    )

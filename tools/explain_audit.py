@@ -41,6 +41,7 @@ AUDITED = [
     "cep2_absence",
     "t9_pii_redaction",
     "t10_domain_mixture",
+    "p17_region_rollout",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
