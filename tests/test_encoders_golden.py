@@ -236,3 +236,37 @@ def test_multi_column_encoder_columnar_assembly(spark):
     # plan must contain no row-keyed join for assembly (columnar concat)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_fit_dictionary_large_vocab_dense_rank(spark):
+    """Regression for the range-partition boundary-drift class: at a
+    vocabulary large enough for partial range sampling, __idx must be a
+    dense permutation 0..n-1 that equals the global sorted rank — a
+    boundary mismatch between the offsets job and the consumer job
+    would leave holes/collisions at shard seams."""
+    n = 200_000
+    df = spark.range(n).select(
+        F.concat(F.lit("w"), F.format_string("%07d", (F.col("id") * 48271) % n))
+        .alias("w")
+    )
+    d = fit_dictionary(df, "w", n_shards=16)
+    stats = d.agg(
+        F.count("*").alias("c"),
+        F.countDistinct("__idx").alias("dc"),
+        F.min("__idx").alias("mn"),
+        F.max("__idx").alias("mx"),
+        # idx must be the rank in sorted(w) order: monotone bijection ->
+        # sum over a strict pairing check via self-ordering hash
+        F.sum(F.col("__idx")).alias("s"),
+    ).first()
+    assert (stats["c"], stats["dc"]) == (n, n)
+    assert (stats["mn"], stats["mx"]) == (0, n - 1)
+    assert stats["s"] == n * (n - 1) // 2
+    # order check on a deterministic sample: idx ordering == value ordering
+    sample = (
+        d.filter(F.pmod(F.xxhash64("w"), F.lit(997)) == 0)
+        .orderBy("w")
+        .collect()
+    )
+    idxs = [r["__idx"] for r in sample]
+    assert idxs == sorted(idxs) and len(sample) > 50
