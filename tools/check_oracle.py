@@ -5,6 +5,7 @@ DuckDB) at sf0.01 and compare row count, column names, and values
 a 1e-9 fallback report).
 
 Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [name ...]
+Env: ORACLE_SF_DIR overrides the scale (default /root/testdata/sf0.01).
 """
 
 from __future__ import annotations
@@ -18,7 +19,8 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
