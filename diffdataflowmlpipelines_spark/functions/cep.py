@@ -65,7 +65,12 @@ def event_funnel(
     # pinned UTC session timezone (session.get_spark), and outputs are
     # cast back to the input's own timestamp type below.
     t_type = df.schema[time_col].dataType
-    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+    # NULL event times are dropped: a null-t struct would sort first and
+    # write NULL into its slot, permanently blocking the step (NULL
+    # comparisons propagate through the fold)
+    ev = df.filter(
+        F.col(type_col).isin(list(steps)) & F.col(time_col).isNotNull()
+    ).select(
         F.col(key_col).alias("__key"),
         F.struct(
             F.unix_micros(F.col(time_col).cast("timestamp")).alias("t"),
@@ -120,6 +125,34 @@ def event_funnel(
         )
     cols.append(done.cast("int").alias("steps_completed"))
     return agg.select(*cols).filter(F.col("step_1_ts").isNotNull())
+
+
+def prune_candidates(
+    lists: list[list[int]], comp: Sequence[int | None], within_us: int | None
+) -> list[list[int]]:
+    """Drop candidate times that can never be chosen again (the bounded-
+    state core of the streaming processor; safety arguments in
+    streaming/cep.py's module docstring). Shared with the hypothesis
+    property test so the test exercises THIS code, not a copy.
+
+    * step 0 keeps only its min (the anchor is a monotone min);
+    * step i>0 keeps times <= its current completion (completions never
+      move past a still-kept earlier time);
+    * with ``within_us`` and an anchor present, times beyond
+      ``anchor + within`` never qualify (the window only moves earlier).
+    """
+    import bisect
+
+    k = len(lists)
+    lists = [list(x) for x in lists]
+    lists[0] = lists[0][:1]
+    horizon = lists[0][0] + within_us if within_us is not None and lists[0] else None
+    for i in range(1, k):
+        if comp[i] is not None:
+            lists[i] = lists[i][: bisect.bisect_right(lists[i], comp[i])]
+        if horizon is not None:
+            lists[i] = lists[i][: bisect.bisect_right(lists[i], horizon)]
+    return lists
 
 
 def funnel_cascade(times_by_step: Sequence[Sequence[int]], within_us: int | None):

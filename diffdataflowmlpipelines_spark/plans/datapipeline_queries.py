@@ -830,18 +830,18 @@ _EMAIL_PAT, _IP_PAT, _PHONE_PAT = (p for _, p, _ in PII_PATTERNS)
       FROM documents
     ),
     s1 AS (SELECT doc_id,
-                  CAST(len(regexp_extract_all(t0, '{_EMAIL_PAT}')) AS BIGINT)
-                    AS n_email,
+                  CAST(COALESCE(len(regexp_extract_all(t0, '{_EMAIL_PAT}')), 0)
+                       AS BIGINT) AS n_email,
                   regexp_replace(t0, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS t1
            FROM aug),
     s2 AS (SELECT doc_id, n_email,
-                  CAST(len(regexp_extract_all(t1, '{_IP_PAT}')) AS BIGINT)
-                    AS n_ipv4,
+                  CAST(COALESCE(len(regexp_extract_all(t1, '{_IP_PAT}')), 0)
+                       AS BIGINT) AS n_ipv4,
                   regexp_replace(t1, '{_IP_PAT}', '<IP>', 'g') AS t2
            FROM s1),
     s3 AS (SELECT doc_id, n_email, n_ipv4,
-                  CAST(len(regexp_extract_all(t2, '{_PHONE_PAT}')) AS BIGINT)
-                    AS n_phone,
+                  CAST(COALESCE(len(regexp_extract_all(t2, '{_PHONE_PAT}')), 0)
+                       AS BIGINT) AS n_phone,
                   regexp_replace(t2, '{_PHONE_PAT}', '<PHONE>', 'g') AS redacted
            FROM s2)
     SELECT doc_id, n_email, n_ipv4, n_phone, redacted FROM s3

@@ -43,8 +43,11 @@ def read_jsonl_quarantine(
     """
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    declared = [f.name for f in schema.fields]
-    if CORRUPT_COL not in declared:
+    declared = [f.name for f in schema.fields if f.name != CORRUPT_COL]
+    # copy before extending: StructType.add mutates in place, and the
+    # caller's schema object must not grow a corrupt column
+    schema = T.StructType(list(schema.fields))
+    if CORRUPT_COL not in [f.name for f in schema.fields]:
         schema = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
     # text scan + from_json rather than spark.read.json: filtering only
     # on the internal corrupt column of a JSON scan is disallowed

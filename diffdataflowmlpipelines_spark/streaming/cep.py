@@ -8,7 +8,9 @@ arrival ACROSS micro-batches (a late-arriving earlier 'view' re-anchors
 the funnel and the emitted completion times move accordingly), not just
 within one batch.
 
-Bounded state, with proofs in the pruning comments:
+State bound (pruning lives in functions/cep.prune_candidates, shared
+with the hypothesis property test so the test drives the production
+code):
 
 * without ``within_s``, completions are monotonically NONINCREASING as
   events accumulate (adding candidates can only move each min
@@ -20,16 +22,24 @@ Bounded state, with proofs in the pruning comments:
   same pruning stays safe: a dropped time ``t > comp_i`` could only be
   chosen after ``comp_i`` turns ineligible, which requires the horizon
   to shrink below ``comp_i < t`` — making ``t`` ineligible too;
-* step 0 needs only its minimum; candidate times beyond
-  ``min(step_1) + within`` never qualify, so the whole per-key state
-  is bounded by the funnel horizon — the CEP analogue of a watermark
-  bound (unbounded only for never-anchored keys with no ``within``).
+* step 0 needs only its minimum; once a key is ANCHORED and
+  ``within_s`` is set, everything beyond ``anchor + within`` is
+  dropped, so anchored-key state is bounded by the funnel horizon.
 
-Emission ("update" mode): one row per key per batch that saw events —
-the key's CURRENT funnel row, identical in schema and values to the
-batch ``event_funnel`` over every event seen so far (the parity test
-pins last-emitted-per-key == batch recompute, including under
-cross-batch out-of-order delivery).
+NOT bounded: a key that has never seen its anchor type retains every
+later-step candidate (any future anchor could make any of them the
+completion), with or without ``within_s`` — as does any key when
+``within_s`` is None and the chain is incomplete. For hostile or
+anchor-less traffic, bound it operationally: route only plausibly-
+anchorable keys into the operator (a stateless semi-join on keys that
+have emitted the anchor type), or age state out with a timeout.
+
+Emission ("update" mode), matching the batch operator exactly: a row is
+emitted for a key only once its step-1 anchor exists (batch
+``event_funnel`` omits anchor-less keys), named and typed identically —
+``(key_col, step_1_ts .. step_k_ts, steps_completed)``. The parity test
+pins last-emitted-per-key == batch recompute over the union of all
+epochs, for any epoch split and cross-epoch arrival order.
 """
 
 from __future__ import annotations
@@ -41,21 +51,28 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-from diffdataflowmlpipelines_spark.functions.cep import funnel_cascade
+from diffdataflowmlpipelines_spark.functions.cep import (
+    funnel_cascade,
+    prune_candidates,
+)
 
 
 def _state_schema(k: int) -> str:
     return ", ".join(f"l{i} array<long>" for i in range(k))
 
 
-def _output_schema(k: int, key_type: str) -> str:
+def _output_schema(k: int, key_col: str, key_type: str) -> str:
     steps = ", ".join(f"step_{i + 1}_ts timestamp" for i in range(k))
-    return f"key {key_type}, {steps}, steps_completed int"
+    return f"{key_col} {key_type}, {steps}, steps_completed int"
 
 
-def _funnel_fn(steps: Sequence[str], within_us: int | None):
+def _funnel_fn(steps: Sequence[str], within_us: int | None, key_col: str):
     k = len(steps)
-    step_ix = {s: i for i, s in enumerate(steps)}
+    # a repeated step type feeds EVERY slot with that type (batch parity:
+    # the fold checks each slot's own element_at(steps, i+1))
+    slots_by_type: dict[str, list[int]] = {}
+    for i, s in enumerate(steps):
+        slots_by_type.setdefault(s, []).append(i)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state):
         lists: list[list[int]] = (
@@ -64,24 +81,18 @@ def _funnel_fn(steps: Sequence[str], within_us: int | None):
             else [[] for _ in range(k)]
         )
         for pdf in pdfs:
+            # NaT would astype to -2^63 and poison the anchor min; the
+            # stateless select already filters nulls, this is defense
+            pdf = pdf[pdf["event_time"].notna()]
             ts = pdf["event_time"].astype("datetime64[us]").astype("int64")
             for t, ty in zip(ts, pdf["event_type"]):
-                bisect.insort(lists[step_ix[ty]], int(t))
+                for i in slots_by_type[ty]:
+                    bisect.insort(lists[i], int(t))
         comp = funnel_cascade(lists, within_us)
-        # prune: times > current completion are never chosen again
-        # (completions only move earlier); step 0 keeps its min only;
-        # within prunes everything beyond the anchor horizon.
-        lists[0] = lists[0][:1]
-        horizon = (
-            lists[0][0] + within_us if within_us is not None and lists[0] else None
-        )
-        for i in range(1, k):
-            if comp[i] is not None:
-                lists[i] = lists[i][: bisect.bisect_right(lists[i], comp[i])]
-            if horizon is not None:
-                lists[i] = lists[i][: bisect.bisect_right(lists[i], horizon)]
-        state.update(tuple(lists))
-        row = {"key": key[0]}
+        state.update(tuple(prune_candidates(lists, comp, within_us)))
+        if comp[0] is None:
+            return  # batch parity: no row until the anchor exists
+        row = {key_col: key[0]}
         for i in range(k):
             row[f"step_{i + 1}_ts"] = (
                 pd.Timestamp(comp[i], unit="us") if comp[i] is not None else pd.NaT
@@ -102,22 +113,24 @@ def streaming_event_funnel(
     within_s: int | None = None,
     key_type: str = "long",
 ) -> DataFrame:
-    """Per-key funnel state stream. The type filter is stateless and
-    pushed to the source scan; state lives only for keys that emit step
-    events. Parity invariant (pinned in tests/test_streaming_cep.py):
-    last emitted row per key == functions/cep.event_funnel over the
-    union of all epochs, for any epoch split and cross-epoch arrival
-    order."""
+    """Per-key funnel state stream. The type/null filter is stateless
+    and pushed to the source scan; state lives only for keys that emit
+    step events. Output schema and emission rule match
+    functions/cep.event_funnel row for row (see module docstring)."""
     k = len(steps)
-    keyed = events.filter(F.col(type_col).isin(list(steps))).select(
-        F.col(key_col).cast(key_type).alias("key"),
+    if k == 0:
+        raise ValueError("steps must be non-empty")
+    keyed = events.filter(
+        F.col(type_col).isin(list(steps)) & F.col(time_col).isNotNull()
+    ).select(
+        F.col(key_col).cast(key_type).alias("__cep_key"),
         F.col(time_col).cast("timestamp").alias("event_time"),
         F.col(type_col).alias("event_type"),
     )
     within_us = int(within_s) * 1_000_000 if within_s is not None else None
-    return keyed.groupBy("key").applyInPandasWithState(
-        _funnel_fn(steps, within_us),
-        outputStructType=_output_schema(k, key_type),
+    return keyed.groupBy("__cep_key").applyInPandasWithState(
+        _funnel_fn(steps, within_us, key_col),
+        outputStructType=_output_schema(k, key_col, key_type),
         stateStructType=_state_schema(k),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -129,3 +129,21 @@ def test_read_jsonl_quarantine(spark, tmp_path):
         "this is not json at all",
         '{"doc_id": "NaNope", "text": "bad id", "n_tok": 3}',
     ]
+
+
+def test_read_jsonl_schema_not_mutated(spark, tmp_path):
+    """The caller's StructType must not grow a _corrupt_record field
+    (StructType.add mutates in place)."""
+    from pyspark.sql import types as T
+
+    from diffdataflowmlpipelines_spark.sources.jsonl import read_jsonl_quarantine
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"a": 1}\nnot json\n')
+    schema = T.StructType([T.StructField("a", T.LongType(), True)])
+    clean, quar = read_jsonl_quarantine(spark, str(p), schema)
+    assert clean.count() == 1 and quar.count() == 1
+    assert [f.name for f in schema.fields] == ["a"]
+    # second call with the SAME object behaves identically
+    clean2, _ = read_jsonl_quarantine(spark, str(p), schema)
+    assert clean2.columns == ["a"]

@@ -110,7 +110,7 @@ def test_event_funnel_within_excludes_late_steps(spark):
 
 def _run_stream(spark, tmp_path, epochs, within_s, tag=""):
     src = EpochFileSource(spark, str(tmp_path / f"src{tag}"), EV_SCHEMA)
-    sink = ExactlyOnceParquetSink(str(tmp_path / f"out{tag}"), ["key"])
+    sink = ExactlyOnceParquetSink(str(tmp_path / f"out{tag}"), ["user_id"])
     for ep in epochs:
         src.add_epoch(ep)
     q = (
@@ -154,7 +154,7 @@ def test_streaming_funnel_parity_out_of_order(spark, tmp_path, within_s):
         spark, tmp_path, _to_epochs(rows, 4, seed=3), within_s, tag=f"-{within_s}"
     )
     got = {
-        r["key"]: (
+        r["user_id"]: (
             r["step_1_ts"],
             r["step_2_ts"],
             r["step_3_ts"],
@@ -194,7 +194,7 @@ def test_streaming_funnel_checkpoint_resume(spark, tmp_path):
     rows = _random_events(23)
     epochs = _to_epochs(rows, 4, seed=5)
     src = EpochFileSource(spark, str(tmp_path / "src"), EV_SCHEMA)
-    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["key"])
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["user_id"])
 
     def start():
         return (
@@ -214,7 +214,7 @@ def test_streaming_funnel_checkpoint_resume(spark, tmp_path):
     start().awaitTermination(300)  # resume from checkpointed state
 
     got = {
-        r["key"]: (
+        r["user_id"]: (
             r["step_1_ts"],
             r["step_2_ts"],
             r["step_3_ts"],
@@ -240,22 +240,16 @@ from hypothesis import strategies as st
 
 
 def _incremental(batches, k, within_us):
+    from diffdataflowmlpipelines_spark.functions.cep import prune_candidates
+
     lists = [[] for _ in range(k)]
     results = []
     for batch in batches:
         for step_i, t in batch:
             _bisect.insort(lists[step_i], t)
         comp = funnel_cascade(lists, within_us)
-        # mirror streaming/cep._funnel_fn pruning exactly
-        lists[0] = lists[0][:1]
-        horizon = (
-            lists[0][0] + within_us if within_us is not None and lists[0] else None
-        )
-        for i in range(1, k):
-            if comp[i] is not None:
-                lists[i] = lists[i][: _bisect.bisect_right(lists[i], comp[i])]
-            if horizon is not None:
-                lists[i] = lists[i][: _bisect.bisect_right(lists[i], horizon)]
+        # THE production pruning (streaming/cep._funnel_fn calls this)
+        lists = prune_candidates(lists, comp, within_us)
         results.append(comp)
     return results
 
@@ -289,3 +283,76 @@ def test_pruned_incremental_equals_full_recompute(events, splits, within, data):
             _bisect.insort(seen[step_i], t)
         want = funnel_cascade([list(x) for x in seen], within)
         assert got[bi] == want, (bi, batches, within)
+
+
+def test_streaming_funnel_duplicate_step_types(spark, tmp_path):
+    """steps with a REPEATED type (view -> view -> click) must feed both
+    view slots — batch handles duplicates via per-slot type checks, and
+    the streaming twin must match (a type->single-slot dict silently
+    starves the first slot)."""
+    dup_steps = ["view", "view", "click"]
+    rows = [
+        (1, T0 + timedelta(seconds=s), ty)
+        for s, ty in [(10, "view"), (20, "view"), (30, "click")]
+    ] + [
+        (2, T0 + timedelta(seconds=5), "view"),  # only one view: stalls at 1
+        (2, T0 + timedelta(seconds=9), "click"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    batch = {
+        r["user_id"]: (r["step_1_ts"], r["step_2_ts"], r["step_3_ts"],
+                       r["steps_completed"])
+        for r in event_funnel(
+            df, "user_id", "event_time", "event_type", dup_steps
+        ).collect()
+    }
+    assert batch[1][3] == 3 and batch[2][3] == 1
+
+    src = EpochFileSource(spark, str(tmp_path / "src"), EV_SCHEMA)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["user_id"])
+    src.add_epoch(
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "event_time": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        )
+    )
+    q = (
+        streaming_event_funnel(src.stream(), dup_steps)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["user_id"]: (r["step_1_ts"], r["step_2_ts"], r["step_3_ts"],
+                       r["steps_completed"])
+        for r in sink.read_current(spark).collect()
+    }
+    assert got == batch
+
+
+def test_event_funnel_null_timestamps_ignored(spark):
+    """A NULL event time must be ignored, not poison the key's funnel."""
+    rows = [
+        (1, None, "view"),
+        (1, T0 + timedelta(seconds=10), "view"),
+        (1, T0 + timedelta(seconds=20), "click"),
+    ]
+    nullable_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_time", T.TimestampType(), True),
+            T.StructField("event_type", T.StringType(), False),
+        ]
+    )
+    df = spark.createDataFrame(rows, nullable_schema)
+    (r,) = event_funnel(
+        df, "user_id", "event_time", "event_type", STEPS
+    ).collect()
+    assert r["steps_completed"] == 2
+    assert r["step_1_ts"] == T0 + timedelta(seconds=10)

@@ -95,8 +95,17 @@ def main(only: list[str]) -> int:
         status = " / ".join(fl) if fl else "clean"
         print(f"{name}: {status}")
         lines += [f"## {name}", "", f"flags: {status}", "", "```", plan.strip()[:4000], "```", ""]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
-        f.write("\n".join(lines))
+    if not only:
+        # PLANS.md is the full-audit record; a subset run must not
+        # clobber it (it once shrank 26 sections to 1)
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "PLANS.md",
+            ),
+            "w",
+        ) as f:
+            f.write("\n".join(lines))
     spark.stop()
     return 0
 
