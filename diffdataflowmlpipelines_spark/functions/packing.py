@@ -93,10 +93,16 @@ def pack_sequences_sharded(
         .agg(F.sum(len_col).alias("__sub"))
         .collect()
     )
-    # prefix offsets: tokens in earlier partitions of the same stratum
+    # prefix offsets: tokens in earlier partitions of the same stratum.
+    # A NULL stratum is a real group (Spark's groupBy/window semantics,
+    # which the window twin inherits): sort it first — matching Spark's
+    # nulls-first range order — and key it as None.
     by_stratum: dict = {}
     offsets = {}
-    for r in sorted(subtotals, key=lambda r: (r[strata_col], r["__pid"])):
+    for r in sorted(
+        subtotals,
+        key=lambda r: (r[strata_col] is not None, r[strata_col], r["__pid"]),
+    ):
         key = (r["__pid"], r[strata_col])
         offsets[key] = by_stratum.get(r[strata_col], 0)
         by_stratum[r[strata_col]] = offsets[key] + int(r["__sub"])
@@ -116,15 +122,23 @@ def pack_sequences_sharded(
         pdfs = list(batches)
         if not pdfs:
             return
+        # na_position='first' + dropna=False: Spark range-partitions and
+        # window-orders nulls FIRST and groups them as a real key; the
+        # pandas defaults (NaN last, null group dropped) would misalign
+        # the prefix offsets and crash the int cast
         pdf = pd.concat(pdfs, ignore_index=True).sort_values(
-            [strata_col, id_col], kind="stable"
+            [strata_col, id_col], kind="stable", na_position="first"
         )
         pid = int(pdf["__pid"].iloc[0])
-        local_cum = pdf.groupby(strata_col, sort=False)[len_col].cumsum()
+        local_cum = pdf.groupby(strata_col, sort=False, dropna=False)[
+            len_col
+        ].cumsum()
         start = (
             local_cum
             - pdf[len_col]
-            + pdf[strata_col].map(lambda s: b_offsets.value[(pid, s)])
+            + pdf[strata_col].map(
+                lambda s: b_offsets.value[(pid, None if pd.isna(s) else s)]
+            )
         )
         out = pdf[[strata_col, id_col, len_col]].copy()
         out["chunk"] = (start // budget).astype("int64")

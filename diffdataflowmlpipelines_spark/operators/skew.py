@@ -104,6 +104,7 @@ def salted_broadcast_join(
     on: list[str],
     n_salts: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Join where ``big`` has hot keys and ``small`` is broadcastable:
     replicate ``small`` across all salts and salt ``big`` randomly —
@@ -111,17 +112,30 @@ def salted_broadcast_join(
     join this is usually unnecessary; kept for plans where AQE cannot
     see the skew, e.g. streaming foreachBatch joins.)
 
-    The salt is a content hash of the whole big-side row (same scheme
-    as streaming/join.py salted_label_join) — deterministic under
+    The salt is a content hash of the big-side row (same scheme as
+    streaming/join.py salted_label_join) — deterministic under
     repartition and task retry, unlike partition-id-derived salts
-    (VERDICT r2 nit: layout-dependent salting)."""
+    (VERDICT r2 nit: layout-dependent salting).
+
+    CAVEAT — exact-duplicate rows: a content hash maps identical rows
+    to ONE salt, so a hot key whose rows are byte-identical duplicates
+    (a crawl corpus before dedup) would re-concentrate on a single
+    task. ``salt_cols`` names columns that disambiguate rows (a unique
+    id, an event time); when the big side genuinely has no
+    distinguishing column, pass ``salt_cols=[]`` to fall back to a
+    random-per-row salt (layout-dependent but spread-guaranteed; under
+    task retry a row may land on a different salt, which is harmless
+    for inner/left joins against a fully replicated small side)."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     small_rep = small.select("*", salts)
+    if salt_cols is None:
+        salt_src = F.xxhash64(*[F.col(c) for c in big.columns])
+    elif salt_cols:
+        salt_src = F.xxhash64(*[F.col(c) for c in salt_cols])
+    else:
+        salt_src = (F.rand(seed=42) * n_salts).cast("long")
     big_salted = big.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
-        ).cast("int"),
+        "__salt", F.pmod(salt_src, F.lit(n_salts)).cast("int")
     )
     out = big_salted.join(F.broadcast(small_rep), on=[*on, "__salt"], how=how)
     return out.drop("__salt")

@@ -44,14 +44,21 @@ def _rows_to_pdf(rows, schema):
         t = f.dataType.simpleString()
         if t == "timestamp":
             pdf[f.name] = pd.to_datetime(pdf[f.name]).dt.tz_localize("UTC")
-        elif t == "bigint":
-            pdf[f.name] = pdf[f.name].astype("int64")
-        elif t == "int":
-            pdf[f.name] = pdf[f.name].astype("int32")
+        elif t in ("bigint", "int"):
+            # nullable pandas dtypes: a NULL int cell must not crash the
+            # fast path (plain astype('int64') raises on None) and must
+            # round-trip through parquet as a typed null like
+            # Spark-written epochs do
+            pdf[f.name] = pdf[f.name].astype("Int64" if t == "bigint" else "Int32")
         elif t == "double":
             pdf[f.name] = pdf[f.name].astype("float64")
         elif t == "float":
             pdf[f.name] = pdf[f.name].astype("float32")
+        elif t == "string":
+            # an empty/all-null object column would be INFERRED by
+            # pyarrow (as double/null), writing a conflicting parquet
+            # schema into the epoch directory — pin it
+            pdf[f.name] = pdf[f.name].astype("string")
     return pdf
 
 
@@ -94,6 +101,11 @@ class IncrementalScalerPipeline:
         # aggregate: each epoch folds in the BATCH's partial sums, so a
         # single-row update costs O(batch), not O(snapshot)
         self._n, self._s1, self._s2 = 0, 0.0, 0.0
+        # epochs whose partial sums THIS object has folded (restored
+        # prefix counts as folded): distinguishes the two crash windows
+        # on replay — before the fold (re-fold it) vs after (repair the
+        # missing output only)
+        self._folded_epochs: set[int] = set()
         self._restore_from_sink()
 
     def _restore_from_sink(self) -> None:
@@ -101,6 +113,7 @@ class IncrementalScalerPipeline:
         memory, so after a restart ``process_epoch`` would skip committed
         epochs without folding them. Rebuild (n, s1, s2) and last_meta
         from the committed input prefix (one aggregate job, once)."""
+        self._folded_epochs = set(self.input_sink.committed_epochs())
         if not self.input_sink.committed_epochs():
             return
         x = F.col(self.value_col).cast("double")
@@ -200,6 +213,7 @@ class IncrementalScalerPipeline:
         self.input_sink.write_batch_local(pdf, epoch_id)
         self.epochs += 1
         meta = self._fold_pdf(pdf)
+        self._folded_epochs.add(epoch_id)
         insert_only = self._last_batch_insert_only
         if meta != self.last_meta:
             out = self._encode(self._consolidated(), meta)
@@ -207,7 +221,11 @@ class IncrementalScalerPipeline:
             self.full_reencodes += 1
         elif insert_only:
             cols = [c for c in pdf.columns if c != DIFF]
-            net = pdf.groupby(cols, as_index=False, sort=False)[DIFF].sum()
+            # dropna=False: Spark's groupBy keeps null keys; pandas'
+            # default silently drops the whole null-bearing row
+            net = pdf.groupby(cols, as_index=False, sort=False, dropna=False)[
+                DIFF
+            ].sum()
             net = net[net[DIFF] != 0]
             self.output_sink.write_batch_local(self._encode_pdf(net, meta), epoch_id)
         else:
@@ -220,24 +238,58 @@ class IncrementalScalerPipeline:
             self.output_sink.write_batch(self._encode(affected, meta), epoch_id)
         self.last_meta = meta
 
+    def _replay_unfolded(self, epoch_id: int) -> None:
+        """Same-process crash window BEFORE the statistic fold: the
+        input epoch committed but this object's statistic never saw it
+        (a restart would re-fold it via _restore_from_sink, but a
+        replay on the same long-lived object must fold it here — the
+        old repair path assumed the fold had happened and silently
+        corrupted every later statistic)."""
+        ep = with_diff(
+            self.spark.read.parquet(self.input_sink.epoch_dir(epoch_id))
+        ).persist()
+        meta = self._fold_batch(ep)
+        self._folded_epochs.add(epoch_id)
+        self.epochs = len(self.input_sink.committed_epochs())
+        insert_only = self._last_batch_insert_only
+        if meta != self.last_meta:
+            out = self._encode(self._consolidated(), meta)
+            self.full_reencodes += 1
+        elif insert_only:
+            out = self._encode(consolidate(ep), meta)
+        else:
+            keys = ep.select(*self.key_cols).dropDuplicates()
+            out = self._encode(
+                self._consolidated().join(keys, on=self.key_cols, how="left_semi"),
+                meta,
+            )
+        self.output_sink.write_batch(out, epoch_id)
+        self.last_meta = meta
+        ep.unpersist()
+
     def _repair_output(self, epoch_id: int) -> None:
-        """Crash-window repair: the input epoch committed but the output
-        didn't (failure between the two commits; on replay the early
-        return would otherwise leave the output epoch missing forever).
-        The restored statistic already includes this epoch; cascade-vs-
-        affected is re-decided by subtracting the epoch's partial sums
-        to recover the PRE-epoch meta."""
+        """Crash-window repair: the input epoch committed AND was folded
+        into the statistic, but the output didn't commit. Cascade-vs-
+        affected is re-decided by recomputing the PRE-epoch meta from
+        the input history EXCLUDING this epoch — an exact recomputation,
+        not a float subtraction (a-b+b != a can misclassify the branch
+        when round_to is None)."""
         ep = with_diff(self.spark.read.parquet(self.input_sink.epoch_dir(epoch_id)))
         x = F.col(self.value_col).cast("double")
-        row = ep.agg(
+        base = with_diff(
+            self.input_sink.read_all(self.spark)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        row = base.agg(
             F.sum(F.col(DIFF)).alias("n"),
             F.sum(x * F.col(DIFF)).alias("s1"),
             F.sum(x * x * F.col(DIFF)).alias("s2"),
         ).first()
         saved = (self._n, self._s1, self._s2)
-        self._n -= int(row["n"] or 0)
-        self._s1 -= float(row["s1"] or 0.0)
-        self._s2 -= float(row["s2"] or 0.0)
+        self._n = int(row["n"] or 0)
+        self._s1 = float(row["s1"] or 0.0)
+        self._s2 = float(row["s2"] or 0.0)
         meta_before = self._current_meta()
         self._n, self._s1, self._s2 = saved
         meta = self._current_meta()
@@ -251,13 +303,19 @@ class IncrementalScalerPipeline:
             )
             out = self._encode(affected, meta)
         self.output_sink.write_batch(out, epoch_id)
+        # the crash skipped the post-output assignment: a stale last_meta
+        # would let the NEXT epoch encode new rows with a different meta
+        # than the rows just emitted
+        self.last_meta = meta
         self.last_meta = meta
 
     # -- foreachBatch body ----------------------------------------------------
 
     def process_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.input_sink.is_committed(epoch_id):
-            if not self.output_sink.is_committed(epoch_id):
+            if epoch_id not in self._folded_epochs:
+                self._replay_unfolded(epoch_id)
+            elif not self.output_sink.is_committed(epoch_id):
                 self._repair_output(epoch_id)
             return  # replay: input (and now output) committed
         if self.small_epoch_rows:
@@ -270,6 +328,7 @@ class IncrementalScalerPipeline:
         self.epochs += 1
 
         meta = self._fold_batch(batch_df)  # O(batch), one aggregate job
+        self._folded_epochs.add(epoch_id)
         insert_only = self._last_batch_insert_only
         if meta != self.last_meta:
             # DD cascade: statistic changed -> every live output row is
@@ -364,6 +423,7 @@ class IncrementalMultiScalerPipeline:
         self._n = 0
         self._s1 = [0.0] * k
         self._s2 = [0.0] * k
+        self._folded_epochs: set[int] = set()  # see single-column twin
         self._restore_from_sink()
 
     # -- statistics -----------------------------------------------------------
@@ -392,6 +452,7 @@ class IncrementalMultiScalerPipeline:
         return tuple(metas)
 
     def _restore_from_sink(self) -> None:
+        self._folded_epochs = set(self.input_sink.committed_epochs())
         if not self.input_sink.committed_epochs():
             return
         df = with_diff(self.input_sink.read_all(self.spark))
@@ -464,6 +525,7 @@ class IncrementalMultiScalerPipeline:
         self.input_sink.write_batch_local(pdf, epoch_id)
         self.epochs += 1
         meta = self._fold_pdf(pdf)
+        self._folded_epochs.add(epoch_id)
         insert_only = self._last_batch_insert_only
         if meta != self.last_meta:
             out = self._encode(self._consolidated(), meta)
@@ -471,7 +533,10 @@ class IncrementalMultiScalerPipeline:
             self.full_reencodes += 1
         elif insert_only:
             cols = [c for c in pdf.columns if c != DIFF]
-            net = pdf.groupby(cols, as_index=False, sort=False)[DIFF].sum()
+            # dropna=False: see single-column twin
+            net = pdf.groupby(cols, as_index=False, sort=False, dropna=False)[
+                DIFF
+            ].sum()
             net = net[net[DIFF] != 0]
             self.output_sink.write_batch_local(self._encode_pdf(net, meta), epoch_id)
         else:
@@ -484,16 +549,47 @@ class IncrementalMultiScalerPipeline:
             self.output_sink.write_batch(self._encode(affected, meta), epoch_id)
         self.last_meta = meta
 
+    def _replay_unfolded(self, epoch_id: int) -> None:
+        """See the single-column twin: same-process replay of an epoch
+        whose input committed before the statistic fold ran."""
+        ep = with_diff(
+            self.spark.read.parquet(self.input_sink.epoch_dir(epoch_id))
+        ).persist()
+        meta = self._fold_batch(ep)
+        self._folded_epochs.add(epoch_id)
+        self.epochs = len(self.input_sink.committed_epochs())
+        insert_only = self._last_batch_insert_only
+        if meta != self.last_meta:
+            out = self._encode(self._consolidated(), meta)
+            self.full_reencodes += 1
+        elif insert_only:
+            out = self._encode(consolidate(ep), meta)
+        else:
+            keys = ep.select(*self.key_cols).dropDuplicates()
+            out = self._encode(
+                self._consolidated().join(keys, on=self.key_cols, how="left_semi"),
+                meta,
+            )
+        self.output_sink.write_batch(out, epoch_id)
+        self.last_meta = meta
+        ep.unpersist()
+
     def _repair_output(self, epoch_id: int) -> None:
-        """See the single-column twin: input committed, output missing
-        (crash between the two commits)."""
+        """See the single-column twin: input committed AND folded, output
+        missing; pre-epoch meta recomputed exactly from the input
+        history excluding this epoch (no float subtraction)."""
         ep = with_diff(self.spark.read.parquet(self.input_sink.epoch_dir(epoch_id)))
-        row = ep.agg(*self._sum_exprs()).first()
+        base = with_diff(
+            self.input_sink.read_all(self.spark)
+            .filter(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+        row = base.agg(*self._sum_exprs()).first()
         saved = (self._n, list(self._s1), list(self._s2))
-        self._n -= int(row["n"] or 0)
+        self._n = int(row["n"] or 0)
         for i in range(len(self.value_cols)):
-            self._s1[i] -= float(row[f"s1_{i}"] or 0.0)
-            self._s2[i] -= float(row[f"s2_{i}"] or 0.0)
+            self._s1[i] = float(row[f"s1_{i}"] or 0.0)
+            self._s2[i] = float(row[f"s2_{i}"] or 0.0)
         meta_before = self._current_meta()
         self._n, self._s1, self._s2 = saved[0], saved[1], saved[2]
         meta = self._current_meta()
@@ -511,7 +607,9 @@ class IncrementalMultiScalerPipeline:
 
     def process_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.input_sink.is_committed(epoch_id):
-            if not self.output_sink.is_committed(epoch_id):
+            if epoch_id not in self._folded_epochs:
+                self._replay_unfolded(epoch_id)
+            elif not self.output_sink.is_committed(epoch_id):
                 self._repair_output(epoch_id)
             return
         if self.small_epoch_rows:
@@ -524,6 +622,7 @@ class IncrementalMultiScalerPipeline:
         self.epochs += 1
 
         meta = self._fold_batch(batch_df)
+        self._folded_epochs.add(epoch_id)
         insert_only = self._last_batch_insert_only
         if meta != self.last_meta:
             if insert_only and self.input_sink.committed_epochs() == [epoch_id]:

@@ -153,7 +153,9 @@ def _apply_shard_batch(
     return pd.DataFrame(
         {
             "shard": pd.array([shard] * len(touched), dtype="int32"),
-            "token": list(touched),
+            # explicit dtype: an empty emission's object column would be
+            # pyarrow-inferred as null type (parquet schema conflict)
+            "token": pd.array(list(touched), dtype="string"),
             "idx": pd.array(
                 [
                     # global index; -1 when the value is currently dead
@@ -260,6 +262,10 @@ class DriverVocabularyPipeline:
         )
         self.shards: dict[int, ShardDict] = {}
         self.epochs = 0
+        # epochs whose diffs THIS process has applied to the ShardDicts:
+        # distinguishes (on replay) a crash before the apply — which
+        # must apply the committed input now — from one after it
+        self._applied_epochs: set[int] = set()
         self._restore_from_sink()
 
     # -- plumbing -------------------------------------------------------------
@@ -279,7 +285,10 @@ class DriverVocabularyPipeline:
         pdf = pd.DataFrame(
             {
                 "shard": pd.array([r["shard"] for r in rows], dtype="int32"),
-                "token": [r["token"] for r in rows],
+                # explicit string dtype: an EMPTY epoch's object column
+                # would be pyarrow-inferred (null type), writing a
+                # conflicting parquet schema into the sink
+                "token": pd.array([r["token"] for r in rows], dtype="string"),
                 "diff": pd.array([r["diff"] for r in rows], dtype="int64"),
                 "event_time": pd.to_datetime(
                     [r["event_time"] for r in rows]
@@ -311,7 +320,7 @@ class DriverVocabularyPipeline:
         return pd.DataFrame(
             {
                 "shard": pd.array([r[0] for r in rows], dtype="int32"),
-                "token": [r[1] for r in rows],
+                "token": pd.array([r[1] for r in rows], dtype="string"),
                 "idx": pd.array([r[2] for r in rows], dtype="int64"),
                 "count": pd.array([r[3] for r in rows], dtype="int64"),
                 "vec_len": pd.array([r[4] for r in rows], dtype="int64"),
@@ -322,6 +331,7 @@ class DriverVocabularyPipeline:
         for e in self.input_sink.committed_epochs():
             pdf = pd.read_parquet(self.input_sink.epoch_dir(e))
             self._apply_pdf(pdf)
+            self._applied_epochs.add(e)
             self.epochs += 1
             if not self.output_sink.is_committed(e):
                 # crash window: input committed, output missing
@@ -331,12 +341,23 @@ class DriverVocabularyPipeline:
 
     def process_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.input_sink.is_committed(epoch_id):
-            if not self.output_sink.is_committed(epoch_id):
+            if epoch_id not in self._applied_epochs:
+                # same-process crash BEFORE the apply: fold the committed
+                # input now (the old code emitted full state from
+                # ShardDicts that never saw this epoch and dropped its
+                # updates for the rest of the process lifetime)
+                pdf = pd.read_parquet(self.input_sink.epoch_dir(epoch_id))
+                out = self._apply_pdf(pdf)
+                self._applied_epochs.add(epoch_id)
+                self.epochs += 1
+                self.output_sink.write_batch_local(out, epoch_id)
+            elif not self.output_sink.is_committed(epoch_id):
                 self.output_sink.write_batch_local(self._full_state_pdf(), epoch_id)
             return
         pdf = self._rows_to_pdf(self._keyed(batch_df).collect())  # one job
         self.input_sink.write_batch_local(pdf, epoch_id)
         out = self._apply_pdf(pdf)
+        self._applied_epochs.add(epoch_id)
         self.output_sink.write_batch_local(out, epoch_id)
         self.epochs += 1
 

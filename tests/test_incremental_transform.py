@@ -278,3 +278,74 @@ def test_crash_between_input_and_output_commit_repaired(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-9), k
+
+
+def test_same_process_replay_before_fold(spark, tmp_path):
+    """Crash AFTER the input commit but BEFORE the statistic fold, then
+    a replay on the SAME object (long-lived session — no restart, so
+    _restore_from_sink never re-runs). The replay must fold the
+    committed epoch; the old repair path assumed the fold had happened
+    and permanently corrupted the statistic."""
+    from diffdataflowmlpipelines_spark.operators.collection import with_diff
+
+    epochs = [
+        ep(0, [(i, float(i)) for i in range(10)]),
+        ep(1, [(10, 55.0)]),
+        ep(2, [(11, 7.0)]),
+    ]
+    pipe = IncrementalScalerPipeline(
+        spark, str(tmp_path / "pipe"), ["row_id"], "x",
+        round_to=None, small_epoch_rows=0,
+    )
+    pipe.process_epoch(spark.createDataFrame(epochs[0], SCHEMA), 0)
+    # simulate the crash window: input epoch 1 commits, fold never runs
+    pipe.input_sink.write_batch(
+        with_diff(spark.createDataFrame(epochs[1], SCHEMA)), 1
+    )
+    # foreachBatch replays epoch 1 on the same object, then epoch 2
+    pipe.process_epoch(spark.createDataFrame(epochs[1], SCHEMA), 1)
+    pipe.process_epoch(spark.createDataFrame(epochs[2], SCHEMA), 2)
+    got = {r["row_id"]: r["scaled"] for r in pipe.current_output().collect()}
+    want = batch_oracle(spark, epochs)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k
+    # and the in-memory statistic equals a from-scratch restore
+    pipe2 = IncrementalScalerPipeline(
+        spark, str(tmp_path / "pipe"), ["row_id"], "x", round_to=None
+    )
+    assert (pipe._n, pipe._s1, pipe._s2) == pytest.approx(
+        (pipe2._n, pipe2._s1, pipe2._s2)
+    )
+
+
+def test_small_epoch_null_rows_not_dropped(spark, tmp_path):
+    """A null-bearing row in a <=64-row epoch must flow through the
+    driver-local fast path like the distributed path would: pandas'
+    groupby default silently drops null-keyed rows and astype('int64')
+    crashes on a null key."""
+    nullable = T.StructType(
+        [
+            T.StructField("row_id", T.LongType(), True),
+            T.StructField("x", T.DoubleType(), True),
+            T.StructField("event_time", T.TimestampType(), False),
+            T.StructField("diff", T.LongType(), False),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {
+            "row_id": pd.array([1, None, 3], dtype="Int64"),
+            "x": [1.0, 2.0, None],
+            "event_time": [T0 + timedelta(seconds=j) for j in range(3)],
+            "diff": [1, 1, 1],
+        }
+    )
+    pipe = IncrementalScalerPipeline(
+        spark, str(tmp_path / "pipe"), ["row_id"], "x", round_to=None
+    )
+    pipe.process_epoch(spark.createDataFrame(pdf, nullable), 0)
+    rows = pipe.output_sink.read_current(spark).collect()
+    # all three rows present, including the null-key and null-value ones
+    assert len(rows) == 3
+    keys = {r["row_id"] for r in rows}
+    assert keys == {1, None, 3}

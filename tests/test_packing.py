@@ -122,3 +122,32 @@ def test_streaming_batch_packing_any_epoch_split(spark, tmp_path):
             ).collect()
         )
         assert got == want, cuts
+
+
+def test_sharded_packing_null_keys_parity(spark):
+    """NULL stratum / NULL doc_id rows are real groups/rows in the
+    window form (Spark nulls-first ordering, null group kept); the
+    sharded twin must agree instead of crashing on pandas' NaN-last
+    sort and null-dropping groupby."""
+    rows = [
+        ("a", 1, 100),
+        ("a", 2, 500),
+        (None, 3, 300),   # null stratum: its own group
+        (None, 4, 300),
+        ("b", None, 50),  # null id: sorts FIRST within stratum b
+        ("b", 6, 600),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    want = {
+        (r["source"], r["doc_id"], r["n_tok"], r["chunk"], r["chunk_offset"])
+        for r in pack_sequences(df, "doc_id", "n_tok", "source", budget=512).collect()
+    }
+    got = {
+        (r["source"], r["doc_id"], r["n_tok"], r["chunk"], r["chunk_offset"])
+        for r in pack_sequences_sharded(
+            df, "doc_id", "n_tok", "source", budget=512, n_shards=4
+        ).collect()
+    }
+    assert got == want
+    assert (None, 4, 300, 0, 300) in got  # null stratum packed from 0
+    assert ("b", 6, 600, 0, 50) in got  # null id consumed offset 0..50

@@ -87,3 +87,25 @@ def test_salted_broadcast_join_matches_plain(spark):
     plain = big.join(small, "source").count()
     salted = salted_broadcast_join(big, small, ["source"], n_salts=8).count()
     assert salted == plain
+
+
+def test_salted_broadcast_join_salt_cols_variants(spark):
+    """The content-hash salt collapses byte-identical duplicate rows
+    onto one salt (re-creating the straggler); salt_cols names a
+    disambiguating column, and salt_cols=[] falls back to a random
+    spread. All variants must keep join results identical to the plain
+    join."""
+    from diffdataflowmlpipelines_spark.operators.skew import salted_broadcast_join
+
+    big = spark.createDataFrame(
+        [("hot", i % 50) for i in range(2000)] + [("cold", 7)],
+        "k string, uid int",
+    )
+    small = spark.createDataFrame([("hot", 1.0), ("cold", 2.0)], "k string, w double")
+    want = sorted((r["k"], r["uid"], r["w"]) for r in big.join(small, "k").collect())
+    for kwargs in [{}, {"salt_cols": ["uid"]}, {"salt_cols": []}]:
+        got = sorted(
+            (r["k"], r["uid"], r["w"])
+            for r in salted_broadcast_join(big, small, ["k"], **kwargs).collect()
+        )
+        assert got == want, kwargs

@@ -385,3 +385,41 @@ def test_driver_vocabulary_crash_window_repair(spark, tmp_path):
         for r in pipe2.current_vocabulary().collect()
     }
     assert after == before
+
+
+def test_driver_vocabulary_same_process_replay_before_apply(spark, tmp_path):
+    """Crash after the input commit but before the ShardDict apply, then
+    a replay on the SAME object: the epoch's diffs must be applied (the
+    old path emitted full state from dictionaries that never saw the
+    epoch and dropped its updates for the process lifetime)."""
+    from diffdataflowmlpipelines_spark.streaming.vocabulary import (
+        DriverVocabularyPipeline,
+    )
+
+    epochs = _epochs()
+    pipe = DriverVocabularyPipeline(spark, str(tmp_path / "drv"), n_shards=2)
+    pipe.process_epoch(spark.createDataFrame(epochs[0], TOK_SCHEMA), 0)
+    # crash window: input epoch 1 committed, apply never ran
+    pipe.input_sink.write_batch_local(
+        pipe._rows_to_pdf(
+            pipe._keyed(spark.createDataFrame(epochs[1], TOK_SCHEMA)).collect()
+        ),
+        1,
+    )
+    pipe.process_epoch(spark.createDataFrame(epochs[1], TOK_SCHEMA), 1)
+    pipe.process_epoch(spark.createDataFrame(epochs[2], TOK_SCHEMA), 2)
+    got = {
+        (r["shard"], r["token"]): (r["idx"], r["count"])
+        for r in pipe.current_vocabulary().collect()
+    }
+    # oracle: a fresh restore replays the committed prefix exactly
+    fresh = DriverVocabularyPipeline(spark, str(tmp_path / "drv"), n_shards=2)
+    want = {
+        (r["shard"], r["token"]): (r["idx"], r["count"])
+        for r in fresh.current_vocabulary().collect()
+    }
+    assert got == want
+    # the in-memory dictionaries agree too (the old bug corrupted these)
+    for s in fresh.shards:
+        assert pipe.shards[s].val_to_index == fresh.shards[s].val_to_index
+        assert pipe.shards[s].val_to_count == fresh.shards[s].val_to_count

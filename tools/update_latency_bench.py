@@ -200,8 +200,10 @@ def bench_dict(spark) -> dict:
     # need exactly 4.
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    for base in DICT_BASES:
+    try:
+      for base in DICT_BASES:
         work = tempfile.mkdtemp(prefix="latbench_dict_")
+        q = None
         try:
             src = EpochFileSource(spark, f"{work}/src", schema)
             sink = ExactlyOnceParquetSink(f"{work}/out", ["token"], lineage="off")
@@ -257,6 +259,7 @@ def bench_dict(spark) -> dict:
                 if 0 < p.get("numInputRows", 0) <= 2
             ]
             q.stop()
+            q = None
 
             # driver-state twin (DriverVocabularyPipeline): same epochs
             # driven through foreachBatch-style process_epoch — the
@@ -270,9 +273,16 @@ def bench_dict(spark) -> dict:
             )
             sdf = spark.createDataFrame(init, schema)
             pipe.process_epoch(sdf, 0)
-            drv_ms = []
+            drv_ms, drv_unique = [], uniques
             for i in range(appends):
-                val = str(i % uniques)
+                # same epoch sequence as the streaming run above,
+                # including the every-20th NEW token (dictionary growth
+                # epochs) — the twin must pay identical workloads
+                if i % 20 == 0:
+                    drv_unique += 1
+                    val = str(drv_unique)
+                else:
+                    val = str(i % uniques)
                 one = pd.DataFrame(
                     {
                         "token": [val],
@@ -304,8 +314,13 @@ def bench_dict(spark) -> dict:
                 }
             )
         finally:
+            if q is not None:  # a failure must not leak a live query
+                q.stop()
             shutil.rmtree(work, ignore_errors=True)
-    spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    finally:
+        # restore even on failure: later benches in the same session
+        # must not silently run with 4 shuffle partitions
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return {
         "bases": results,
         "appends": appends,
