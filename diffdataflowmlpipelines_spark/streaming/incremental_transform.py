@@ -191,10 +191,13 @@ class IncrementalScalerPipeline:
         return self._current_meta()
 
     def _encode_pdf(self, pdf, meta):
-        """Driver-side twin of _encode over a consolidated tiny batch."""
+        """Driver-side twin of _encode over a consolidated tiny batch.
+        Nullable Float64 arithmetic: a NULL value must encode to a
+        parquet NULL like the distributed path (plain float64 would
+        write NaN instead)."""
         mean, var = meta
         out = pdf.copy()
-        out["scaled"] = (out[self.value_col].astype("float64") - mean) / var
+        out["scaled"] = (out[self.value_col].astype("Float64") - mean) / var
         return out
 
     def _process_small_epoch(self, rows, schema, epoch_id: int) -> None:
@@ -506,14 +509,21 @@ class IncrementalMultiScalerPipeline:
         return self._current_meta()
 
     def _encode_pdf(self, pdf, meta):
+        """See the single-column twin. A NULL value yields a NULL array
+        element (the distributed F.array does the same); float(row[c])
+        would crash on None now that the fast-path consolidation keeps
+        null-bearing rows."""
+        import pandas as pd
+
         out = pdf.copy()
-        out["features"] = [
-            [
-                (float(row[c]) - m) / v
-                for c, (m, v) in zip(self.value_cols, meta)
-            ]
-            for _, row in out.iterrows()
+        scaled_cols = [
+            (out[c].astype("Float64") - m) / v
+            for c, (m, v) in zip(self.value_cols, meta)
         ]
+        out["features"] = [
+            [None if pd.isna(x) else float(x) for x in row]
+            for row in zip(*[s.tolist() for s in scaled_cols])
+        ] if scaled_cols else [[] for _ in range(len(out))]
         return out
 
     def _process_small_epoch(self, rows, schema, epoch_id: int) -> None:

@@ -347,5 +347,8 @@ def test_small_epoch_null_rows_not_dropped(spark, tmp_path):
     rows = pipe.output_sink.read_current(spark).collect()
     # all three rows present, including the null-key and null-value ones
     assert len(rows) == 3
-    keys = {r["row_id"] for r in rows}
-    assert keys == {1, None, 3}
+    got = {r["row_id"]: r["scaled"] for r in rows}
+    assert set(got) == {1, None, 3}
+    # null VALUE encodes to parquet NULL (the distributed path's
+    # behavior), not NaN
+    assert got[3] is None

@@ -211,3 +211,31 @@ def test_multicolumn_value_update_same_epoch(spark, tmp_path):
     assert set(got) == set(range(30))
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-9), k
+
+
+def test_multi_small_epoch_null_value_rows(spark, tmp_path):
+    """A null value in a <=64-row epoch must produce a NULL feature
+    element (the distributed F.array behavior), not crash the
+    driver-local _encode_pdf (float(None)) or get dropped by the pandas
+    consolidation."""
+    nullable = T.StructType(
+        [T.StructField("row_id", T.LongType(), False)]
+        + [T.StructField(c, T.DoubleType(), True) for c in COLS]
+        + [
+            T.StructField("event_time", T.TimestampType(), False),
+            T.StructField("diff", T.LongType(), False),
+        ]
+    )
+    base = mk_epoch(0, list(range(10)), [[float(i + j) for j in range(K)] for i in range(10)])
+    holey = mk_epoch(1, [100], [[1.0] * K])
+    holey.loc[0, COLS[2]] = None  # one null value column
+    pipe = IncrementalMultiScalerPipeline(
+        spark, str(tmp_path / "pipe"), ["row_id"], COLS, round_to=(-6, -6)
+    )
+    pipe.process_epoch(spark.createDataFrame(base, SCHEMA), 0)
+    pipe.process_epoch(spark.createDataFrame(holey, nullable), 1)
+    rows = {r["row_id"]: r["features"] for r in pipe.current_output().collect()}
+    assert 100 in rows
+    feats = rows[100]
+    assert feats[2] is None
+    assert all(feats[j] is not None for j in range(K) if j != 2)
