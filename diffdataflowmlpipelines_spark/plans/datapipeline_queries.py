@@ -891,3 +891,79 @@ def t10_domain_mixture(spark, sf_dir):
     mixture_weights)."""
     docs = load(spark, sf_dir, "documents")
     return mixture_weights(docs, "source", alpha=0.5, budget_rows=1_000_000)
+
+
+# --- t11: the full curation pipeline, composed --------------------------------
+# The "switch your pipeline to this engine" showcase: quality filter ->
+# fingerprint dedup -> benchmark decontamination -> sequence packing,
+# chained through the same library functions the individual queries use,
+# verified end-to-end by one oracle. Each stage keeps its standalone
+# scale shape (map-only filters, window dedup on the fingerprint key,
+# broadcast bench set, per-stratum packing window).
+
+from pyspark.sql import Window as _W
+
+from diffdataflowmlpipelines_spark.functions.packing import pack_sequences
+from diffdataflowmlpipelines_spark.functions.text import word_fingerprint
+
+
+@q(
+    "t11_corpus_pipeline",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+    q AS (SELECT * FROM toks WHERE len(t) >= 5),
+    fp AS (SELECT doc_id, source, t,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(t,
+                 w -> CAST(97 * LENGTH(w) + ascii(SUBSTRING(w, 1, 1)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+           FROM q),
+    dd AS (SELECT doc_id, source, t FROM fp
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+    bgrams AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                 range(1, len(t) - 1),
+                 i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2]))) AS g
+               FROM toks WHERE len(t) >= 3 AND doc_id % 19 = 0),
+    cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(t) - 1),
+                 i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2]))) AS g
+           FROM dd WHERE doc_id % 19 <> 0),
+    contam AS (SELECT c.doc_id,
+                 ROUND(CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                            AS DOUBLE) / COUNT(*), 6) AS frac
+               FROM cg c LEFT JOIN bgrams b USING (g) GROUP BY c.doc_id),
+    surv AS (SELECT d.source, d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tok
+             FROM dd d JOIN contam k ON d.doc_id = k.doc_id
+             WHERE k.frac <= 0.2),
+    c AS (SELECT source, doc_id, n_tok,
+            SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tok AS strt
+          FROM surv)
+    SELECT source, doc_id, n_tok,
+           CAST(strt // 512 AS BIGINT) AS chunk,
+           CAST(strt % 512 AS BIGINT) AS chunk_offset
+    FROM c
+    """,
+)
+def t11_corpus_pipeline(spark, sf_dir):
+    """Quality gate (>=5 tokens) -> exact near-dup removal (rolling
+    word-fingerprint, keep min doc_id) -> decontamination vs the
+    doc_id%19 benchmark split (<=20% 3-gram overlap) -> 512-token
+    sequence packing per source. One oracle verifies the composition
+    end to end."""
+    docs = _tokenized_docs(spark, sf_dir).select("doc_id", "source", "toks")
+    q1 = docs.filter(F.size("toks") >= 5)
+    fp = q1.withColumn("fp", word_fingerprint("toks"))
+    rn = F.row_number().over(_W.partitionBy("fp").orderBy("doc_id"))
+    dd = fp.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn", "fp")
+    corpus = dd.filter(F.col("doc_id") % 19 != 0)
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    contam = ngram_contamination(
+        corpus.select("doc_id", "toks"), bench.select("doc_id", "toks"),
+        "doc_id", "toks", n=3,
+    )
+    keep = contam.filter(F.col("contamination_frac") <= 0.2).select("doc_id")
+    surv = corpus.join(keep, "doc_id").select(
+        "source", "doc_id", F.size("toks").cast("long").alias("n_tok")
+    )
+    return pack_sequences(surv, "doc_id", "n_tok", "source", budget=512)

@@ -42,6 +42,7 @@ AUDITED = [
     "t9_pii_redaction",
     "t10_domain_mixture",
     "p17_region_rollout",
+    "t11_corpus_pipeline",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
