@@ -700,3 +700,87 @@ def p17_region_rollout(spark, sf_dir):
         F.round(F.coalesce(F.sum("sb"), F.lit(0.0)), 2).alias("supplier_acctbal"),
         F.round(F.coalesce(F.sum("cb"), F.lit(0.0)), 2).alias("customer_acctbal"),
     )
+
+
+@q(
+    "w8_time_since_last",
+    """
+    SELECT event_id, user_id,
+           CAST(COALESCE(date_diff('second',
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts), -1) AS BIGINT) AS secs_since_prev,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS event_seq
+    FROM events
+    """,
+)
+def w8_time_since_last(spark, sf_dir):
+    """Per-user inter-arrival feature (seconds since the previous
+    event, -1 for the first) plus the running event ordinal — the
+    standard sessionization/feature-engineering lag shape. One window
+    partitioned by user: shuffles once on the key, no global sort."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            (F.unix_timestamp(F.col("ts").cast("timestamp"))
+             - F.unix_timestamp(prev.cast("timestamp"))),
+            F.lit(-1),
+        ).cast("long").alias("secs_since_prev"),
+        F.count("*").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long").alias("event_seq"),
+    )
+
+
+@q(
+    "w9_ewma_value",
+    """
+    WITH r AS (
+      SELECT event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(
+             SUM(value * POWER(0.9, -rn))
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+             / SUM(POWER(0.9, -rn))
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+             6) AS ewma
+    FROM r
+    """,
+)
+def w9_ewma_value(spark, sf_dir):
+    """Per-user EWMA of `value` over the trailing 20 events (normalized
+    weights beta^k, beta=0.9) — the standard smoothing feature for event
+    streams. The correlated exponent cancels:
+    sum(x_j*b^(i-j))/sum(b^(i-j)) == sum(x_j*b^-j)/sum(b^-j) over the
+    frame, so one window pass computes it with no per-row recursion;
+    b^-rn stays inside double range for any realistic per-key history
+    (overflow needs ~6700 events/user at b=0.9; the unbounded-history
+    form is the stateful streaming shape instead). One shuffle on the
+    user key."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "event_id", "user_id", "value", F.row_number().over(w).alias("rn")
+    )
+    frame = (
+        W.partitionBy("user_id").orderBy("rn").rowsBetween(-19, W.currentRow)
+    )
+    num = F.sum(F.col("value") * F.pow(F.lit(0.9), -F.col("rn"))).over(frame)
+    den = F.sum(F.pow(F.lit(0.9), -F.col("rn"))).over(frame)
+    return r.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )

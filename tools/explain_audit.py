@@ -43,6 +43,8 @@ AUDITED = [
     "t10_domain_mixture",
     "p17_region_rollout",
     "t11_corpus_pipeline",
+    "w8_time_since_last",
+    "w9_ewma_value",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
