@@ -22,6 +22,7 @@ from diffdataflowmlpipelines_spark.streaming.tfidf import (
     windowed_doc_token_counts,
 )
 from diffdataflowmlpipelines_spark.streaming.cep import streaming_event_funnel
+from diffdataflowmlpipelines_spark.streaming.features import streaming_event_features
 from diffdataflowmlpipelines_spark.streaming.vocabulary import incremental_vocabulary
 from diffdataflowmlpipelines_spark.streaming.windows import (
     session_token_activity,
@@ -43,6 +44,7 @@ __all__ = [
     "salted_label_join",
     "session_token_activity",
     "sliding_token_frequency",
+    "streaming_event_features",
     "streaming_event_funnel",
     "streaming_near_dup_candidates",
     "streaming_signatures",
