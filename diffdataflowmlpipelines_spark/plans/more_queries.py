@@ -784,3 +784,51 @@ def w9_ewma_value(spark, sf_dir):
     return r.select(
         "event_id", "user_id", F.round(num / den, 6).alias("ewma")
     )
+
+
+@q(
+    "cep3_funnel_conversion",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL '1 day'
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+                         JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s1.t1 + INTERVAL '1 day'
+           GROUP BY e.user_id),
+    f AS (SELECT s1.user_id,
+                 1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+                   + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS sc
+          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                  LEFT JOIN s3 ON s1.user_id = s3.user_id),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f)
+    SELECT CAST(sc AS INT) AS steps_completed,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(COUNT(*) / tot.n, 6) AS frac_of_entered
+    FROM f, tot
+    GROUP BY sc, tot.n
+    """,
+)
+def cep3_funnel_conversion(spark, sf_dir):
+    """Funnel conversion rollup: users per completed-prefix length and
+    their share of everyone who entered the funnel — the reporting
+    layer over cep1 (tiny aggregate over the funnel output; the 1-row
+    total is broadcast, no data-row shuffle beyond cep1's own)."""
+    f = cep1_event_funnel(spark, sf_dir).select("steps_completed")
+    total = f.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    return (
+        f.groupBy("steps_completed")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "steps_completed",
+            "n_users",
+            F.round(F.col("n_users") / F.col("__n"), 6).alias("frac_of_entered"),
+        )
+    )

@@ -45,6 +45,7 @@ AUDITED = [
     "t11_corpus_pipeline",
     "w8_time_since_last",
     "w9_ewma_value",
+    "cep3_funnel_conversion",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
