@@ -742,19 +742,17 @@ def w8_time_since_last(spark, sf_dir):
     "w9_ewma_value",
     """
     WITH r AS (
-      SELECT event_id, user_id, value,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS rn
+      SELECT event_id, user_id,
+             LIST(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS arr
       FROM events
     )
     SELECT event_id, user_id,
            ROUND(
-             SUM(value * POWER(0.9, -rn))
-               OVER (PARTITION BY user_id ORDER BY rn
-                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-             / SUM(POWER(0.9, -rn))
-               OVER (PARTITION BY user_id ORDER BY rn
-                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+             list_sum(list_transform(arr,
+                        (x, i) -> x * POWER(0.9, len(arr) - i)))
+             / ((1 - POWER(0.9, len(arr))) / 0.1),
              6) AS ewma
     FROM r
     """,
@@ -762,25 +760,29 @@ def w8_time_since_last(spark, sf_dir):
 def w9_ewma_value(spark, sf_dir):
     """Per-user EWMA of `value` over the trailing 20 events (normalized
     weights beta^k, beta=0.9) — the standard smoothing feature for event
-    streams. The correlated exponent cancels:
-    sum(x_j*b^(i-j))/sum(b^(i-j)) == sum(x_j*b^-j)/sum(b^-j) over the
-    frame, so one window pass computes it with no per-row recursion;
-    b^-rn stays inside double range for any realistic per-key history
-    (overflow needs ~6700 events/user at b=0.9; the unbounded-history
-    form is the stateful streaming shape instead). One shuffle on the
-    user key."""
+    streams. The frame's values are collected in window order and
+    weighted by their frame-relative age inside a Catalyst
+    higher-order-function fold, so every exponent is bounded by the
+    frame length (an earlier absolute-row-number formulation overflowed
+    double at ~6700 events/key); the weight total has the closed form
+    (1-b^n)/(1-b). One shuffle on the user key; the unbounded-history
+    recursive form is streaming/features.streaming_event_features."""
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    r = ev.select(
-        "event_id", "user_id", "value", F.row_number().over(w).alias("rn")
-    )
     frame = (
-        W.partitionBy("user_id").orderBy("rn").rowsBetween(-19, W.currentRow)
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
     )
-    num = F.sum(F.col("value") * F.pow(F.lit(0.9), -F.col("rn"))).over(frame)
-    den = F.sum(F.pow(F.lit(0.9), -F.col("rn"))).over(frame)
+    arr = F.collect_list("value").over(frame)
+    r = ev.select("event_id", "user_id", arr.alias("arr"))
+    n = F.size("arr")
+    weighted = F.transform(
+        "arr", lambda x, i: x * F.pow(F.lit(0.9), n - 1 - i)
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+    den = (F.lit(1.0) - F.pow(F.lit(0.9), n)) / F.lit(0.1)
     return r.select(
         "event_id", "user_id", F.round(num / den, 6).alias("ewma")
     )

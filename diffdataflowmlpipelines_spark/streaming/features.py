@@ -34,15 +34,25 @@ def _features_fn(alpha: float):
     def fn(key, pdfs: Iterator[pd.DataFrame], state):
         last_us, seq, ewma = state.get if state.exists else (None, 0, None)
         rows = []
-        for pdf in pdfs:
+        # concatenate ALL Arrow chunks before the one global sort — a
+        # key whose batch spans multiple chunks (maxRecordsPerBatch)
+        # has no cross-chunk ordering guarantee, and state threads
+        # sequentially (same bug class as the TWS vocabulary fix)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf[pdf["event_time"].notna()]
             pdf = pdf.sort_values(["event_time", "event_id"], kind="stable")
             ts = pdf["event_time"].astype("datetime64[us]").astype("int64")
             for t, eid, val in zip(ts, pdf["event_id"], pdf["value"]):
                 secs = (int(t) - last_us) // 1_000_000 if last_us is not None else -1
                 seq += 1
-                v = float(val)
-                ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
+                # a NULL value updates lag/seq but not the smoothed
+                # statistic (the batch w9 SUM skips NULLs the same way);
+                # float(NaN) folding in would poison the key forever
+                if not pd.isna(val):
+                    v = float(val)
+                    ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
                 rows.append((key[0], int(eid), secs, seq, ewma))
                 last_us = int(t)
         state.update((last_us, seq, ewma))
@@ -69,7 +79,9 @@ def streaming_event_features(
     """One row per input event carrying (secs_since_prev, event_seq,
     ewma) for its key — append-mode emission (each event's features are
     final under the epoch-monotone assumption above)."""
-    keyed = events.filter(F.col(time_col).isNotNull()).select(
+    keyed = events.filter(
+        F.col(time_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
         F.col(key_col).cast("long").alias("user_id"),
         F.col(time_col).cast("timestamp").alias("event_time"),
         F.col(id_col).cast("long").alias("event_id"),

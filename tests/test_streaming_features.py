@@ -137,3 +137,38 @@ def test_streaming_features_checkpoint_resume(spark, tmp_path):
     for eid, (_, secs, seq, ewma) in want.items():
         assert got[eid][0] == secs and got[eid][1] == seq
         assert got[eid][2] == pytest.approx(ewma, rel=1e-12)
+
+
+def test_streaming_features_multi_chunk_batches(spark, tmp_path):
+    """A key whose micro-batch spans MULTIPLE Arrow chunks (tiny
+    maxRecordsPerBatch) with later event times in the earlier chunks:
+    the processor must concatenate all chunks before its one global
+    sort — a per-chunk sort threads state in the wrong order."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        rows = [
+            (1, T0 + timedelta(seconds=i), i, float((i * 37) % 100))
+            for i in range(200)
+        ]
+        # file written newest-first: chunk 1 carries the LATEST times
+        epoch = pd.DataFrame(
+            {
+                "user_id": [r[0] for r in reversed(rows)],
+                "event_time": [r[1] for r in reversed(rows)],
+                "event_id": [r[2] for r in reversed(rows)],
+                "value": [r[3] for r in reversed(rows)],
+            }
+        )
+        sink = _run(spark, tmp_path, [epoch])
+        got = {
+            r["event_id"]: (r["secs_since_prev"], r["event_seq"], r["ewma"])
+            for r in sink.read_current(spark).collect()
+        }
+        want = _python_replay(rows)
+        assert set(got) == set(want)
+        for eid, (_, secs, seq, ewma) in want.items():
+            assert got[eid][0] == secs and got[eid][1] == seq, eid
+            assert got[eid][2] == pytest.approx(ewma, rel=1e-12), eid
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

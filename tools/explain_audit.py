@@ -50,7 +50,7 @@ AUDITED = [
 
 # curation queries whose small side (bench n-gram set / per-stratum
 # thresholds) must be broadcast — the corpus side must not shuffle
-MUST_BROADCAST = {"t5_decontamination", "t7_stratified_sample"}
+MUST_BROADCAST = {"t5_decontamination", "t7_stratified_sample", "t11_corpus_pipeline"}
 
 # dictionary-bearing plans must not rank the vocabulary in one task
 # (fit_dictionary is sharded: range-partitioned local rank + offsets)

@@ -42,7 +42,7 @@ def main() -> int:
             continue
         lo = spin_rate(LOW, iters=20_000_000)
         hi = spin_rate(HIGH, iters=20_000_000)
-        eff = hi / (4 * lo)
+        eff = hi / ((HIGH / LOW) * lo)  # ideal = HIGH/LOW x the low rate
         attempt += 1
         line = {"t": time.strftime("%H:%M:%S"), "probe_eff": round(eff, 3),
                 "load1": load1}
@@ -52,12 +52,17 @@ def main() -> int:
             time.sleep(60)
             continue
         env = dict(os.environ, SCALE_LOW=str(LOW), SCALE_HIGH=str(HIGH))
-        r = subprocess.run(
-            [sys.executable, os.path.join(HERE, "scaling_round.py")],
-            capture_output=True, text=True, timeout=900, env=env,
-        )
-        tail = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
-        line["run"] = json.loads(tail)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(HERE, "scaling_round.py")],
+                capture_output=True, text=True, timeout=1800, env=env,
+            )
+            tail = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+            line["run"] = json.loads(tail)
+        except (subprocess.TimeoutExpired, json.JSONDecodeError, OSError) as e:
+            # a single bad harness run must not kill a multi-hour watch
+            line["run_error"] = repr(e)[:200]
+            line["run"] = {}
         with open(OUT, "a") as f:
             f.write(json.dumps(line) + "\n")
         if line["run"].get("spin_efficiency", 0) >= GATE:
