@@ -40,6 +40,7 @@ BATCH_QUERIES = [
     "d4_simhash",
     "s1_cosine_topk",
     "cep1_event_funnel",
+    "t11_corpus_pipeline",
 ]
 
 
