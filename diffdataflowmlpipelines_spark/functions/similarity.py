@@ -7,9 +7,17 @@ column (array<float>) — training-data-pipeline extension.
   signature (multi-probe via Hamming-adjacent buckets), exact re-rank
   inside buckets. The 100 TB path: candidate generation is an equi-join
   on bucket id, so cost follows bucket occupancy, not corpus size.
+- ``ivf_topk``: centroid cells + nprobe probing; assignment is a pure
+  projection against the literal centroid array (genuinely no shuffle).
 
 All vector math is JVM-side (``zip_with``/``aggregate``); the seeded
-hyperplanes are literal arrays (no Python in the executor path).
+hyperplanes and the centroid matrix are literal arrays (no Python in
+the executor path).
+
+Zero-norm embeddings (an empty document vectorized to all zeros) have
+no cosine: every entry point FILTERS them out up front — under Spark 4
+ANSI mode the unguarded division would otherwise throw DIVIDE_BY_ZERO
+and kill the query (CLAUDE.md pitfall).
 """
 
 from __future__ import annotations
@@ -27,6 +35,21 @@ def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
 
 
+def _nonzero(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.filter(_norm(F.col(vec_col)) > 0)
+
+
+def _check_dim(df: DataFrame, vec_col: str, dim: int, what: str) -> None:
+    """Eager one-row guard (fit-time convention): a dim mismatch would
+    otherwise null every projection via zip_with padding and silently
+    collapse all rows into bucket 0 / cell 0."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is not None and int(row["n"]) != dim:
+        raise ValueError(
+            f"{what} embedding length {row['n']} != declared dim {dim}"
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -39,13 +62,13 @@ def cosine_topk(
     """Exact top-k cosine neighbors for every query row.
     Output: (query_id, neighbor_id, cosine, rank). Ties broken by
     neighbor id; cosine rounded before ranking for cross-engine
-    determinism. Self-matches excluded."""
-    q = queries.select(
+    determinism. Self-matches and zero-norm rows excluded."""
+    q = _nonzero(queries, vec_col).select(
         F.col(key).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         _norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
+    c = _nonzero(corpus, vec_col).select(
         F.col(key).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         _norm(F.col(vec_col)).alias("__cn"),
@@ -105,49 +128,76 @@ def ivf_topk(
     ``centroids`` defaults to the ``n_centroids`` lowest-key corpus
     vectors (seeded random-sample init, deterministic and therefore
     oracle-replicable); production would refine them with
-    ``pyspark.ml.clustering.KMeans`` — the assignment/probe/re-rank
-    dataflow below is unchanged by better centroids.
+    ``pyspark.ml.clustering.KMeans`` (``kmeans_centroids``) — the
+    assignment/probe/re-rank dataflow below is unchanged by better
+    centroids.
 
-    Scale shape: assignment is one broadcast O(N x C) projection + a
-    per-row argmax (no shuffle); query probing touches nprobe/C of the
-    corpus; the only shuffle is the final per-query top-k window over
-    candidates. Output: (query_id, neighbor_id, cosine, rank).
+    Scale shape: the centroid matrix is COLLECTED (C x dim, small by
+    construction — the same driver-side step KMeans takes anyway) and
+    assignment is a pure projection against the literal array — array
+    of (sim, cid) structs, comparator sort, slice nprobe, explode — so
+    it genuinely performs no join and no shuffle; the only shuffles are
+    the candidate equi-join on cell id and the final per-query top-k
+    window. Output: (query_id, neighbor_id, cosine, rank).
     """
+    corpus = _nonzero(corpus, vec_col)
+    queries = _nonzero(queries, vec_col)
     if centroids is None:
-        centroids = (
-            corpus.orderBy(F.col(key)).limit(n_centroids)
-        )
-    cent = centroids.select(
+        centroids = corpus.orderBy(F.col(key)).limit(n_centroids)
+    cent_rows = centroids.select(
         F.col(key).alias("__cid"),
-        F.col(vec_col).alias("__cvec"),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
         _norm(F.col(vec_col)).alias("__cnorm"),
-    )
+    ).collect()
+    cent_rows = [r for r in cent_rows if float(r["__cnorm"]) > 0]
+    if not cent_rows:
+        raise ValueError("ivf_topk: no non-zero centroids")
 
     def assign(df: DataFrame, id_alias: str, keep_vec: str, top: int) -> DataFrame:
-        """top nearest centroids per row (cosine, ties by centroid id)."""
-        scored = (
-            df.select(
-                F.col(key).alias(id_alias),
-                F.col(vec_col).alias(keep_vec),
-                _norm(F.col(vec_col)).alias(f"{keep_vec}_n"),
-            )
-            .join(F.broadcast(cent))
-            .withColumn(
-                "__csim",
+        """top nearest centroids per row — shuffle-free projection
+        against the literal centroid array (cosine, ties by centroid
+        id, matching the previous join+window formulation exactly)."""
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(r["__cid"]).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r["__cvec"]]).alias("v"),
+                    F.lit(float(r["__cnorm"])).alias("n"),
+                )
+                for r in cent_rows
+            ]
+        )
+        base = df.select(
+            F.col(key).alias(id_alias),
+            F.col(vec_col).alias(keep_vec),
+            _norm(F.col(vec_col)).alias(f"{keep_vec}_n"),
+        )
+        sims = F.transform(
+            cent_arr,
+            lambda c: F.struct(
                 F.round(
-                    _dot(F.col(keep_vec), F.col("__cvec"))
-                    / (F.col(f"{keep_vec}_n") * F.col("__cnorm")),
+                    _dot(F.col(keep_vec), c.getField("v"))
+                    / (F.col(f"{keep_vec}_n") * c.getField("n")),
                     round_to,
-                ),
-            )
+                ).alias("sim"),
+                c.getField("cid").alias("cid"),
+            ),
         )
-        w = Window.partitionBy(id_alias).orderBy(
-            F.col("__csim").desc(), F.col("__cid").asc()
+        ordered = F.array_sort(
+            sims,
+            lambda x, y: F.when(x.getField("sim") > y.getField("sim"), -1)
+            .when(x.getField("sim") < y.getField("sim"), 1)
+            .when(x.getField("cid") < y.getField("cid"), -1)
+            .when(x.getField("cid") > y.getField("cid"), 1)
+            .otherwise(0),
         )
-        return (
-            scored.withColumn("__crank", F.row_number().over(w))
-            .filter(F.col("__crank") <= top)
-            .select(id_alias, keep_vec, f"{keep_vec}_n", "__cid")
+        return base.withColumn(
+            "__cid",
+            F.explode(
+                F.transform(
+                    F.slice(ordered, 1, top), lambda s: s.getField("cid")
+                )
+            ),
         )
 
     assigned = assign(corpus, "neighbor_id", "__cv", 1)
@@ -231,8 +281,18 @@ def lsh_topk(
     multiprobe: int = 1,
 ) -> DataFrame:
     """ANN top-k: candidates = corpus rows whose sign signature is
-    within ``multiprobe`` bit flips of the query's; exact cosine re-rank
-    inside candidates. Recall rises with fewer planes / more probes."""
+    within ``multiprobe`` bit flips of the query's (0, 1 or 2 —
+    distance-2 probing adds the C(n_planes, 2) two-bit buckets); exact
+    cosine re-rank inside candidates. Recall rises with fewer planes /
+    more probes. The declared ``dim`` is validated against the data
+    eagerly — a mismatch would null every projection and silently
+    collapse everything into bucket 0."""
+    if multiprobe not in (0, 1, 2):
+        raise ValueError("multiprobe supports 0, 1 or 2 bit flips")
+    corpus = _nonzero(corpus, vec_col)
+    queries = _nonzero(queries, vec_col)
+    _check_dim(corpus, vec_col, dim, "corpus")
+    _check_dim(queries, vec_col, dim, "queries")
     planes = hyperplanes(dim, n_planes, seed)
     sig = lambda df: sign_signature(F.col(vec_col), planes)  # noqa: E731
 
@@ -242,11 +302,18 @@ def lsh_topk(
         _norm(F.col(vec_col)).alias("__cn"),
         sig(corpus).alias("bucket"),
     )
-    # multi-probe: query probes its own bucket + every 1-bit-flip bucket
+    # multi-probe: the query's own bucket + every bucket within
+    # `multiprobe` bit flips
     probes = [F.col("__sig")]
     if multiprobe >= 1:
         probes += [
             F.col("__sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    if multiprobe >= 2:
+        probes += [
+            F.col("__sig").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
         ]
     q = (
         queries.select(

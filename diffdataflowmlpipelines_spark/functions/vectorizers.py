@@ -49,7 +49,16 @@ def tfidf_pairs(
 
     tf = token_counts(df, key, tokens_col)
     tf = tf.withColumn("__df", F.count("*").over(Window.partitionBy("token")))
-    n_docs = df.select(key).distinct().agg(F.count("*").alias("__n"))
+    # N is diff-aware: a fully-retracted document must leave the doc
+    # count (a plain select(key).distinct() would keep counting it while
+    # its tokens correctly vanish from tf — incremental != batch)
+    n_docs = (
+        with_diff(df)
+        .groupBy(key)
+        .agg(F.sum(DIFF).alias("__nd"))
+        .filter(F.col("__nd") > 0)
+        .agg(F.count("*").alias("__n"))
+    )
     idf = F.log(F.col("__n").cast("double") / F.col("__df"))
     if round_to is not None:
         # decimal-places convention, matching streaming/tfidf.py's
@@ -88,6 +97,10 @@ class CountVectorizer:
     def transform(self, df: DataFrame, key: str, tokens_col: str, out: str) -> DataFrame:
         tf = token_counts(df, key, tokens_col)
         hits = tf.join(F.broadcast(self.vocab_), on="token", how="inner")
+        if self.binary:
+            # DD distinct semantics: presence = NET-POSITIVE count (a
+            # net-negative tf must not light the bit)
+            hits = hits.filter(F.col("tf") > 0)
         val = F.lit(1.0) if self.binary else F.col("tf").cast("double")
         entries = hits.groupBy(key).agg(
             F.map_from_entries(
@@ -138,9 +151,14 @@ class TfidfTransformer:
             F.sum(F.when(present, F.col(DIFF)).otherwise(F.lit(0))).alias("__df"),
             F.sum(DIFF).alias("__n"),
         )
-        if self.round_to is not None:
-            per_pos = per_pos.withColumn("__df", F.round("__df", -self.round_to))
-        self.df_ = per_pos
+        # COLLECT the fit statistic (vec_len rows — the repo's fit-time
+        # convention): an uncollected df_ re-executes the whole
+        # posexplode+aggregate upstream subplan on every transform action
+        rows = per_pos.collect()
+        self.df_ = df.sparkSession.createDataFrame(
+            [(int(r["__pos"]), int(r["__df"]), int(r["__n"])) for r in rows],
+            "__pos int, __df bigint, __n bigint",
+        )
         return self
 
     def transform(self, df: DataFrame, key: str, vec_col: str, out: str) -> DataFrame:
@@ -152,6 +170,12 @@ class TfidfTransformer:
             )
             .otherwise(F.lit(0.0))
         )
+        if self.round_to is not None:
+            # decimal places on the OUTPUT weight (the same convention
+            # as tfidf_pairs / streaming tfidf; the old code rounded the
+            # document-frequency statistic to the nearest 10^round_to,
+            # which zeroed every weight for any realistic setting)
+            w = F.round(w, self.round_to)
         weighted = (
             ex.join(F.broadcast(self.df_), on="__pos", how="left")
             .withColumn("__w", w)
@@ -194,7 +218,11 @@ class HashVectorizer:
             ex.withColumn("__b", self.bucket(F.col("token")))
             .groupBy(key, "__b")
             .agg(F.sum(DIFF).alias("__cnt"))
+            .filter(F.col("__cnt") != 0)  # a fully-retracted bucket is absent
         )
+        if self.binary:
+            # presence = net-positive, like CountVectorizer/distinct
+            per_bucket = per_bucket.filter(F.col("__cnt") > 0)
         val = F.lit(1.0) if self.binary else F.col("__cnt").cast("double")
         entries = per_bucket.groupBy(key).agg(
             F.map_from_entries(

@@ -85,8 +85,14 @@ def join_diff(
     if broadcast_right:
         rb = F.broadcast(rb)
     out = ra.join(rb, on=on, how=how)
+    # outer joins: an unmatched row has a NULL diff on the missing side,
+    # and null*long = null would then be silently dropped by every
+    # downstream consolidate/filter — the outer-join differential
+    # semantics is "the unmatched row keeps its own multiplicity"
+    diff_a = F.coalesce(F.col("__diff_a"), F.lit(1))
+    diff_b = F.coalesce(F.col("__diff_b"), F.lit(1))
     return (
-        out.withColumn(DIFF, (F.col("__diff_a") * F.col("__diff_b")).cast("long"))
+        out.withColumn(DIFF, (diff_a * diff_b).cast("long"))
         .drop("__diff_a", "__diff_b")
     )
 
@@ -119,16 +125,20 @@ def weighted_sum(col: str | Column) -> Column:
 
 
 def weighted_avg(col: str | Column) -> Column:
+    """NULL (not an ANSI DIVIDE_BY_ZERO crash) for a fully-retracted
+    group — net count 0 has no mean."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c * F.col(DIFF)) / F.sum(F.col(DIFF))
+    return F.try_divide(F.sum(c * F.col(DIFF)), F.sum(F.col(DIFF)))
 
 
 def weighted_var_pop(col: str | Column) -> Column:
     """Population variance under multiplicities: E[x^2] - E[x]^2 with
     signed sums (retraction-correct, unlike builtin ``var_pop`` which
-    cannot see diffs)."""
+    cannot see diffs). NULL for a fully-retracted group (net count 0),
+    like weighted_avg — ANSI mode would otherwise throw."""
     c = F.col(col) if isinstance(col, str) else col
     n = F.sum(F.col(DIFF))
     s1 = F.sum(c * F.col(DIFF))
     s2 = F.sum(c * c * F.col(DIFF))
-    return s2 / n - (s1 / n) * (s1 / n)
+    m = F.try_divide(s1, n)
+    return F.try_divide(s2, n) - m * m
