@@ -43,26 +43,54 @@ def _minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+NULL_SENTINEL = chr(2)  # concat_ws SKIPS nulls — distinct null layouts
+# would otherwise collide; every element is coalesced to this marker
+
+
 def word_shingles(tokens: Column, n: int = 3) -> Column:
     """n-gram shingles over a token array (strings or ints), as strings
-    joined by SEP = chr(1) (collision-proof concat)."""
+    joined by SEP = chr(1) (collision-proof concat; NULL tokens encode
+    as a sentinel so ['a', NULL] and ['a'] do not collide)."""
     idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    elem = lambda i, j: F.coalesce(  # noqa: E731
+        F.element_at(tokens, (i + j + 1).cast("int")).cast("string"),
+        F.lit(NULL_SENTINEL),
+    )
     return F.when(
         F.size(tokens) >= n,
         F.transform(
             idx,
-            lambda i: F.concat_ws(
-                SEP, *[F.element_at(tokens, (i + j + 1).cast("int")).cast("string") for j in range(n)]
-            ),
+            lambda i: F.concat_ws(SEP, *[elem(i, j) for j in range(n)]),
         ),
-    ).otherwise(F.array(F.concat_ws(SEP, tokens)))
+    ).otherwise(
+        F.array(
+            F.concat_ws(
+                SEP,
+                F.transform(
+                    tokens,
+                    lambda t: F.coalesce(t.cast("string"), F.lit(NULL_SENTINEL)),
+                ),
+            )
+        )
+    )
 
 
 def exact_dedup(df: DataFrame, key: str, content_cols: list[str]) -> DataFrame:
     """Exact dedup on an md5 content fingerprint; the representative is
     the min key per group (deterministic). Returns
     (content_hash, keep_id, n_dups). One shuffle on the hash."""
-    fp = F.md5(F.concat_ws(SEP, *[F.col(c).cast("string") for c in content_cols]))
+    # coalesce per column: concat_ws skips NULLs, so ('a', NULL, 'b')
+    # and ('a', 'b', NULL) would otherwise share a fingerprint and merge
+    # two genuinely different rows as duplicates
+    fp = F.md5(
+        F.concat_ws(
+            SEP,
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
+                for c in content_cols
+            ],
+        )
+    )
     return (
         df.withColumn("content_hash", fp)
         .groupBy("content_hash")
@@ -146,7 +174,14 @@ def lsh_band_buckets(
     sig_col: Column, *, bands: int, sig_len: int
 ) -> Column:
     """(band, bucket) structs for a signature — shared by the batch
-    candidate join and the streaming self-join."""
+    candidate join and the streaming self-join. ``bands`` must divide
+    ``sig_len`` exactly: r = 0 would hash every doc into one empty
+    bucket (the full |corpus|^2 cross product the banding exists to
+    avoid), and a remainder would silently ignore trailing hashes."""
+    if bands < 1 or sig_len % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide sig_len={sig_len} with r >= 1"
+        )
     r = sig_len // bands
     return F.array(
         *[
@@ -180,19 +215,15 @@ def minhash_lsh_candidates(
                 .limit(0)
             )
         sig_len = len(head["sig"])
-    r = sig_len // bands
+    # band via the SHARED lsh_band_buckets (one implementation keeps
+    # batch and streaming candidates bit-identical, and one guard)
     banded = sigs.select(
         F.col(key).alias("__id"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.explode(
+            lsh_band_buckets(F.col("sig"), bands=bands, sig_len=sig_len)
+        ).alias("__bb"),
+    ).select(
+        "__id", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
     )
     left = banded.select("band", "bucket", F.col("__id").alias("a"))
     right = banded.select("band", "bucket", F.col("__id").alias("b"))
@@ -235,7 +266,9 @@ def jaccard_pairs(
     ).dropDuplicates([key, "__s"])
     sizes = sh.groupBy(key).agg(F.count("*").alias("__sz"))
     if candidates is not None:
-        ca = candidates.select("a", "b")
+        # dropDuplicates: a repeated (a, b) candidate would double-count
+        # the intersection and inflate jaccard past 1.0
+        ca = candidates.select("a", "b").dropDuplicates()
         a_sh = sh.select(F.col(key).alias("a"), "__s")
         b_sh = sh.select(F.col(key).alias("b"), "__s")
         inter = (
@@ -280,8 +313,10 @@ def simhash(
     weighted by tf. Portable hash -> oracle-checkable. Returns
     (key, simhash: long). One explode + one groupBy(key) with `bits`
     JVM-side conditional sums — no Python in the path."""
-    if not 1 <= bits <= 63:
-        raise ValueError("bits must be in [1, 63] (signed int64 fingerprint)")
+    if not 1 <= bits <= 60:
+        # md5_hash60 supplies 60 hash bits; bits 61-63 of the fingerprint
+        # would be constant 0 while the caller believes they count
+        raise ValueError("bits must be in [1, 60] (md5_hash60 width)")
     ex = (
         df.select(key, F.explode(F.col(tokens_col)).alias("__t"))
         .groupBy(key, "__t")

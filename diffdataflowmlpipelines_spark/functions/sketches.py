@@ -68,6 +68,12 @@ def count_min_sketch(
     )
 
 
+# NOTE: estimate/heavy-hitter calls must use the SAME (depth, width,
+# seed) the sketch was built with — the sketch frame carries only
+# (row, col, count) cells (schema pinned by the cm1 oracle), so a
+# mismatch is undetectable and silently probes the wrong buckets.
+
+
 def count_min_estimate(
     sketch: DataFrame,
     tokens: DataFrame,

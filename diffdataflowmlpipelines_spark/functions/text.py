@@ -56,8 +56,18 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
-        "mean_token_len": (
-            (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1))
+        # exact row-wise sum of token lengths (the closed form
+        # (n_chars - n_tokens + 1)/n_tokens is only right for text
+        # joined by exactly one ASCII space, and gave 1.0 for EMPTY
+        # documents); 0 for empty docs
+        "mean_token_len": F.coalesce(
+            F.try_divide(
+                F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast(
+                    "double"
+                ),
+                n_tokens.cast("double"),
+            ),
+            F.lit(0.0),
         ).cast("double"),
         "punct_ratio": (punct / F.greatest(n_chars, F.lit(1))).cast("double"),
         "stopword_ratio": (stop / F.greatest(n_tokens, F.lit(1))).cast("double"),

@@ -154,10 +154,12 @@ class MinMaxScaler(ColumnEncoder):
         return self
 
     def transform(self, df, col, out):
-        return df.withColumn(
-            out,
-            (F.col(col).cast("double") - F.lit(self.min_)) / F.lit(self.range_),
+        # constant column (range 0): map to 0.0 like sklearn instead of
+        # an ANSI DIVIDE_BY_ZERO crash / NaN features
+        scaled = F.try_divide(
+            F.col(col).cast("double") - F.lit(self.min_), F.lit(self.range_)
         )
+        return df.withColumn(out, F.coalesce(scaled, F.lit(0.0)))
 
 
 class KBinsDiscretizer(ColumnEncoder):
@@ -215,8 +217,15 @@ class KBinsDiscretizer(ColumnEncoder):
     def transform(self, df, col, out):
         x = F.col(col).cast("double")
         if self.strategy == "uniform":
+            # constant column: everything lands in bin 0, matching the
+            # quantile strategy's collapsed-edges behavior (ADVICE r2)
+            # rather than NaN/null bins from a 0/0 division
             raw = F.floor(
-                (x - F.lit(self.min_)) / F.lit(self.range_) * F.lit(self.k)
+                F.coalesce(
+                    F.try_divide(x - F.lit(self.min_), F.lit(self.range_)),
+                    F.lit(0.0),
+                )
+                * F.lit(self.k)
             )
             clamped = F.when(raw == self.k, F.lit(self.k - 1)).otherwise(raw)
             return df.withColumn(out, clamped.cast("double"))
@@ -285,6 +294,11 @@ def fit_dictionary(
         alive = alive.select(col)
     else:
         alive = alive_cols.filter(F.col(DIFF) > 0).select(col, "__row_order")
+    # NULL is not a category: it would take index 0 (nulls sort first),
+    # shifting every real category's code, while the encoders' equality
+    # joins can never match it — NULL rows encode as unseen (-1 / zero
+    # vector) without disturbing the dictionary
+    alive = alive.filter(F.col(col).isNotNull())
 
     part = alive.repartitionByRange(n_shards, *[F.col(c) for c in sort_cols])
     # localCheckpoint PINS the range-partition layout: the offsets

@@ -371,7 +371,7 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           ROUND((LENGTH(text) - len(toks) + 1)
+           ROUND(COALESCE(list_sum(list_transform(toks, x -> LENGTH(x))), 0)
                  / GREATEST(len(toks), 1), 6) AS mean_token_len,
            ROUND((LENGTH(text) -
                   LENGTH(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')))

@@ -144,3 +144,109 @@ def test_cosine_topk_zero_vector_excluded_not_crash(spark):
     out = cosine_topk(df, df, "id", "v", k=5).collect()
     ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
     assert 2 not in ids and len(out) > 0
+
+
+# --- fifth-pass findings (encoders / dedup / text / sketches) ---------------
+
+
+def test_exact_dedup_null_layouts_do_not_collide(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a", None, "b"), (2, "a", "b", None), (3, "a", "b", None)],
+        "id long, c1 string, c2 string, c3 string",
+    )
+    out = exact_dedup(df, "id", ["c1", "c2", "c3"]).collect()
+    # rows 2 and 3 are true dups; row 1 differs (NULL in another slot)
+    assert sorted(r["n_dups"] for r in out) == [1, 2]
+
+
+def test_word_shingles_null_token_distinct(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, ["a", None]), (2, ["a"])], "id long, t array<string>"
+    )
+    got = {r["id"]: r["s"] for r in df.select(
+        "id", word_shingles(F.col("t"), 3).alias("s")
+    ).collect()}
+    assert got[1] != got[2]
+
+
+def test_lsh_banding_guards(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import (
+        lsh_band_buckets,
+        minhash_lsh_candidates,
+    )
+
+    with pytest.raises(ValueError):
+        lsh_band_buckets(F.col("sig"), bands=20, sig_len=16)  # r = 0
+    with pytest.raises(ValueError):
+        lsh_band_buckets(F.col("sig"), bands=5, sig_len=16)  # remainder
+    sigs = spark.createDataFrame([(1, [1, 2, 3, 4])], "id long, sig array<long>")
+    with pytest.raises(ValueError):
+        minhash_lsh_candidates(sigs, "id", bands=3, sig_len=4)
+
+
+def test_jaccard_duplicate_candidates_not_inflated(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, ["x", "y", "z", "w"]), (2, ["x", "y", "z", "q"])],
+        "id long, toks array<string>",
+    )
+    dup_cands = spark.createDataFrame(
+        [(1, 2), (1, 2)], "a long, b long"  # repeated candidate pair
+    )
+    (r,) = jaccard_pairs(
+        docs, "id", "toks", threshold=0.0, candidates=dup_cands
+    ).collect()
+    assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_bits_guard(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import simhash
+
+    df = spark.createDataFrame([(1, ["a"])], "id long, toks array<string>")
+    with pytest.raises(ValueError):
+        simhash(df, "id", "toks", bits=61)
+
+
+def test_constant_column_minmax_and_kbins(spark):
+    from diffdataflowmlpipelines_spark.operators.encoders import (
+        KBinsDiscretizer,
+        MinMaxScaler,
+    )
+
+    df = spark.createDataFrame([(i, 5.0) for i in range(6)], "rid long, x double")
+    mm = {r["rid"]: r["y"] for r in MinMaxScaler().fit_transform(df, "x", "y").collect()}
+    assert set(mm.values()) == {0.0}  # sklearn-like, not NaN / ANSI crash
+    kb = {r["rid"]: r["y"] for r in KBinsDiscretizer(4).fit_transform(df, "x", "y").collect()}
+    assert set(kb.values()) == {0.0}  # matches the quantile strategy
+
+
+def test_fit_dictionary_null_category_not_indexed(spark):
+    from diffdataflowmlpipelines_spark.operators.encoders import OrdinalEncoder
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "a"), (2, "b")], "rid long, x string"
+    )
+    got = {r["rid"]: r["y"] for r in OrdinalEncoder().fit_transform(df, "x", "y").collect()}
+    # codes unshifted by the NULL (a=0, b=1); NULL row encodes unseen
+    assert got[1] == 0.0 and got[2] == 1.0
+    assert got[0] == -1.0
+
+
+def test_mean_token_len_exact(spark):
+    from diffdataflowmlpipelines_spark.functions.text import quality_features
+
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, ""), (3, "abc de")], "id long, t string"
+    )
+    feats = quality_features("t")
+    got = {r["id"]: r["m"] for r in df.select(
+        "id", feats["mean_token_len"].alias("m")
+    ).collect()}
+    assert got[1] == 1.0  # double space: closed form said 1.5
+    assert got[2] == 0.0  # empty doc: closed form said 1.0
+    assert got[3] == 2.5
