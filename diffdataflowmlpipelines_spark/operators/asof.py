@@ -61,7 +61,10 @@ def asof_join(
         .withColumn("__side", F.lit(1))
         .withColumn("__asof_payload", F.lit(None).cast(payload_type))
     )
-    r = right.select(
+    # a NULL right_time row is not matchable under ASOF semantics (it
+    # has no position on the time axis) — unfiltered it would sort
+    # nulls-first and its payload could be carried into every left row
+    r = right.filter(F.col(right_time).isNotNull()).select(
         *keys,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),

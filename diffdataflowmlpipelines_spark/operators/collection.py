@@ -124,20 +124,29 @@ def weighted_sum(col: str | Column) -> Column:
     return F.sum(c * F.col(DIFF))
 
 
+def _obs_diff(c: Column) -> Column:
+    # SQL AVG semantics: a NULL value is not an observation — it must
+    # leave both the numerator (F.sum skips nulls anyway) AND the
+    # denominator, or the mean silently shrinks toward 0
+    return F.when(c.isNotNull(), F.col(DIFF)).otherwise(F.lit(0))
+
+
 def weighted_avg(col: str | Column) -> Column:
     """NULL (not an ANSI DIVIDE_BY_ZERO crash) for a fully-retracted
-    group — net count 0 has no mean."""
+    group — net count 0 has no mean. NULL values are excluded from both
+    sides of the division (SQL AVG semantics)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_divide(F.sum(c * F.col(DIFF)), F.sum(F.col(DIFF)))
+    return F.try_divide(F.sum(c * F.col(DIFF)), F.sum(_obs_diff(c)))
 
 
 def weighted_var_pop(col: str | Column) -> Column:
     """Population variance under multiplicities: E[x^2] - E[x]^2 with
     signed sums (retraction-correct, unlike builtin ``var_pop`` which
     cannot see diffs). NULL for a fully-retracted group (net count 0),
-    like weighted_avg — ANSI mode would otherwise throw."""
+    like weighted_avg — ANSI mode would otherwise throw. NULL values
+    are excluded like SQL VAR_POP."""
     c = F.col(col) if isinstance(col, str) else col
-    n = F.sum(F.col(DIFF))
+    n = F.sum(_obs_diff(c))
     s1 = F.sum(c * F.col(DIFF))
     s2 = F.sum(c * c * F.col(DIFF))
     m = F.try_divide(s1, n)

@@ -58,15 +58,33 @@ class StreamingCountVectorizer:
     # -- query B: encoding ------------------------------------------------------
 
     def current_vocab(self) -> DataFrame:
+        if not self.vocab_sink.committed_epochs():
+            # B outran A (explicitly allowed): no vocabulary yet — every
+            # token routes to the overflow slot instead of crashing on
+            # the empty sink
+            return self.spark.createDataFrame(
+                [], "token string, idx long, vec_len long"
+            )
         cur = self.vocab_sink.read_current(self.spark)
         return cur.filter(F.col("idx") >= 0).select("token", "idx", "vec_len")
 
     def encode_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch body for the doc stream
-        (doc_id, tokens array<string or int>, diff)."""
+        (doc_id, tokens array<string or int>, diff).
+
+        Vector content is the batch's NET-POSITIVE token counts: binary
+        presence requires a net-positive count (a retraction epoch must
+        not light bits), and for insert-only per-doc streams — the
+        replay convention of the parity tests — this equals the doc's
+        current vector. Full-vector maintenance under per-doc UPDATE
+        epochs needs the doc history (run the batch CountVectorizer
+        over the consolidated input sink instead)."""
         if self.vector_sink.is_committed(epoch_id):
             return
-        vocab = self.current_vocab()
+        # pin ONE snapshot of the vocab for both the vec_len probe and
+        # the join (read_current is a multi-epoch scan + window — twice
+        # per batch otherwise); checkpoint blocks are GC-released
+        vocab = self.current_vocab().localCheckpoint(eager=True)
         vec_len = (vocab.agg(F.max("vec_len").alias("l")).first() or {"l": None})["l"]
         vec_len = int(vec_len or 1)
 
@@ -75,7 +93,11 @@ class StreamingCountVectorizer:
             F.explode(F.col("tokens").cast("array<string>")).alias("token"),
             DIFF,
         )
-        tf = ex.groupBy("doc_id", "token").agg(F.sum(DIFF).alias("tf"))
+        tf = (
+            ex.groupBy("doc_id", "token")
+            .agg(F.sum(DIFF).alias("tf"))
+            .filter(F.col("tf") > 0)
+        )
         val = F.lit(1.0) if self.binary else F.col("tf").cast("double")
         # left join: a token not yet assigned (B outran A) -> overflow
         # slot vec_len (kept out of the dense range)

@@ -117,9 +117,10 @@ class IncrementalScalerPipeline:
         if not self.input_sink.committed_epochs():
             return
         x = F.col(self.value_col).cast("double")
+        nd = F.when(x.isNotNull(), F.col(DIFF)).otherwise(F.lit(0))
         df = with_diff(self.input_sink.read_all(self.spark))
         row = df.agg(
-            F.sum(F.col(DIFF)).alias("n"),
+            F.sum(nd).alias("n"),
             F.sum(x * F.col(DIFF)).alias("s1"),
             F.sum(x * x * F.col(DIFF)).alias("s2"),
         ).first()
@@ -156,10 +157,14 @@ class IncrementalScalerPipeline:
 
     def _fold_batch(self, batch_df: DataFrame) -> tuple:
         """Fold the batch's signed partial sums into the running
-        statistic and return the current (rounded) (mean, var)."""
+        statistic and return the current (rounded) (mean, var). n counts
+        OBSERVATIONS (null values excluded, SQL AVG semantics — F.sum
+        skips them from s1/s2 regardless, so counting them in n would
+        shrink the mean)."""
         x = F.col(self.value_col).cast("double")
+        nd = F.when(x.isNotNull(), F.col(DIFF)).otherwise(F.lit(0))
         row = with_diff(batch_df).agg(
-            F.sum(F.col(DIFF)).alias("n"),
+            F.sum(nd).alias("n"),
             F.sum(x * F.col(DIFF)).alias("s1"),
             F.sum(x * x * F.col(DIFF)).alias("s2"),
             F.min(F.col(DIFF)).alias("min_diff"),
@@ -181,11 +186,12 @@ class IncrementalScalerPipeline:
 
     def _fold_pdf(self, pdf) -> tuple:
         """Driver-side twin of _fold_batch: fold the tiny batch's signed
-        partial sums without a Spark job."""
-        x = pdf[self.value_col].astype("float64")
-        d = pdf[DIFF].astype("float64")
+        partial sums without a Spark job (same null-exclusion rule)."""
         self._last_batch_insert_only = len(pdf) == 0 or int(pdf[DIFF].min()) > 0
-        self._n += int(pdf[DIFF].sum())
+        obs = pdf[pdf[self.value_col].notna()]
+        x = obs[self.value_col].astype("float64")
+        d = obs[DIFF].astype("float64")
+        self._n += int(obs[DIFF].sum())
         self._s1 += float((x * d).sum())
         self._s2 += float((x * x * d).sum())
         return self._current_meta()
@@ -279,13 +285,14 @@ class IncrementalScalerPipeline:
         when round_to is None)."""
         ep = with_diff(self.spark.read.parquet(self.input_sink.epoch_dir(epoch_id)))
         x = F.col(self.value_col).cast("double")
+        nd = F.when(x.isNotNull(), F.col(DIFF)).otherwise(F.lit(0))
         base = with_diff(
             self.input_sink.read_all(self.spark)
             .filter(F.col("epoch") != epoch_id)
             .drop("epoch")
         )
         row = base.agg(
-            F.sum(F.col(DIFF)).alias("n"),
+            F.sum(nd).alias("n"),
             F.sum(x * F.col(DIFF)).alias("s1"),
             F.sum(x * x * F.col(DIFF)).alias("s2"),
         ).first()
@@ -423,7 +430,7 @@ class IncrementalMultiScalerPipeline:
         self.full_reencodes = 0
         self.epochs = 0
         k = len(self.value_cols)
-        self._n = 0
+        self._n = [0] * k  # per-column observation counts
         self._s1 = [0.0] * k
         self._s2 = [0.0] * k
         self._folded_epochs: set[int] = set()  # see single-column twin
@@ -432,21 +439,26 @@ class IncrementalMultiScalerPipeline:
     # -- statistics -----------------------------------------------------------
 
     def _sum_exprs(self):
-        exprs = [F.sum(F.col(DIFF)).alias("n"),
-                 F.min(F.col(DIFF)).alias("min_diff")]
+        # per-column observation counts (null values excluded — SQL AVG
+        # semantics; a single shared n would shrink the mean of any
+        # column with nulls, since F.sum skips them from s1/s2)
+        exprs = [F.min(F.col(DIFF)).alias("min_diff")]
         for i, c in enumerate(self.value_cols):
             x = F.col(c).cast("double")
+            nd = F.when(x.isNotNull(), F.col(DIFF)).otherwise(F.lit(0))
+            exprs.append(F.sum(nd).alias(f"n_{i}"))
             exprs.append(F.sum(x * F.col(DIFF)).alias(f"s1_{i}"))
             exprs.append(F.sum(x * x * F.col(DIFF)).alias(f"s2_{i}"))
         return exprs
 
     def _current_meta(self) -> tuple:
-        if self._n <= 0:
-            return tuple((float("nan"), float("nan")) for _ in self.value_cols)
         metas = []
         for i in range(len(self.value_cols)):
-            mean = self._s1[i] / self._n
-            var = self._s2[i] / self._n - mean * mean
+            if self._n[i] <= 0:
+                metas.append((float("nan"), float("nan")))
+                continue
+            mean = self._s1[i] / self._n[i]
+            var = self._s2[i] / self._n[i] - mean * mean
             if self.round_to:
                 f1, f2 = 10.0 ** self.round_to[0], 10.0 ** self.round_to[1]
                 rnd = lambda v, f: (int(v / f + 0.5) if v >= 0 else -int(-v / f + 0.5)) * f  # noqa: E731
@@ -460,8 +472,8 @@ class IncrementalMultiScalerPipeline:
             return
         df = with_diff(self.input_sink.read_all(self.spark))
         row = df.agg(*self._sum_exprs()).first()
-        self._n = int(row["n"] or 0)
         for i in range(len(self.value_cols)):
+            self._n[i] = int(row[f"n_{i}"] or 0)
             self._s1[i] = float(row[f"s1_{i}"] or 0.0)
             self._s2[i] = float(row[f"s2_{i}"] or 0.0)
         self.epochs = len(self.input_sink.committed_epochs())
@@ -471,8 +483,8 @@ class IncrementalMultiScalerPipeline:
         """ONE aggregate job folds all k columns' signed partial sums."""
         row = with_diff(batch_df).agg(*self._sum_exprs()).first()
         self._last_batch_insert_only = (row["min_diff"] or 1) > 0
-        self._n += int(row["n"] or 0)
         for i in range(len(self.value_cols)):
+            self._n[i] += int(row[f"n_{i}"] or 0)
             self._s1[i] += float(row[f"s1_{i}"] or 0.0)
             self._s2[i] += float(row[f"s2_{i}"] or 0.0)
         return self._current_meta()
@@ -499,11 +511,12 @@ class IncrementalMultiScalerPipeline:
     def _fold_pdf(self, pdf) -> tuple:
         """Driver-side twin of _fold_batch: all k columns' signed partial
         sums folded without a Spark job."""
-        d = pdf[DIFF].astype("float64")
         self._last_batch_insert_only = len(pdf) == 0 or int(pdf[DIFF].min()) > 0
-        self._n += int(pdf[DIFF].sum())
         for i, c in enumerate(self.value_cols):
-            x = pdf[c].astype("float64")
+            obs = pdf[pdf[c].notna()]
+            x = obs[c].astype("float64")
+            d = obs[DIFF].astype("float64")
+            self._n[i] += int(obs[DIFF].sum())
             self._s1[i] += float((x * d).sum())
             self._s2[i] += float((x * x * d).sum())
         return self._current_meta()
@@ -595,9 +608,9 @@ class IncrementalMultiScalerPipeline:
             .drop("epoch")
         )
         row = base.agg(*self._sum_exprs()).first()
-        saved = (self._n, list(self._s1), list(self._s2))
-        self._n = int(row["n"] or 0)
+        saved = (list(self._n), list(self._s1), list(self._s2))
         for i in range(len(self.value_cols)):
+            self._n[i] = int(row[f"n_{i}"] or 0)
             self._s1[i] = float(row[f"s1_{i}"] or 0.0)
             self._s2[i] = float(row[f"s2_{i}"] or 0.0)
         meta_before = self._current_meta()

@@ -84,9 +84,13 @@ class ExactlyOnceParquetSink:
         try:
             os.rename(staging, self.epoch_dir(epoch_id))  # atomic commit
         except OSError:
-            # concurrent/replayed commit won the rename — discard ours
             shutil.rmtree(staging, ignore_errors=True)
-            return
+            if self.is_committed(epoch_id):
+                return  # concurrent/replayed commit won the rename
+            # anything else (EACCES, EXDEV, ...) is DATA LOSS if
+            # swallowed: the checkpoint would advance past an epoch that
+            # was never committed
+            raise
         if self.lineage_mode == "off":
             return
         lineage = {"epoch": epoch_id, "committed_at": time.time()}
@@ -139,7 +143,9 @@ class ExactlyOnceParquetSink:
             os.rename(staging, self.epoch_dir(epoch_id))  # atomic commit
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)
-            return
+            if self.is_committed(epoch_id):
+                return  # see write_batch: only a won race may be dropped
+            raise
         if self.lineage_mode == "off":
             return
         lineage = {
@@ -198,7 +204,12 @@ class ExactlyOnceParquetSink:
     def lineage(self) -> list[dict]:
         out = []
         ldir = os.path.join(self.root, "_lineage")
-        for name in sorted(os.listdir(ldir)):
+        # numeric epoch order (lexicographic puts epoch=10 before epoch=2)
+        names = sorted(
+            os.listdir(ldir),
+            key=lambda n: int(n.split("=", 1)[1].split(".", 1)[0]),
+        )
+        for name in names:
             with open(os.path.join(ldir, name)) as f:
                 out.append(json.load(f))
         return out

@@ -55,11 +55,24 @@ class EpochFileSource:
         self.directory = directory
         self.schema = schema
         os.makedirs(directory, exist_ok=True)
-        self._next = 0
+        # resume numbering after any pre-existing epoch files — starting
+        # at 0 would silently OVERWRITE epoch-00000 (whose old content a
+        # running file-stream source has already recorded and will never
+        # re-read)
+        existing = [
+            int(n[len("epoch-"):].split(".", 1)[0])
+            for n in os.listdir(directory)
+            if n.startswith("epoch-") and n.endswith(".parquet")
+        ]
+        self._next = max(existing) + 1 if existing else 0
 
     def add_epoch(self, pdf: pd.DataFrame) -> str:
         path = os.path.join(self.directory, f"epoch-{self._next:05d}.parquet")
-        tmp = path + ".tmp"
+        # dot-prefixed temp name: Spark's file stream source ignores
+        # hidden files, so the epoch appears atomically on rename — a
+        # plain "<name>.tmp" IS listed and can be recorded mid-write
+        # (FileNotFound at task time once renamed, or a torn read)
+        tmp = os.path.join(self.directory, f".epoch-{self._next:05d}.parquet.tmp")
         _to_parquet(pdf, tmp)
         os.rename(tmp, path)  # files must appear atomically for the reader
         self._next += 1

@@ -51,6 +51,10 @@ def _stats_fn(round_mean: int | None, round_var: int | None):
             lm = lv = lmin = lmax = None
 
         for pdf in pdfs:
+            # a NULL value is not an observation: unfiltered it would
+            # count in n (diff sums) while pandas skipna drops it from
+            # s1/s2 — mean/var silently wrong, state never self-corrects
+            pdf = pdf[pdf["x"].notna()]
             d = pdf["diff"].astype("int64")
             x = pdf["x"].astype("float64")
             n += int(d.sum())
@@ -90,7 +94,13 @@ def _stats_fn(round_mean: int | None, round_var: int | None):
                 mx,
             )
         )
-        if changed and n > 0:
+        was_live = lm is not None and not (
+            isinstance(lm, float) and lm != lm
+        )
+        if changed and (n > 0 or was_live):
+            # n <= 0 after a FULL retraction of a previously-live key:
+            # emit the n=0 tombstone row (NaN statistics) so an upsert
+            # sink retracts the stale statistics instead of keeping them
             yield pd.DataFrame(
                 {
                     "key": [str(key[0])],

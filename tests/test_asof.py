@@ -82,3 +82,28 @@ def test_asof_null_value_cols_not_resurrected(spark):
     assert row["__asof_time"] == T(20)
     assert row["val"] is None        # NOT 100.0 from the older row
     assert row["aux"] == 2.0         # same matched row for every col
+
+
+def test_asof_null_right_time_not_matchable(spark):
+    """A right row with NULL time has no ASOF position: a left-joined
+    left row must get no-match NULLs, not that row's payload."""
+    from pyspark.sql import types as ST
+
+    from diffdataflowmlpipelines_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, None, 99.0)],
+        ST.StructType(
+            [
+                ST.StructField("k", ST.LongType(), False),
+                ST.StructField("rt", ST.LongType(), True),
+                ST.StructField("val", ST.DoubleType(), False),
+            ]
+        ),
+    )
+    (r,) = asof_join(
+        left, right, keys=["k"], left_time="lt", right_time="rt",
+        value_cols=["val"], how="left",
+    ).collect()
+    assert r["val"] is None

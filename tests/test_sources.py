@@ -147,3 +147,33 @@ def test_read_jsonl_schema_not_mutated(spark, tmp_path):
     # second call with the SAME object behaves identically
     clean2, _ = read_jsonl_quarantine(spark, str(p), schema)
     assert clean2.columns == ["a"]
+
+
+def test_epoch_source_resumes_numbering(spark, tmp_path):
+    """A new EpochFileSource over a pre-populated directory must NOT
+    clobber epoch-00000 (a running file stream would never re-read it)."""
+    import os
+
+    import pandas as pd
+
+    from diffdataflowmlpipelines_spark.streaming.sources import EpochFileSource
+
+    schema = T.StructType([T.StructField("v", T.LongType(), False)])
+    d = str(tmp_path / "src")
+    EpochFileSource(spark, d, schema).add_epoch(pd.DataFrame({"v": [1]}))
+    src2 = EpochFileSource(spark, d, schema)
+    src2.add_epoch(pd.DataFrame({"v": [2]}))
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert files == ["epoch-00000.parquet", "epoch-00001.parquet"]
+    assert spark.read.parquet(d).count() == 2
+
+
+def test_lineage_numeric_order(spark, tmp_path):
+    import pandas as pd
+
+    from diffdataflowmlpipelines_spark.streaming.sink import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["v"])
+    for e in range(12):
+        sink.write_batch_local(pd.DataFrame({"v": [e]}), e)
+    assert [l["epoch"] for l in sink.lineage()] == list(range(12))

@@ -99,3 +99,56 @@ def test_stats_multi_key_isolation(spark, tmp_path):
     assert cur["a"]["mean"] == pytest.approx(2.0)
     assert cur["b"]["mean"] == pytest.approx(200.0)
     assert cur["a"]["n"] == 2 and cur["b"]["n"] == 2
+
+
+def test_stats_full_retraction_emits_tombstone(spark, tmp_path):
+    """Retracting a key's last live row must emit an n=0 row so an
+    upsert consumer retracts the stale statistics (the old gate
+    suppressed any emission at n<=0)."""
+    import math
+
+    epochs = [
+        ep(0, [("a", 10.0)]),
+        ep(1, [("a", 10.0, -1)]),  # key fully retracted
+    ]
+    sink = run(spark, tmp_path, epochs)
+    (r,) = sink.read_current(spark).collect()
+    assert r["n"] == 0
+    # "no statistic": NaN in the emission, read back as NaN or NULL
+    assert r["mean"] is None or math.isnan(r["mean"])
+
+
+def test_stats_null_values_ignored(spark, tmp_path):
+    """A NULL value is not an observation: the old code counted its
+    diff in n while pandas skipna dropped it from the sums, silently
+    corrupting the mean."""
+    nullable = T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("x", T.DoubleType(), True),
+            T.StructField("diff", T.LongType(), False),
+            T.StructField("event_time", T.TimestampType(), False),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {
+            "key": ["a", "a"],
+            "x": [None, 10.0],
+            "diff": [1, 1],
+            "event_time": [T0, T0 + timedelta(seconds=1)],
+        }
+    )
+    src = EpochFileSource(spark, str(tmp_path / "src"), nullable)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["key"])
+    src.add_epoch(pdf)
+    q = (
+        incremental_scaler_stats(src.stream(), "key", "x")
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    (r,) = sink.read_current(spark).collect()
+    assert (r["n"], r["mean"], r["var_pop"]) == (1, 10.0, 0.0)
