@@ -145,6 +145,12 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.lit(every_ms),
     )
     return (
-        df.filter(F.col("kind") == "video")
+        # a NULL or zero duration has no frames: greatest() skips NULLs,
+        # so unfiltered those rows would emit a spurious frame at t=0
+        df.filter(
+            (F.col("kind") == "video")
+            & F.col("duration_ms").isNotNull()
+            & (F.col("duration_ms") > 0)
+        )
         .select("media_id", F.explode(frames).alias("frame_ms"))
     )

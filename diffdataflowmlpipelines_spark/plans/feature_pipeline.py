@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 from diffdataflowmlpipelines_spark.streaming.join import label_join
 
 
+# reference hash_vectorizer.rs:21-48 (bucket = hash(token) % n) ------------
+
+
 def hash_buckets(tokens_col: str, n_features: int) -> F.Column:
     """murmur3 bucket per token, JVM-side (shared by both histogram
     implementations so they are bit-identical)."""
@@ -61,8 +64,12 @@ def hash_features_hist(tokens_col: str, n_features: int = 1024) -> F.Column:
 
     @pandas_udf("array<double>")
     def _bincount(buckets: pd.Series) -> pd.Series:
+        # a NULL tokens array must yield a NULL vector, like the
+        # codegen twin (np.asarray(None) raises TypeError otherwise)
         return buckets.map(
-            lambda b: np.bincount(
+            lambda b: None
+            if b is None
+            else np.bincount(
                 np.asarray(b, dtype="int64"), minlength=n_features
             ).astype("float64")
         )

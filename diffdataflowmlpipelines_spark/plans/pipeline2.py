@@ -56,7 +56,7 @@ def build_pipeline2(df: DataFrame) -> MultiColumnEncoder:
     the excluded indices, one-hot the categoricals, pass numerics."""
     excluded = {df.columns[i] for i in EXCLUDED_IDX}
     config = []
-    for i, field in enumerate(df.schema.fields):
+    for field in df.schema.fields:
         if field.name in excluded:
             continue
         if isinstance(field.dataType, T.StringType):

@@ -42,6 +42,11 @@ def _pack_fn(budget: int):
             pdf = pd.DataFrame(
                 {"source": [], "doc_id": [], "n_tok": [], "event_time": []}
             )
+        if len(pdf) and pdf["n_tok"].isna().any():
+            # NaN < 0 is False, so a NULL length would slip past the
+            # insert-only guard and crash the int cast below with an
+            # error that never names the contract
+            raise ValueError("packing requires non-null n_tok")
         if len(pdf) and (pdf["n_tok"] < 0).any():
             raise ValueError("packing is insert-only; negative n_tok row seen")
         pdf = pdf.sort_values(["event_time", "doc_id"], kind="stable")

@@ -202,7 +202,11 @@ def incremental_vocabulary(
     (token, diff, event_time). Emits per-batch updates
     (shard, token, idx, count, vec_len); idx = -1 marks a freed value.
     """
-    keyed = df.select(
+    # NULL tokens/diffs are not updates (str(None) would merge with a
+    # real token spelled 'None'; int(None) aborts the batch)
+    keyed = df.filter(
+        F.col(token_col).isNotNull() & F.col("diff").isNotNull()
+    ).select(
         F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_shards))
         .cast("int")
         .alias("shard"),
@@ -271,7 +275,9 @@ class DriverVocabularyPipeline:
     # -- plumbing -------------------------------------------------------------
 
     def _keyed(self, batch_df: DataFrame) -> DataFrame:
-        return batch_df.select(
+        return batch_df.filter(
+            F.col(self.token_col).isNotNull() & F.col("diff").isNotNull()
+        ).select(
             F.pmod(F.xxhash64(F.col(self.token_col)), F.lit(self.n_shards))
             .cast("int")
             .alias("shard"),

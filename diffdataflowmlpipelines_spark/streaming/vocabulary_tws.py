@@ -113,12 +113,18 @@ class VocabularyProcessor(StatefulProcessor):
                 for k, v in self.entries.iterator()
                 if k[0] not in cache
             ]
+            # seed the overlay from the values the iterator just
+            # materialized: load() would otherwise issue a fresh
+            # containsKey+getValue per live token (~2x state-store round
+            # trips per compress on the RocksDB path)
+            for t, (i, c) in stored:
+                cache[t] = [i, c]
             merged = stored + [
                 (t, (e[0], e[1])) for t, e in cache.items() if e is not None
             ]
-            live_toks = sorted(t for t, (i, _c) in merged if i >= 0)
+            live_toks = sorted({t for t, (i, _c) in merged if i >= 0})
             for i, tok in enumerate(live_toks):
-                load(tok)[0] = i
+                cache[tok][0] = i
             free = []
             next_local = len(live_toks)
 
@@ -195,7 +201,11 @@ class VocabularyProcessor(StatefulProcessor):
 def incremental_vocabulary_tws(
     df: DataFrame, n_shards: int = 16, token_col: str = "token"
 ) -> DataFrame:
-    keyed = df.select(
+    # NULL tokens/diffs are not updates: str(None) would silently merge
+    # with a real token spelled 'None', and int(None) aborts the batch
+    keyed = df.filter(
+        F.col(token_col).isNotNull() & F.col("diff").isNotNull()
+    ).select(
         F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_shards)).cast("int").alias("shard"),
         F.col(token_col).cast("string").alias("token"),
         F.col("diff").cast("long").alias("diff"),
