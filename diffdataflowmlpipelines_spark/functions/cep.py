@@ -53,6 +53,12 @@ def event_funnel(
     a single JVM-side fold (``F.aggregate``) over the time-sorted array
     applying the cascade above. Strict ``t >`` means one event can never
     satisfy two steps, and ties at the same timestamp do not chain.
+
+    Precondition (enforced): event times must be >= 1970-01-01 UTC. The
+    fold's unset sentinel is -1 micros, so a negative unix_micros would
+    silently never complete a step — diverging from the streaming twin
+    (None sentinel) and the SQL oracle. Rather than silently dropping
+    such events, the map-side projection raises on the first one.
     """
     k = len(steps)
     if k == 0:
@@ -68,12 +74,24 @@ def event_funnel(
     # NULL event times are dropped: a null-t struct would sort first and
     # write NULL into its slot, permanently blocking the step (NULL
     # comparisons propagate through the fold)
+    micros = F.unix_micros(F.col(time_col).cast("timestamp"))
+    # -1 micros is the fold's unset sentinel: pre-1970 events would
+    # silently never chain, so fail loudly instead (see docstring)
+    checked_t = F.when(
+        micros < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("event_funnel requires event times >= 1970-01-01, got "),
+                F.col(time_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(micros)
     ev = df.filter(
         F.col(type_col).isin(list(steps)) & F.col(time_col).isNotNull()
     ).select(
         F.col(key_col).alias("__key"),
         F.struct(
-            F.unix_micros(F.col(time_col).cast("timestamp")).alias("t"),
+            checked_t.alias("t"),
             F.col(type_col).alias("ty"),
         ).alias("__e"),
     )

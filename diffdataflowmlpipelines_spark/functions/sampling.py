@@ -35,19 +35,30 @@ def stratified_sample(
     partials; |strata| rows total), the thresholds are BROADCAST back,
     and the gate itself is a map-only filter — the corpus never shuffles.
     Strata at or under the target keep every row (threshold >= scale).
+
+    Null semantics (repo convention: NULL groups are groups): a NULL
+    stratum is sampled like any other — the threshold join is
+    null-safe, so the NULL stratum's own count gates its rows (a plain
+    equi-join would silently drop them while still counting them).
+    Rows with a NULL ``id_col`` have no identity to hash, so the gate
+    DROPS them (md5(NULL) is NULL and a NULL comparison filters false);
+    assign surrogate ids upstream if such rows must be sampleable.
     """
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     thr = counts.select(
-        strata_col,
+        F.col(strata_col).alias("__stratum"),
         F.expr(f"CAST({target_per_stratum} AS BIGINT) * {scale} DIV __n").alias(
             "__thr"
         ),
     )
     gate = F.pmod(md5_hash60(F.col(id_col).cast("string")), F.lit(scale))
     return (
-        df.join(F.broadcast(thr), strata_col)
+        df.join(
+            F.broadcast(thr),
+            F.col(strata_col).eqNullSafe(F.col("__stratum")),
+        )
         .filter(gate < F.col("__thr"))
-        .drop("__thr")
+        .drop("__thr", "__stratum")
     )
 
 

@@ -152,6 +152,12 @@ def ivf_topk(
     cent_rows = [r for r in cent_rows if float(r["__cnorm"]) > 0]
     if not cent_rows:
         raise ValueError("ivf_topk: no non-zero centroids")
+    # caller-supplied centroids of the wrong dimension would null every
+    # cosine via zip_with padding and make cell assignment arbitrary
+    # (the comparator's otherwise(0)) — fail eagerly like lsh_topk
+    cdim = len(cent_rows[0]["__cvec"])
+    _check_dim(corpus, vec_col, cdim, "corpus")
+    _check_dim(queries, vec_col, cdim, "queries")
 
     def assign(df: DataFrame, id_alias: str, keep_vec: str, top: int) -> DataFrame:
         """top nearest centroids per row — shuffle-free projection

@@ -760,7 +760,7 @@ def t6_repetition_stats(spark, sf_dir):
     WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
     thr AS (SELECT source, CAST(10 AS BIGINT) * 1000000 // n AS t FROM counts)
     SELECT d.doc_id, d.source
-    FROM documents d JOIN thr USING (source)
+    FROM documents d JOIN thr ON d.source IS NOT DISTINCT FROM thr.source
     WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
                AS BIGINT) % 1000000 < thr.t
     """,

@@ -26,6 +26,11 @@ code):
   ``within_s`` is set, everything beyond ``anchor + within`` is
   dropped, so anchored-key state is bounded by the funnel horizon.
 
+Shared precondition with the batch twin: event times >= 1970-01-01 UTC
+(the batch fold's unset sentinel is -1 micros and raises on negative
+unix_micros; this twin's None sentinel would accept pre-1970 events and
+silently diverge, so the same contract applies to both).
+
 NOT bounded: a key that has never seen its anchor type retains every
 later-step candidate (any future anchor could make any of them the
 completion), with or without ``within_s`` — as does any key when

@@ -49,6 +49,11 @@ def _pack_fn(budget: int):
             raise ValueError("packing requires non-null n_tok")
         if len(pdf) and (pdf["n_tok"] < 0).any():
             raise ValueError("packing is insert-only; negative n_tok row seen")
+        if len(pdf) and "diff" in pdf.columns and (pdf["diff"] <= 0).any():
+            # diff<=0 rows are retractions in this engine's delta model;
+            # emitted chunks cannot be unpacked, so reject loudly rather
+            # than packing a retraction as an insert
+            raise ValueError("packing is insert-only; diff <= 0 row seen")
         pdf = pdf.sort_values(["event_time", "doc_id"], kind="stable")
         lens = pdf["n_tok"].astype("int64")
         start = cum + lens.cumsum() - lens
@@ -70,7 +75,13 @@ def _pack_fn(budget: int):
 def incremental_packing(df: DataFrame, budget: int = 512) -> DataFrame:
     """df: streaming (doc_id, n_tok, source, event_time[, ...]). Emits
     one packed row per arriving document, update-mode."""
-    keyed = df.select("source", "doc_id", "n_tok", "event_time")
+    cols = ["source", "doc_id", "n_tok", "event_time"]
+    # carry the delta multiplicity through if the stream has one, so the
+    # insert-only guard can reject retraction rows (diff <= 0) instead
+    # of silently packing them as inserts
+    if "diff" in df.columns:
+        cols.append("diff")
+    keyed = df.select(*cols)
     return keyed.groupBy("source").applyInPandasWithState(
         _pack_fn(budget),
         outputStructType=PACK_OUTPUT_SCHEMA,

@@ -116,9 +116,16 @@ class VocabularyProcessor(StatefulProcessor):
             # seed the overlay from the values the iterator just
             # materialized: load() would otherwise issue a fresh
             # containsKey+getValue per live token (~2x state-store round
-            # trips per compress on the RocksDB path)
+            # trips per compress on the RocksDB path). Record the
+            # pre-batch index too (exactly what load() does): the
+            # emission rule compares against `before`, and without it
+            # every compress survivor would emit even when renumbering
+            # left its index unchanged — diverging from v1's
+            # changed-indices-only emission (_apply_shard_batch).
             for t, (i, c) in stored:
                 cache[t] = [i, c]
+                if i >= 0:
+                    before[t] = i
             merged = stored + [
                 (t, (e[0], e[1])) for t, e in cache.items() if e is not None
             ]

@@ -98,3 +98,31 @@ def test_streaming_packing_rejects_retractions(spark, tmp_path):
         q.awaitTermination(300)
         if q.exception():
             raise q.exception()
+
+
+def test_streaming_packing_rejects_diff_retraction_rows(spark, tmp_path):
+    """ADVICE r3: a stream carrying diff=-1 rows with positive n_tok was
+    packed as inserts silently; the operator now validates diff > 0
+    whenever the input carries a diff column."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [*SCHEMA.fields, T.StructField("diff", T.LongType(), False)]
+    )
+    bad = _epochs(1, 4)[0].copy()
+    bad["diff"] = [1, -1, 1, 1]  # retraction with positive n_tok
+    src = EpochFileSource(spark, str(tmp_path / "src"), schema)
+    src.add_epoch(bad)
+    q = (
+        incremental_packing(src.stream(), budget=256)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="insert-only"):
+        q.awaitTermination(300)
+        if q.exception():
+            raise q.exception()

@@ -203,6 +203,25 @@ def test_tws_mid_batch_compress_matches_per_update_sizing():
     assert _run_tws(epochs) == _run_v1(epochs)[0]
 
 
+def test_tws_compress_survivor_with_unchanged_idx_not_reemitted():
+    """Regression (ADVICE r3, medium): compress() seeded the cache
+    overlay from MapState without recording pre-batch indices, so
+    every compress survivor emitted even when renumbering left its
+    index unchanged — while v1 emits changed indices only. Trace:
+    insert t0..t3, then retract t2,t3 in a later epoch (compress fires;
+    t0/t1 keep idx 0/1)."""
+    epochs = [
+        [(f"t{i}", 1) for i in range(4)],
+        [("t2", -1), ("t3", -1)],
+    ]
+    want, _ = _run_v1(epochs)
+    got = _run_tws(epochs)
+    assert got == want
+    # the discriminating assertion: epoch-2 emissions are exactly the
+    # two retracted tokens; the unchanged survivors t0/t1 stay silent
+    assert {t for _, t, *_ in got[1]} == {"t2", "t3"}
+
+
 def test_tws_restart_between_batches_is_transparent():
     epochs = [
         [(f"t{i}", 1) for i in range(8)],
