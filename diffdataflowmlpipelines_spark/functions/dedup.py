@@ -225,6 +225,12 @@ def minhash_lsh_candidates(
     ).select(
         "__id", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
     )
+    # pin the banded frame before the self-join: Catalyst plans the
+    # signature projection (a full corpus scan + minhash) once per join
+    # side otherwise — ReuseExchange does not collapse the two branches
+    # (round-3 VERDICT finding #3). localCheckpoint, not persist: blocks
+    # are ContextCleaner-released, no session-lifetime leak.
+    banded = banded.localCheckpoint(eager=True)
     left = banded.select("band", "bucket", F.col("__id").alias("a"))
     right = banded.select("band", "bucket", F.col("__id").alias("b"))
     return (
@@ -264,7 +270,14 @@ def jaccard_pairs(
     sh = df.select(
         key, F.explode(word_shingles(F.col(tokens_col), shingle_n)).alias("__s")
     ).dropDuplicates([key, "__s"])
+    # the shingle frame feeds FOUR subtrees (both intersection sides and
+    # both size joins); uncheckpointed, Catalyst re-derives it — four
+    # corpus scans + explodes + dedup shuffles (round-3 VERDICT #3).
+    # One materialization, then sizes (|docs| rows) pinned likewise so
+    # its aggregation runs once, not once per size join.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(key).agg(F.count("*").alias("__sz"))
+    sizes = sizes.localCheckpoint(eager=True)
     if candidates is not None:
         # dropDuplicates: a repeated (a, b) candidate would double-count
         # the intersection and inflate jaccard past 1.0

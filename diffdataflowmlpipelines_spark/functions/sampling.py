@@ -78,26 +78,26 @@ def mixture_weights(
     is computed FROM the rounded weight so both engines hit the same
     integer.
 
-    Scale shape: one aggregation to |strata| rows, the 1-row total is
-    broadcast back (no single-partition window over data rows) — same
-    convention as the tfidf doc-count broadcast.
+    Scale shape: one aggregation to |strata| rows, then the total is a
+    whole-frame window SUM over that already-aggregated tiny frame (the
+    single-partition window exchange moves |strata| rows, never data
+    rows). A separate ``pows.agg(sum)`` + crossJoin made Catalyst plan
+    the per-stratum count aggregation twice — two full corpus scans
+    (round-3 VERDICT finding #2).
     """
+    from pyspark.sql import Window as W
+
     pows = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n"))
     pows = pows.select(
         stratum_col,
         F.col("n").cast("long").alias("n"),
         F.pow(F.col("n").cast("double"), F.lit(float(alpha))).alias("__pw"),
     )
-    total = pows.agg(F.sum("__pw").alias("__tot"))
-    w = F.round(F.col("__pw") / F.col("__tot"), 6)
-    return (
-        pows.crossJoin(F.broadcast(total))
-        .select(
-            stratum_col,
-            "n",
-            w.alias("weight"),
-            F.round(w * F.lit(float(budget_rows)), 0)
-            .cast("long")
-            .alias("target_rows"),
-        )
+    total = F.sum("__pw").over(W.partitionBy())
+    w = F.round(F.col("__pw") / total, 6)
+    return pows.select(
+        stratum_col,
+        "n",
+        w.alias("weight"),
+        F.round(w * F.lit(float(budget_rows)), 0).cast("long").alias("target_rows"),
     )

@@ -820,17 +820,21 @@ def w9_ewma_value(spark, sf_dir):
 def cep3_funnel_conversion(spark, sf_dir):
     """Funnel conversion rollup: users per completed-prefix length and
     their share of everyone who entered the funnel — the reporting
-    layer over cep1 (tiny aggregate over the funnel output; the 1-row
-    total is broadcast, no data-row shuffle beyond cep1's own)."""
+    layer over cep1. The denominator is a whole-frame window SUM over
+    the ALREADY-AGGREGATED per-depth counts (a <= k+1-row frame, so the
+    single-partition window exchange is free) — deriving it with a
+    separate ``f.agg(count)`` made Catalyst plan the funnel subtree
+    twice, doubling the dominant events scan + collect_list shuffle
+    (round-3 VERDICT finding #1)."""
+    from pyspark.sql import Window as W
+
     f = cep1_event_funnel(spark, sf_dir).select("steps_completed")
-    total = f.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    return (
-        f.groupBy("steps_completed")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "steps_completed",
-            "n_users",
-            F.round(F.col("n_users") / F.col("__n"), 6).alias("frac_of_entered"),
-        )
+    g = f.groupBy("steps_completed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    total = F.sum("n_users").over(W.partitionBy()).cast("double")
+    return g.select(
+        "steps_completed",
+        "n_users",
+        F.round(F.col("n_users") / total, 6).alias("frac_of_entered"),
     )

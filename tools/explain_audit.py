@@ -61,6 +61,17 @@ NO_SINGLE_PARTITION = {
     "c7_ordinal_encoder",
 }
 
+# queries whose repeated FileScan of one base table is the algorithm
+# (true self-joins: both sides apply DIFFERENT filters/projections of
+# the table, so a shared materialization would read MORE columns/rows
+# than the two pruned scans do) — everything else re-scanning a table
+# is a duplicated subtree, the round-3 defect class (cep3/t10/d3)
+SELF_JOIN_OK = {
+    "cep2_absence",  # anti-join: 'view' events vs 'purchase' events
+    "j1_interval_join",  # events x events interval self-join
+    "j3_asof_join",  # events (trades side) x events (quotes side)
+}
+
 
 def flags(plan: str, name: str) -> list[str]:
     out = []
@@ -79,6 +90,37 @@ def flags(plan: str, name: str) -> list[str]:
         out.append("filter NOT pushed to parquet")
     if name in MUST_BROADCAST and "BroadcastHashJoin" not in plan:
         out.append("small side not broadcast — corpus would shuffle")
+    # reused-subtree check: two IDENTICAL FileScans (same table, same
+    # ReadSchema, same pushed filters, modulo expression ids) mean
+    # Catalyst planned a shared frame twice (the cep3/t10/d3 class) —
+    # at 100 TB that doubles the dominant scan+shuffle. Scans of one
+    # table with DIFFERENT columns/filters are deliberate multi-pass
+    # plans (a column-pruned aggregate side-scan, a filtered self-join
+    # side) and stay unflagged; SELF_JOIN_OK exempts whole queries.
+    if name not in SELF_JOIN_OK:
+        scans_norm = [
+            # cut at 'FileScan' (tree-branch prefixes like ':  +-' vary
+            # per position), then normalize expression ids
+            re.sub(r"#\d+[A-Za-z]*", "#x", ln[ln.index("FileScan") :])
+            for ln in plan.splitlines()
+            if "FileScan" in ln
+        ]
+        dup_lines = sorted({s for s in scans_norm if scans_norm.count(s) > 1})
+        if dup_lines:
+            tables = ", ".join(
+                sorted(
+                    {
+                        m.group(1).rstrip("/").split("/")[-1]
+                        for s in dup_lines
+                        for m in [re.search(r"InMemoryFileIndex(?:\([^)]*\))?\[([^\],]+)", s)]
+                        if m
+                    }
+                )
+                or ["<unknown>"]
+            )
+            out.append(
+                f"identical FileScan of {tables} planned twice — reused subtree not pinned"
+            )
     return out
 
 
