@@ -582,3 +582,84 @@ def ngram_contamination(
             6,
         ).alias("contamination_frac"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    key: str,
+    tokens_col: str,
+    *,
+    window: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level (suffix-array-style) dedup: per document, the
+    maximal token runs whose every length-``window`` n-gram also occurs
+    in at least ``min_docs`` distinct documents — the repeated-passage
+    detector web-scale curation runs (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") that document-level
+    dedup (exact/MinHash/SimHash) cannot express. The reference has no
+    text surface beyond tokenization (``feature_extraction/utils.rs:
+    3-9``); this is the engine's extension, like the rest of the d*
+    family.
+
+    Returns ``(key, span_start, span_end, span_len)``: 0-based token
+    positions, ``span_end`` inclusive (the last token of the last
+    flagged n-gram), ``span_len = span_end - span_start + 1 >= window``.
+    Flagged windows whose token ranges overlap OR abut merge into one
+    span (two duplicated passages planted back-to-back report as a
+    single region, exactly as a suffix-array sweep would).
+    Within-document repeats alone do NOT flag (the criterion is
+    distinct-document count); documents shorter than ``window`` have no
+    n-grams.
+
+    Scale shape — deliberately NOT a suffix array (which needs a global
+    sort of every corpus suffix): (1) slide the window row-wise
+    (``word_shingles`` + posexplode: |tokens| rows, zero shuffle),
+    (2) one count-distinct aggregation on the portable 60-bit n-gram
+    hash (shuffle on the hash — hot boilerplate n-grams are ordinary
+    agg skew, map-side partials apply), (3) a semi-join of the windows
+    against the flagged hashes (AQE broadcasts it when the flagged set
+    is small, the common case), (4) a per-document gaps-and-islands
+    merge (row_number window + groupBy: one shuffle on the doc key).
+    No suffix-array materialization, no global sort, every step an
+    ordinary shuffle bounded by |corpus tokens|.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    wins = (
+        df.filter(F.size(tokens_col) >= window)
+        .select(
+            key,
+            F.posexplode(word_shingles(F.col(tokens_col), window)).alias(
+                "__pos", "__s"
+            ),
+        )
+        .select(key, "__pos", md5_hash60(F.col("__s")).alias("__h"))
+    )
+    # the window frame feeds both the flag aggregation and the semi-join
+    # left side: pin it so the corpus is scanned + exploded once, not
+    # once per consumer (same convention as jaccard_pairs' shingles)
+    wins = wins.localCheckpoint(eager=True)
+    flagged = (
+        wins.groupBy("__h")
+        .agg(F.countDistinct(key).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    dup = wins.join(flagged, "__h", "semi")
+    # island merge: two flagged windows [p1, p1+w-1], [p2, p2+w-1]
+    # belong to one span iff their token ranges overlap or abut
+    # (p2 - p1 <= window) — a plain pos-minus-row_number island would
+    # split adjacent duplicated passages that share no window
+    w = Window.partitionBy(key).orderBy("__pos")
+    gap = F.col("__pos") - F.lag("__pos").over(w) > window
+    isl = dup.select(
+        key,
+        "__pos",
+        F.sum(F.when(gap, 1).otherwise(0)).over(w).alias("__isl"),
+    )
+    return isl.groupBy(key, "__isl").agg(
+        F.min("__pos").cast("long").alias("span_start"),
+        (F.max("__pos") + window - 1).cast("long").alias("span_end"),
+        (F.max("__pos") - F.min("__pos") + window).cast("long").alias("span_len"),
+    ).drop("__isl")

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from diffdataflowmlpipelines_spark.functions.dedup import (
     MERSENNE_P,
     _minhash_params,
+    duplicated_spans,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_candidates,
@@ -473,6 +474,52 @@ def d7_near_dup_candidates(spark, sf_dir):
         streaming=False,
     )
     return out.dropDuplicates()
+
+
+def _spans_sql(w: int, min_docs: int) -> str:
+    gram = " || chr(1) || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(w))
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    wins AS (
+      SELECT doc_id, u.pos AS pos,
+             CAST(CONCAT('0x', substr(md5(u.s), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {w - 2}),
+                      i -> {{'pos': i - 1, 's': {gram}}})) AS u
+        FROM toks WHERE len(t) >= {w}
+      )
+    ),
+    flagged AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    ),
+    dup AS (
+      SELECT doc_id, pos,
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM wins WHERE h IN (SELECT h FROM flagged)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN pos - prev > {w} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM dup
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {w - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {w} AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, g
+    """
+
+
+@q("d8_duplicated_spans", _spans_sql(5, 2))
+def d8_duplicated_spans(spark, sf_dir):
+    """Suffix-style substring dedup: maximal cross-document repeated
+    token runs (every 5-gram shared by >= 2 docs), merged per document
+    via gaps-and-islands (functions/dedup.duplicated_spans) — the one
+    LLM-curation operator class document-level dedup cannot express."""
+    docs = _tokenized_docs(spark, sf_dir)
+    return duplicated_spans(docs, "doc_id", "toks", window=5, min_docs=2)
 
 
 # --- count-min sketch (north-star "count-min feature aggregation") -----------

@@ -152,3 +152,77 @@ def test_mixture_weights_closed_form(spark):
         for r in mixture_weights(df, "source", alpha=1.0, budget_rows=1000).collect()
     }
     assert got1 == {"a": 0.9, "b": 0.1}
+
+
+# --- d8: substring-level (suffix-style) span dedup -------------------------
+
+
+def test_duplicated_spans_planted_passages(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import duplicated_spans
+
+    passage = [f"p{i}" for i in range(7)]
+    d1 = [f"a{i}" for i in range(4)] + passage + [f"b{i}" for i in range(3)]
+    d2 = [f"c{i}" for i in range(2)] + passage + [f"e{i}" for i in range(5)]
+    # internal repeat only: the 5-gram recurs but within ONE doc — the
+    # cross-document criterion (min_docs=2 distinct docs) must not flag
+    d3 = "r0 r1 r2 r3 r4 x r0 r1 r2 r3 r4".split()
+    d4 = [f"u{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id int, toks array<string>"
+    )
+    out = duplicated_spans(df, "doc_id", "toks", window=5, min_docs=2)
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in out.collect()
+    }
+    # only windows fully inside the shared passage flag; islands merge
+    # them into the maximal run covering the passage at each offset
+    assert rows == {1: (4, 10, 7), 2: (2, 8, 7)}
+
+
+def test_duplicated_spans_removal_drives_fraction_to_zero(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import duplicated_spans
+
+    passage = [f"p{i}" for i in range(6)]
+    docs = {
+        i: [f"x{i}_{j}" for j in range(3)] + passage + [f"y{i}_{j}" for j in range(4)]
+        for i in range(1, 4)
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id int, toks array<string>"
+    )
+    spans = {
+        r["doc_id"]: (int(r["span_start"]), int(r["span_end"]))
+        for r in duplicated_spans(df, "doc_id", "toks", window=5).collect()
+    }
+    assert set(spans) == {1, 2, 3}
+    # remove each doc's flagged span; the deduped corpus has no repeated
+    # cross-document 5-gram left (removal fraction check)
+    cleaned = [
+        (i, t[: spans[i][0]] + t[spans[i][1] + 1 :]) for i, t in docs.items()
+    ]
+    df2 = spark.createDataFrame(cleaned, "doc_id int, toks array<string>")
+    assert duplicated_spans(df2, "doc_id", "toks", window=5).count() == 0
+
+
+def test_duplicated_spans_overlapping_plants_merge(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import duplicated_spans
+
+    # doc 1 carries passage A immediately followed by passage B; docs 2
+    # and 3 carry A and B separately -> doc 1's two flagged regions are
+    # adjacent runs of window starts and must merge into ONE span
+    pa = [f"a{i}" for i in range(5)]
+    pb = [f"b{i}" for i in range(5)]
+    df = spark.createDataFrame(
+        [
+            (1, pa + pb),
+            (2, [f"q{i}" for i in range(3)] + pa + ["z"]),
+            (3, ["w"] + pb + [f"v{i}" for i in range(3)]),
+        ],
+        "doc_id int, toks array<string>",
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicated_spans(df, "doc_id", "toks", window=5).collect()
+    }
+    assert out[1] == (0, 9, 10)  # A..B merged: starts {0, 5} not contiguous

@@ -28,6 +28,7 @@ AUDITED = [
     "j1_interval_join",
     "d2_minhash_signatures",
     "d3_jaccard_pairs",
+    "d8_duplicated_spans",
     "s1_cosine_topk",
     "s3_ivf_ann_topk",
     "j3_asof_join",
@@ -98,25 +99,37 @@ def flags(plan: str, name: str) -> list[str]:
     # plans (a column-pruned aggregate side-scan, a filtered self-join
     # side) and stay unflagged; SELF_JOIN_OK exempts whole queries.
     if name not in SELF_JOIN_OK:
+        def scan_key(ln: str) -> str:
+            # structured key, not the raw line: normalize expression ids
+            # (#12L -> #x), then compare (location, ReadSchema,
+            # PushedFilters, DataFilters-prefix). The DataFilters field
+            # is width-truncated by Spark AFTER id substitution, so
+            # identical filters over different-length raw ids truncate
+            # at different logical points (seen on d8: one-char shift) —
+            # hence prefix-before-'...' only.
+            s = re.sub(r"#\d+[A-Za-z]*", "#x", ln[ln.index("FileScan") :])
+            fields = dict(
+                re.findall(r"(Location|PushedFilters|ReadSchema): ([^,]+(?:,[^ ]+)*)", s)
+            )
+            dfilt = re.search(r"DataFilters: \[([^\]]*)", s)
+            return "|".join(
+                [
+                    re.search(r"InMemoryFileIndex(?:\([^)]*\))?\[([^\],]+)", s).group(1)
+                    if "InMemoryFileIndex" in s
+                    else fields.get("Location", "?"),
+                    fields.get("ReadSchema", "?"),
+                    fields.get("PushedFilters", "?"),
+                    (dfilt.group(1).split("...", 1)[0] if dfilt else "?"),
+                ]
+            )
+
         scans_norm = [
-            # cut at 'FileScan' (tree-branch prefixes like ':  +-' vary
-            # per position), then normalize expression ids
-            re.sub(r"#\d+[A-Za-z]*", "#x", ln[ln.index("FileScan") :])
-            for ln in plan.splitlines()
-            if "FileScan" in ln
+            scan_key(ln) for ln in plan.splitlines() if "FileScan" in ln
         ]
         dup_lines = sorted({s for s in scans_norm if scans_norm.count(s) > 1})
         if dup_lines:
             tables = ", ".join(
-                sorted(
-                    {
-                        m.group(1).rstrip("/").split("/")[-1]
-                        for s in dup_lines
-                        for m in [re.search(r"InMemoryFileIndex(?:\([^)]*\))?\[([^\],]+)", s)]
-                        if m
-                    }
-                )
-                or ["<unknown>"]
+                sorted({s.split("|", 1)[0].rstrip("/").split("/")[-1] for s in dup_lines})
             )
             out.append(
                 f"identical FileScan of {tables} planned twice — reused subtree not pinned"
