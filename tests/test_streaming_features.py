@@ -172,3 +172,116 @@ def test_streaming_features_multi_chunk_batches(spark, tmp_path):
             assert got[eid][2] == pytest.approx(ewma, rel=1e-12), eid
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+# --- retraction-capable twin -------------------------------------------------
+
+RET_SCHEMA = T.StructType(
+    [*EV_SCHEMA.fields, T.StructField("diff", T.LongType(), False)]
+)
+
+from diffdataflowmlpipelines_spark.streaming.features import (  # noqa: E402
+    streaming_event_features_retractable,
+)
+
+
+def _ret_epoch(rows):
+    return pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_time": [r[1] for r in rows],
+            "event_id": [r[2] for r in rows],
+            "value": [r[3] for r in rows],
+            "diff": [r[4] for r in rows],
+        }
+    )
+
+
+def _run_retract(spark, tmp_path, epochs, horizon_s=None):
+    src = EpochFileSource(spark, str(tmp_path / "src"), RET_SCHEMA)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["event_id"])
+    for ep in epochs:
+        src.add_epoch(_ret_epoch(ep))
+    (
+        streaming_event_features_retractable(
+            src.stream(), alpha=ALPHA, horizon_s=horizon_s
+        )
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return sink
+
+
+def _view(spark, sink):
+    return {
+        r["event_id"]: (
+            r["secs_since_prev"],
+            r["event_seq"],
+            r["ewma"],
+            r["deleted"],
+        )
+        for r in sink.read_current(spark).collect()
+    }
+
+
+def test_retractable_late_delete_reemits_corrections(spark, tmp_path):
+    base = [(1, T0 + timedelta(seconds=10 * i), i, float(10 + i)) for i in range(6)]
+    e1 = [(*r, 1) for r in base]
+    e2 = [(1, base[2][1], 2, base[2][3], -1)]  # late delete of event 2
+    sink = _run_retract(spark, tmp_path, [e1, e2])
+    view = _view(spark, sink)
+    assert view[2][3] is True  # tombstone wins the upsert view
+    want = _python_replay([r for r in base if r[2] != 2])
+    for eid, (_u, secs, seq, ewma) in want.items():
+        assert view[eid] == (secs, seq, ewma, False)
+    # the delete epoch re-emitted EXACTLY the affected suffix (3, 4, 5)
+    # plus the tombstone — events 0 and 1 were untouched
+    per_epoch = sink.read_all(spark).collect()
+    last = max(r["epoch"] for r in per_epoch)
+    emitted = {r["event_id"] for r in per_epoch if r["epoch"] == last}
+    assert emitted == {2, 3, 4, 5}
+
+
+def test_retractable_late_insert_corrects_downstream(spark, tmp_path):
+    base = [(1, T0 + timedelta(seconds=10 * i), i, float(i)) for i in range(5)]
+    late = (1, T0 + timedelta(seconds=25), 99, 7.5)  # lands between 2 and 3
+    sink = _run_retract(spark, tmp_path, [[(*r, 1) for r in base], [(*late, 1)]])
+    view = _view(spark, sink)
+    want = _python_replay(base + [late])
+    assert len(view) == 6 and not any(v[3] for v in view.values())
+    for eid, (_u, secs, seq, ewma) in want.items():
+        assert view[eid] == (secs, seq, ewma, False)
+
+
+def test_retractable_insert_only_matches_append_twin_replay(spark, tmp_path):
+    rows = _events(7, n=120, users=5)
+    epochs = [
+        [(*r, 1) for r in rows[:40]],
+        [(*r, 1) for r in rows[40:80]],
+        [(*r, 1) for r in rows[80:]],
+    ]
+    sink = _run_retract(spark, tmp_path, epochs)
+    view = _view(spark, sink)
+    want = _python_replay(rows)
+    assert len(view) == len(want)
+    for eid, (_u, secs, seq, ewma) in want.items():
+        assert view[eid][:3] == (secs, seq, ewma) and view[eid][3] is False
+
+
+def test_retractable_horizon_freezes_and_ignores_old_deletes(spark, tmp_path):
+    base = [(1, T0 + timedelta(seconds=10 * i), i, float(i + 1)) for i in range(12)]
+    # horizon 30 s: after epoch 1 (max t = 110 s) everything <= 80 s is
+    # frozen; epoch 2's delete of event 0 (t=0) must be IGNORED
+    e2 = [(1, base[0][1], 0, base[0][3], -1)]
+    # and a fresh in-horizon insert must still extend the stream exactly
+    tail = (1, T0 + timedelta(seconds=115), 50, 2.5)
+    sink = _run_retract(spark, tmp_path, [[(*r, 1) for r in base], e2, [(*tail, 1)]], horizon_s=30)
+    view = _view(spark, sink)
+    want = _python_replay(base + [tail])  # delete had no effect
+    assert len(view) == 13 and not any(v[3] for v in view.values())
+    for eid, (_u, secs, seq, ewma) in want.items():
+        assert view[eid] == (secs, seq, ewma, False)
