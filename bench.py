@@ -73,6 +73,43 @@ def host_delta(before: dict, after: dict) -> dict:
     }
 
 
+def spin_calibration(iters: int = 20_000_000) -> dict:
+    """Pure-CPU spin probe at 1 core vs CPUS cores — the round-3 lesson:
+    steal jiffies and loadavg can both read quiet while hypervisor
+    co-tenancy cuts per-core throughput 35% (spin 0.61-0.74 observed at
+    steal < 0.4%). per_core_eff >= ~0.8 marks a genuinely quiet window;
+    recorded in the bench JSON so every BENCH_r{N} carries its own
+    validity marker. Runs BEFORE the Spark JVM exists (the probe must
+    not compete with our own executors)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from scaling_round import spin_rate
+
+    r1 = spin_rate(1, iters=iters)
+    rn = spin_rate(CPUS, iters=iters)
+    return {
+        "cores": CPUS,
+        "spin_iters_per_s_1c": round(r1 / 1e6, 1),
+        "spin_iters_per_s_nc": round(rn / 1e6, 1),
+        "per_core_eff": round(rn / (r1 * CPUS), 3) if r1 else None,
+    }
+
+
+def wait_quiet_window(gate: float, deadline_s: int) -> tuple[dict, bool, int]:
+    """Probe->fire loop (folds tools/scaling_watch.py into the bench):
+    re-probe until the spin gate clears or the deadline passes. Returns
+    (last calibration, gate_cleared, attempts)."""
+    t0 = time.time()
+    attempts = 0
+    while True:
+        attempts += 1
+        cal = spin_calibration()
+        if cal["per_core_eff"] is not None and cal["per_core_eff"] >= gate:
+            return cal, True, attempts
+        if time.time() - t0 > deadline_s:
+            return cal, False, attempts
+        time.sleep(30)
+
+
 def _sustained(q) -> float:
     """Median per-batch processedRowsPerSecond, cold batch excluded —
     the sustained-throughput number the target metric asks for."""
@@ -299,6 +336,28 @@ def bench_streaming(
 
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
+
+    # spin gate: ALWAYS record the calibration (the number that decides
+    # whether this run is comparable across rounds); with --gated /
+    # BENCH_GATED=1, probe->fire until the window is quiet or the
+    # deadline passes (default 900 s), like tools/scaling_watch.py
+    gate = float(os.environ.get("BENCH_SPIN_GATE", "0.8"))
+    gated = "--gated" in sys.argv or os.environ.get("BENCH_GATED", "0") == "1"
+    if gated:
+        cal, quiet, attempts = wait_quiet_window(
+            gate, int(os.environ.get("BENCH_GATE_DEADLINE", "900"))
+        )
+    else:
+        cal, attempts = spin_calibration(), 1
+        quiet = cal["per_core_eff"] is not None and cal["per_core_eff"] >= gate
+    spin_info = {
+        **cal,
+        "gate": gate,
+        "gated_mode": gated,
+        "gate_attempts": attempts,
+        "quiet_window": quiet,
+    }
+
     from diffdataflowmlpipelines_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -420,6 +479,7 @@ def main() -> None:
                     "stream_join_rep_secs": stream_stats["stream_join_rep_secs"],
                 },
                 "scaling": scaling,
+                "spin": spin_info,
                 "host": host_delta(host0, host_snapshot()),
             }
         )
