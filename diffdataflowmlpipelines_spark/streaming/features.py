@@ -154,6 +154,12 @@ def _retract_fn(alpha: float, horizon_us: int | None):
             ):
                 eid, d = int(eid), int(d)
                 if d > 0:
+                    # inserts BEHIND the frozen prefix are ignored like
+                    # late deletes: the prefix's emissions are final, and
+                    # walking such an event from frozen_us would produce
+                    # a negative lag and a wrong ordinal
+                    if frozen[0] is not None and int(t) < frozen[0]:
+                        continue
                     buf[eid] = (int(t), None if pd.isna(v) else float(v))
                 elif d < 0:
                     # deletes of never-inserted or already-frozen events
@@ -241,9 +247,9 @@ def streaming_event_features_retractable(
 
     State bound: with ``horizon_s``, events older than
     ``max(live event time) - horizon`` freeze into the O(1) fold state
-    (their features are final); deletes aimed past the horizon are
-    IGNORED, exactly like watermark-late data in Spark's own stateful
-    operators — Spark's state model cannot un-emit finalized append
+    (their features are final); deletes aimed past the horizon — and
+    inserts timestamped behind the frozen prefix — are IGNORED, exactly
+    like watermark-late data in Spark's own stateful operators — Spark's state model cannot un-emit finalized append
     output, so bounded corrections are the honest contract. With
     ``horizon_s=None`` the buffer is unbounded and corrections are
     exact forever (test/replay usage).

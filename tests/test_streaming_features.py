@@ -285,3 +285,19 @@ def test_retractable_horizon_freezes_and_ignores_old_deletes(spark, tmp_path):
     assert len(view) == 13 and not any(v[3] for v in view.values())
     for eid, (_u, secs, seq, ewma) in want.items():
         assert view[eid] == (secs, seq, ewma, False)
+
+
+def test_retractable_horizon_ignores_inserts_behind_frozen_prefix(spark, tmp_path):
+    # an insert timestamped BEFORE the frozen prefix would otherwise
+    # walk from frozen_us with a negative lag and a wrong ordinal —
+    # it must be ignored exactly like an out-of-horizon delete
+    base = [(1, T0 + timedelta(seconds=10 * i), i, float(i + 1)) for i in range(12)]
+    stale = (1, T0 + timedelta(seconds=5), 77, 9.9)  # behind the frozen prefix
+    sink = _run_retract(
+        spark, tmp_path, [[(*r, 1) for r in base], [(*stale, 1)]], horizon_s=30
+    )
+    view = _view(spark, sink)
+    want = _python_replay(base)  # the stale insert had no effect
+    assert 77 not in view and len(view) == 12
+    for eid, (_u, secs, seq, ewma) in want.items():
+        assert view[eid] == (secs, seq, ewma, False)
