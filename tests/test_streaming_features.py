@@ -301,3 +301,17 @@ def test_retractable_horizon_ignores_inserts_behind_frozen_prefix(spark, tmp_pat
     assert 77 not in view and len(view) == 12
     for eid, (_u, secs, seq, ewma) in want.items():
         assert view[eid] == (secs, seq, ewma, False)
+
+
+def test_retractable_all_tombstone_batch(spark, tmp_path):
+    # deleting the LAST event produces a batch whose only emission is
+    # the tombstone — every feature column all-None (the pyarrow
+    # empty-object-column inference trap from CLAUDE.md)
+    base = [(1, T0 + timedelta(seconds=10 * i), i, float(i)) for i in range(4)]
+    e2 = [(1, base[3][1], 3, base[3][3], -1)]
+    sink = _run_retract(spark, tmp_path, [[(*r, 1) for r in base], e2])
+    view = _view(spark, sink)
+    assert view[3][3] is True
+    want = _python_replay(base[:3])
+    for eid, (_u, secs, seq, ewma) in want.items():
+        assert view[eid] == (secs, seq, ewma, False)
