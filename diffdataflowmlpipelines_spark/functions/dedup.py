@@ -593,11 +593,15 @@ def duplicated_spans(
     min_docs: int = 2,
 ) -> DataFrame:
     """Substring-level (suffix-array-style) dedup: per document, the
-    maximal token runs whose every length-``window`` n-gram also occurs
-    in at least ``min_docs`` distinct documents — the repeated-passage
-    detector web-scale curation runs (Lee et al. 2022, "Deduplicating
-    Training Data Makes Language Models Better") that document-level
-    dedup (exact/MinHash/SimHash) cannot express. The reference has no
+    maximal token runs covered by the UNION of length-``window``
+    n-grams that occur in at least ``min_docs`` distinct documents —
+    the repeated-passage detector web-scale curation runs (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better")
+    that document-level dedup (exact/MinHash/SimHash) cannot express.
+    (Union, not intersection: when two flagged windows merely abut, the
+    straddling n-grams between them need not themselves be duplicated —
+    consumers trimming spans should treat span boundaries as flagged-
+    coverage limits, not a per-n-gram guarantee.) The reference has no
     text surface beyond tokenization (``feature_extraction/utils.rs:
     3-9``); this is the engine's extension, like the rest of the d*
     family.

@@ -125,11 +125,24 @@ def streaming_event_funnel(
     k = len(steps)
     if k == 0:
         raise ValueError("steps must be non-empty")
+    # shared precondition with the batch twin (see module docstring):
+    # the check is routed THROUGH the kept event_time column so column
+    # pruning cannot drop it
+    t_cast = F.col(time_col).cast("timestamp")
+    checked_t = F.when(
+        F.unix_micros(t_cast) < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("streaming_event_funnel requires event times >= 1970-01-01, got "),
+                F.col(time_col).cast("string"),
+            )
+        ).cast("timestamp"),
+    ).otherwise(t_cast)
     keyed = events.filter(
         F.col(type_col).isin(list(steps)) & F.col(time_col).isNotNull()
     ).select(
         F.col(key_col).cast(key_type).alias("__cep_key"),
-        F.col(time_col).cast("timestamp").alias("event_time"),
+        checked_t.alias("event_time"),
         F.col(type_col).alias("event_type"),
     )
     within_us = int(within_s) * 1_000_000 if within_s is not None else None

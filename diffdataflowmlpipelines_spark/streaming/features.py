@@ -154,11 +154,14 @@ def _retract_fn(alpha: float, horizon_us: int | None):
             ):
                 eid, d = int(eid), int(d)
                 if d > 0:
-                    # inserts BEHIND the frozen prefix are ignored like
-                    # late deletes: the prefix's emissions are final, and
-                    # walking such an event from frozen_us would produce
-                    # a negative lag and a wrong ordinal
-                    if frozen[0] is not None and int(t) < frozen[0]:
+                    # inserts AT or BEHIND the frozen prefix are ignored
+                    # like late deletes: the prefix's emissions are
+                    # final, and walking such an event from frozen_us
+                    # would produce a negative lag and a wrong ordinal.
+                    # <= not <: an insert tied with the last frozen
+                    # event's time may belong before it in (t, eid)
+                    # order, which no replay from frozen state can honor
+                    if frozen[0] is not None and int(t) <= frozen[0]:
                         continue
                     buf[eid] = (int(t), None if pd.isna(v) else float(v))
                 elif d < 0:
@@ -254,8 +257,12 @@ def streaming_event_features_retractable(
     ``horizon_s=None`` the buffer is unbounded and corrections are
     exact forever (test/replay usage).
     """
+    # NULL diff is not an update: int(NaN) would abort the whole query
+    # (same contract as incremental_vocabulary_tws's diff filter)
     keyed = events.filter(
-        F.col(time_col).isNotNull() & F.col(id_col).isNotNull()
+        F.col(time_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(diff_col).isNotNull()
     ).select(
         F.col(key_col).cast("long").alias("user_id"),
         F.col(time_col).cast("timestamp").alias("event_time"),

@@ -49,11 +49,14 @@ def _pack_fn(budget: int):
             raise ValueError("packing requires non-null n_tok")
         if len(pdf) and (pdf["n_tok"] < 0).any():
             raise ValueError("packing is insert-only; negative n_tok row seen")
-        if len(pdf) and "diff" in pdf.columns and (pdf["diff"] <= 0).any():
+        if len(pdf) and "diff" in pdf.columns and (
+            pdf["diff"].isna().any() or (pdf["diff"] <= 0).any()
+        ):
             # diff<=0 rows are retractions in this engine's delta model;
             # emitted chunks cannot be unpacked, so reject loudly rather
-            # than packing a retraction as an insert
-            raise ValueError("packing is insert-only; diff <= 0 row seen")
+            # than packing a retraction as an insert. NaN <= 0 is False,
+            # so a NULL diff needs its own check (same trap as n_tok)
+            raise ValueError("packing is insert-only; diff <= 0 or NULL row seen")
         pdf = pdf.sort_values(["event_time", "doc_id"], kind="stable")
         lens = pdf["n_tok"].astype("int64")
         start = cum + lens.cumsum() - lens

@@ -356,3 +356,48 @@ def test_event_funnel_null_timestamps_ignored(spark):
     ).collect()
     assert r["steps_completed"] == 2
     assert r["step_1_ts"] == T0 + timedelta(seconds=10)
+
+
+def test_streaming_funnel_raises_on_pre_1970_event(spark, tmp_path):
+    """Shared precondition with the batch twin: pre-1970 events must
+    fail loudly in BOTH paths (the batch fold's sentinel is -1 micros;
+    a silent streaming acceptance would break twin parity)."""
+    import pandas as pd
+    import pytest
+
+    from diffdataflowmlpipelines_spark.streaming.cep import (
+        streaming_event_funnel,
+    )
+    from diffdataflowmlpipelines_spark.streaming.sources import EpochFileSource
+    from pyspark.sql import types as T
+    from datetime import datetime
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_time", T.TimestampType(), False),
+            T.StructField("event_type", T.StringType(), False),
+        ]
+    )
+    src = EpochFileSource(spark, str(tmp_path / "src"), schema)
+    src.add_epoch(
+        pd.DataFrame(
+            {
+                "user_id": [1],
+                "event_time": [datetime(1969, 12, 31, 23, 0, 0)],
+                "event_type": ["view"],
+            }
+        )
+    )
+    q = (
+        streaming_event_funnel(src.stream(), ["view", "buy"])
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="1970"):
+        q.awaitTermination(300)
+        if q.exception():
+            raise q.exception()

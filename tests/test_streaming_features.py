@@ -315,3 +315,47 @@ def test_retractable_all_tombstone_batch(spark, tmp_path):
     want = _python_replay(base[:3])
     for eid, (_u, secs, seq, ewma) in want.items():
         assert view[eid] == (secs, seq, ewma, False)
+
+
+def test_retractable_null_diff_rows_filtered_not_crash(spark, tmp_path):
+    # a NULL diff is not an update: int(NaN) would abort the query
+    base = [(1, T0 + timedelta(seconds=10 * i), i, float(i), 1) for i in range(3)]
+    withnull = base + [(1, T0 + timedelta(seconds=40), 9, 4.0, None)]
+    ep = _ret_epoch(withnull)
+    # [1, 1, 1, None] infers float64 -> parquet DOUBLE vs declared long
+    ep["diff"] = ep["diff"].astype("Int64")
+    src = EpochFileSource(
+        spark,
+        str(tmp_path / "src"),
+        T.StructType([*EV_SCHEMA.fields, T.StructField("diff", T.LongType(), True)]),
+    )
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["event_id"])
+    src.add_epoch(ep)
+    (
+        streaming_event_features_retractable(src.stream(), alpha=ALPHA)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    view = _view(spark, sink)
+    assert 9 not in view and len(view) == 3
+
+
+def test_retractable_insert_tied_with_frozen_boundary_ignored(spark, tmp_path):
+    # t == frozen_us may belong BEFORE the last frozen event in (t, eid)
+    # order, which no replay from frozen state can honor -> ignored
+    base = [(1, T0 + timedelta(seconds=10 * i), i, float(i + 1)) for i in range(12)]
+    # after epoch 1 with horizon 30 s: cutoff = 110 - 30 = 80 s, frozen
+    # prefix ends at t = 80 s (event 8); the tied insert targets 80 s
+    tied = (1, T0 + timedelta(seconds=80), 3, 5.0)
+    sink = _run_retract(
+        spark, tmp_path, [[(*r, 1) for r in base], [(*tied, 1)]], horizon_s=30
+    )
+    view = _view(spark, sink)
+    want = _python_replay(base)
+    assert 3 in view and len(view) == 12  # original event 3 intact, no 13th
+    for eid, (_u, secs, seq, ewma) in want.items():
+        assert view[eid] == (secs, seq, ewma, False)

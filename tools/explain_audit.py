@@ -108,18 +108,21 @@ def flags(plan: str, name: str) -> list[str]:
             # at different logical points (seen on d8: one-char shift) —
             # hence prefix-before-'...' only.
             s = re.sub(r"#\d+[A-Za-z]*", "#x", ln[ln.index("FileScan") :])
-            fields = dict(
-                re.findall(r"(Location|PushedFilters|ReadSchema): ([^,]+(?:,[^ ]+)*)", s)
-            )
-            dfilt = re.search(r"DataFilters: \[([^\]]*)", s)
+
+            def field(pat: str) -> str:
+                # every extraction is guarded ('?' on a truncated line)
+                # and bracket-aware — a '[^,]+' style pattern would cut
+                # PushedFilters at its first comma and collide two
+                # different filter sets into one key
+                m = re.search(pat, s)
+                return m.group(1) if m else "?"
+
             return "|".join(
                 [
-                    re.search(r"InMemoryFileIndex(?:\([^)]*\))?\[([^\],]+)", s).group(1)
-                    if "InMemoryFileIndex" in s
-                    else fields.get("Location", "?"),
-                    fields.get("ReadSchema", "?"),
-                    fields.get("PushedFilters", "?"),
-                    (dfilt.group(1).split("...", 1)[0] if dfilt else "?"),
+                    field(r"InMemoryFileIndex(?:\([^)]*\))?\[([^\],]+)"),
+                    field(r"ReadSchema: (struct<[^>]*>?)"),
+                    field(r"PushedFilters: \[([^\]]*)").split("...", 1)[0],
+                    field(r"DataFilters: \[([^\]]*)").split("...", 1)[0],
                 ]
             )
 
