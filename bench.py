@@ -38,6 +38,7 @@ BATCH_QUERIES = [
     "j1_interval_join",
     "d2_minhash_signatures",
     "d4_simhash",
+    "d8_duplicated_spans",
     "s1_cosine_topk",
     "cep1_event_funnel",
     "t11_corpus_pipeline",
