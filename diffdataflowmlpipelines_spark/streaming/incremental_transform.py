@@ -187,6 +187,21 @@ class IncrementalScalerPipeline:
     def _fold_pdf(self, pdf) -> tuple:
         """Driver-side twin of _fold_batch: fold the tiny batch's signed
         partial sums without a Spark job (same null-exclusion rule)."""
+        if len(pdf) == 1:
+            # scalar lane for the per-row-update hot path: the pandas
+            # filter/astype/sum chain below costs ~3 ms per call, most
+            # of the remaining gap to the reference's in-process number
+            import pandas as pd
+
+            d = int(pdf[DIFF].iloc[0])
+            v = pdf[self.value_col].iloc[0]
+            self._last_batch_insert_only = d > 0
+            if not pd.isna(v):  # None/NaN/pd.NA are all non-observations
+                x = float(v)
+                self._n += d
+                self._s1 += x * d
+                self._s2 += x * x * d
+            return self._current_meta()
         self._last_batch_insert_only = len(pdf) == 0 or int(pdf[DIFF].min()) > 0
         obs = pdf[pdf[self.value_col].notna()]
         x = obs[self.value_col].astype("float64")
@@ -215,7 +230,30 @@ class IncrementalScalerPipeline:
         Only a statistic CHANGE (the DD cascade, O(snapshot) by design)
         or a retraction-bearing batch (needs key history) goes
         distributed."""
-        pdf = _rows_to_pdf(rows, schema)
+        self._process_small_epoch_pdf(_rows_to_pdf(rows, schema), epoch_id)
+
+    def process_epoch_local(self, pdf, epoch_id: int) -> None:
+        """Driver-local ingestion for callers that already hold the
+        delta in-process as pandas (the reference's per-row shape) —
+        skips ``process_epoch``'s size probe (``limit(n).collect()``),
+        whose job launch alone costs ~30 ms on local[32] and dominates
+        the single-row latency. Exactly-once layout, replay, and
+        crash-window repair are identical to ``process_epoch``. The pdf
+        must carry parquet-stable dtypes (what ``_rows_to_pdf`` pins);
+        deltas larger than ``small_epoch_rows`` are routed through the
+        distributed path via ``createDataFrame``."""
+        if self.input_sink.is_committed(epoch_id):
+            if epoch_id not in self._folded_epochs:
+                self._replay_unfolded(epoch_id)
+            elif not self.output_sink.is_committed(epoch_id):
+                self._repair_output(epoch_id)
+            return
+        if self.small_epoch_rows and len(pdf) <= self.small_epoch_rows:
+            self._process_small_epoch_pdf(pdf.copy(), epoch_id)
+            return
+        self.process_epoch(self.spark.createDataFrame(pdf), epoch_id)
+
+    def _process_small_epoch_pdf(self, pdf, epoch_id: int) -> None:
         if DIFF not in pdf.columns:
             pdf[DIFF] = 1
         pdf[DIFF] = pdf[DIFF].astype("int64")
@@ -229,13 +267,17 @@ class IncrementalScalerPipeline:
             self.output_sink.write_batch(out, epoch_id)
             self.full_reencodes += 1
         elif insert_only:
-            cols = [c for c in pdf.columns if c != DIFF]
-            # dropna=False: Spark's groupBy keeps null keys; pandas'
-            # default silently drops the whole null-bearing row
-            net = pdf.groupby(cols, as_index=False, sort=False, dropna=False)[
-                DIFF
-            ].sum()
-            net = net[net[DIFF] != 0]
+            if len(pdf) == 1:
+                # a single insert row IS its own net (no group to merge)
+                net = pdf
+            else:
+                cols = [c for c in pdf.columns if c != DIFF]
+                # dropna=False: Spark's groupBy keeps null keys; pandas'
+                # default silently drops the whole null-bearing row
+                net = pdf.groupby(cols, as_index=False, sort=False, dropna=False)[
+                    DIFF
+                ].sum()
+                net = net[net[DIFF] != 0]
             self.output_sink.write_batch_local(self._encode_pdf(net, meta), epoch_id)
         else:
             batch_keys = self.spark.createDataFrame(
@@ -511,6 +553,22 @@ class IncrementalMultiScalerPipeline:
     def _fold_pdf(self, pdf) -> tuple:
         """Driver-side twin of _fold_batch: all k columns' signed partial
         sums folded without a Spark job."""
+        if len(pdf) == 1:
+            # scalar lane (see single-column twin): the per-column
+            # filter/astype/sum chain costs ~2 ms x k columns per call
+            import pandas as pd
+
+            row = pdf.iloc[0]
+            d = int(row[DIFF])
+            self._last_batch_insert_only = d > 0
+            for i, c in enumerate(self.value_cols):
+                v = row[c]
+                if not pd.isna(v):
+                    x = float(v)
+                    self._n[i] += d
+                    self._s1[i] += x * d
+                    self._s2[i] += x * x * d
+            return self._current_meta()
         self._last_batch_insert_only = len(pdf) == 0 or int(pdf[DIFF].min()) > 0
         for i, c in enumerate(self.value_cols):
             obs = pdf[pdf[c].notna()]
@@ -541,7 +599,25 @@ class IncrementalMultiScalerPipeline:
 
     def _process_small_epoch(self, rows, schema, epoch_id: int) -> None:
         """Single-row-update fast path — see the single-column twin."""
-        pdf = _rows_to_pdf(rows, schema)
+        self._process_small_epoch_pdf(_rows_to_pdf(rows, schema), epoch_id)
+
+    def process_epoch_local(self, pdf, epoch_id: int) -> None:
+        """Driver-local ingestion — see the single-column twin's
+        docstring (same contract: exactly-once layout, replay/repair,
+        large deltas routed distributed; skips the ~30 ms size-probe
+        job)."""
+        if self.input_sink.is_committed(epoch_id):
+            if epoch_id not in self._folded_epochs:
+                self._replay_unfolded(epoch_id)
+            elif not self.output_sink.is_committed(epoch_id):
+                self._repair_output(epoch_id)
+            return
+        if self.small_epoch_rows and len(pdf) <= self.small_epoch_rows:
+            self._process_small_epoch_pdf(pdf.copy(), epoch_id)
+            return
+        self.process_epoch(self.spark.createDataFrame(pdf), epoch_id)
+
+    def _process_small_epoch_pdf(self, pdf, epoch_id: int) -> None:
         if DIFF not in pdf.columns:
             pdf[DIFF] = 1
         pdf[DIFF] = pdf[DIFF].astype("int64")
@@ -555,12 +631,16 @@ class IncrementalMultiScalerPipeline:
             self.output_sink.write_batch(out, epoch_id)
             self.full_reencodes += 1
         elif insert_only:
-            cols = [c for c in pdf.columns if c != DIFF]
-            # dropna=False: see single-column twin
-            net = pdf.groupby(cols, as_index=False, sort=False, dropna=False)[
-                DIFF
-            ].sum()
-            net = net[net[DIFF] != 0]
+            if len(pdf) == 1:
+                # a single insert row IS its own net (see single twin)
+                net = pdf
+            else:
+                cols = [c for c in pdf.columns if c != DIFF]
+                # dropna=False: see single-column twin
+                net = pdf.groupby(cols, as_index=False, sort=False, dropna=False)[
+                    DIFF
+                ].sum()
+                net = net[net[DIFF] != 0]
             self.output_sink.write_batch_local(self._encode_pdf(net, meta), epoch_id)
         else:
             batch_keys = self.spark.createDataFrame(

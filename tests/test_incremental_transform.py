@@ -352,3 +352,56 @@ def test_small_epoch_null_rows_not_dropped(spark, tmp_path):
     # null VALUE encodes to parquet NULL (the distributed path's
     # behavior), not NaN
     assert got[3] is None
+
+
+def test_process_epoch_local_parity_and_replay(spark, tmp_path):
+    """process_epoch_local (the no-size-probe driver-local entry) must
+    leave byte-identical sink state to the Spark-df path and honor the
+    same replay semantics (committed epoch re-sent -> no double fold)."""
+    epochs = [
+        ep(0, [(i, 100 + i) for i in range(40)]),
+        ep(1, [(100, 57.5)]),
+        ep(2, [(101, 61.0), (40, 90.0)]),
+    ]
+    # path A: the normal Spark-df route
+    pa = IncrementalScalerPipeline(
+        spark, str(tmp_path / "a"), ["row_id"], "x", round_to=(-2, 0)
+    )
+    for i, e in enumerate(epochs):
+        pa.process_epoch(spark.createDataFrame(e, SCHEMA), i)
+    # path B: driver-local pandas route (dtypes already parquet-stable)
+    pb = IncrementalScalerPipeline(
+        spark, str(tmp_path / "b"), ["row_id"], "x", round_to=(-2, 0)
+    )
+    for i, e in enumerate(epochs):
+        e = e.copy()
+        e["event_time"] = pd.to_datetime(e["event_time"]).dt.tz_localize("UTC")
+        pb.process_epoch_local(e, i)
+    va = {
+        (r["row_id"]): r["scaled"]
+        for r in pb.output_sink.read_current(spark).collect()
+    }
+    vb = {
+        (r["row_id"]): r["scaled"]
+        for r in pa.output_sink.read_current(spark).collect()
+    }
+    assert va == vb
+    assert (pa._n, pa._s1, pa._s2) == (pb._n, pb._s1, pb._s2)
+    # replay: re-sending a committed epoch must not double-fold
+    stat = (pb._n, pb._s1, pb._s2)
+    e1 = epochs[1].copy()
+    e1["event_time"] = pd.to_datetime(e1["event_time"]).dt.tz_localize("UTC")
+    pb.process_epoch_local(e1, 1)
+    assert (pb._n, pb._s1, pb._s2) == stat
+
+
+def test_process_epoch_local_routes_large_delta_distributed(spark, tmp_path):
+    pipe = IncrementalScalerPipeline(
+        spark, str(tmp_path / "p"), ["row_id"], "x",
+        round_to=(-2, 0), small_epoch_rows=8,
+    )
+    big = ep(0, [(i, 100 + i) for i in range(50)])
+    big["event_time"] = pd.to_datetime(big["event_time"]).dt.tz_localize("UTC")
+    pipe.process_epoch_local(big, 0)
+    assert pipe.input_sink.is_committed(0) and pipe.output_sink.is_committed(0)
+    assert pipe._n == 50

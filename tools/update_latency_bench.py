@@ -78,9 +78,26 @@ def bench_scaler(spark) -> dict:
             pipe.process_epoch(df, k + 1)
             update_ms.append((time.time() - t0) * 1000)
 
+        # driver-local entry (process_epoch_local): the caller already
+        # holds the delta as pandas, so the ~30 ms limit().collect()
+        # size-probe job is skipped — the apples-to-apples comparison
+        # with the reference's in-process 1.45 ms per-row update
+        local_ms = []
+        for k in range(N_UPDATES):
+            pdf = pd.DataFrame(
+                {
+                    "row_id": np.array([INIT_ROWS + 10_000 + k], dtype="int64"),
+                    "x": rng.normal(100.0, 25.0, size=1),
+                    "diff": np.ones(1, dtype="int64"),
+                }
+            )
+            t0 = time.time()
+            pipe.process_epoch_local(pdf, N_UPDATES + 1 + k)
+            local_ms.append((time.time() - t0) * 1000)
+
         bulk_df = mkdf(INIT_ROWS + N_UPDATES, BULK_ROWS)
         t0 = time.time()
-        pipe.process_epoch(bulk_df, N_UPDATES + 1)
+        pipe.process_epoch(bulk_df, 2 * N_UPDATES + 1)
         bulk_sec = time.time() - t0
 
         return {
@@ -89,6 +106,10 @@ def bench_scaler(spark) -> dict:
             "init_rows_per_s": round(INIT_ROWS / init_sec, 0),
             "single_row_update_ms_median": round(statistics.median(update_ms), 1),
             "single_row_update_ms_min": round(min(update_ms), 1),
+            "single_row_update_local_ms_median": round(
+                statistics.median(local_ms), 1
+            ),
+            "single_row_update_local_ms_min": round(min(local_ms), 1),
             "bulk_rows": BULK_ROWS,
             "bulk_update_sec": round(bulk_sec, 2),
             "full_reencodes": pipe.full_reencodes,
@@ -145,12 +166,27 @@ def bench_multi(spark) -> dict:
             pipe.process_epoch(df, k + 1)
             update_ms.append((time.time() - t0) * 1000)
 
+        local_ms = []
+        for k in range(N_UPDATES):
+            data = {"row_id": np.array([MULTI_INIT_ROWS + 10_000 + k], dtype="int64")}
+            for j, c in enumerate(cols):
+                data[c] = rng.normal(float(j), 0.5, size=1)
+            data["diff"] = np.ones(1, dtype="int64")
+            pdf = pd.DataFrame(data)
+            t0 = time.time()
+            pipe.process_epoch_local(pdf, N_UPDATES + 1 + k)
+            local_ms.append((time.time() - t0) * 1000)
+
         return {
             "cols": MULTI_COLS,
             "init_rows": MULTI_INIT_ROWS,
             "init_sec": round(init_sec, 2),
             "single_row_update_ms_median": round(statistics.median(update_ms), 1),
             "single_row_update_ms_min": round(min(update_ms), 1),
+            "single_row_update_local_ms_median": round(
+                statistics.median(local_ms), 1
+            ),
+            "single_row_update_local_ms_min": round(min(local_ms), 1),
             "full_reencodes": pipe.full_reencodes,
             "epochs": pipe.epochs,
             "reference_note": (
