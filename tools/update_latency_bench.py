@@ -331,6 +331,27 @@ def bench_dict(spark) -> dict:
                 pipe.process_epoch(sdf, i + 1)
                 drv_ms.append((time.time() - t0) * 1000)
 
+            # fully driver-local entry (python XXH64 shard routing, no
+            # Spark job at all): the reference's in-process per-update
+            # shape, still with both exactly-once parquet commits
+            local_ms, loc_unique = [], drv_unique
+            for i in range(appends):
+                if i % 20 == 0:
+                    loc_unique += 1
+                    val = str(loc_unique)
+                else:
+                    val = str(i % uniques)
+                one = pd.DataFrame(
+                    {
+                        "token": [val],
+                        "diff": [1],
+                        "event_time": [t0_ts + timedelta(seconds=200 + i)],
+                    }
+                )
+                t0 = time.time()
+                pipe.process_epoch_local(one, appends + 1 + i)
+                local_ms.append((time.time() - t0) * 1000)
+
             results.append(
                 {
                     "base_rows": base,
@@ -347,6 +368,10 @@ def bench_dict(spark) -> dict:
                         statistics.median(drv_ms), 1
                     ),
                     "driver_state_update_ms_min": round(min(drv_ms), 1),
+                    "driver_state_update_local_ms_median": round(
+                        statistics.median(local_ms), 1
+                    ),
+                    "driver_state_update_local_ms_min": round(min(local_ms), 1),
                 }
             )
         finally:
