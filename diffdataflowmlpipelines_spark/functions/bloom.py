@@ -1,0 +1,160 @@
+"""Broadcast Bloom-filter membership — the constant-memory
+decontamination/blocklist shape for 100 TB corpora.
+
+t5-style decontamination broadcasts the *full distinct benchmark n-gram
+set* to every executor; that stops being free when the held-out set is
+itself large (a 10M-gram bench set is hundreds of MB per executor). The
+Bloom filter compresses set membership to ``n_bits`` bits with a
+bounded, tunable false-positive rate, and the probe becomes a ZERO-JOIN
+row-wise projection: the packed bit words ship as ONE array literal
+(Spark broadcasts task binaries; at cluster scale the same array rides
+an explicit ``spark.sparkContext.broadcast`` or a literal, both O(m/8)
+bytes per executor) and every corpus row tests its k positions with
+JVM-side ``getbit`` — no shuffle of the corpus, no join at all.
+
+Determinism / oracle story: positions come from the engine-portable
+md5 hash family (functions/dedup.md5_hash60 plus the second 60-bit half
+of the same digest) with Kirsch–Mitzenmacher double hashing
+``(h1 + i*h2) mod n_bits``, so DuckDB can rebuild the IDENTICAL bit
+array in SQL (bit_or of shifted bits) and reproduce every probe —
+including false positives — bit-for-bit. The d9 registry query
+value-hash-checks the whole structure end-to-end.
+
+Reference parity: the reference has no sketches or membership
+structures at all (SURVEY.md §2.3); its only hashing construction is
+the HashVectorizer (``feature_extraction/hash_vectorizer.rs:21-48``).
+This extends the hashing-trick idea to set membership, like
+functions/sketches.py extends it to frequency.
+
+All arithmetic stays below 2**62: hashes are reduced mod ``n_bits``
+(≤ 2**26 here) before the ``i * h2`` product (i < k ≤ 16).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_BITS = 32  # packed word size; int64 storage keeps every engine exact
+
+
+def _h1_h2(c: Column, n_bits: int) -> tuple[Column, Column]:
+    """Two independent 60-bit halves of one md5 digest, reduced mod
+    n_bits. DuckDB twins:
+    CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT) % n_bits and
+    CAST(CONCAT('0x', substr(md5(x), 16, 15)) AS BIGINT) % n_bits."""
+    d = F.md5(c.cast("string"))
+    h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("long") % F.lit(n_bits)
+    h2 = F.conv(F.substring(d, 16, 15), 16, 10).cast("long") % F.lit(n_bits)
+    return h1, h2
+
+
+def _position(h1: Column, h2: Column, i: Column, n_bits: int) -> Column:
+    return (h1 + i.cast("long") * h2) % F.lit(n_bits)
+
+
+def bloom_sparse_words(
+    df: DataFrame, col: str, *, n_bits: int, k: int = 4
+) -> DataFrame:
+    """Distributed Bloom build: explode each value's k positions, pack
+    to (word_idx, word) via a map-side-combined ``bit_or`` aggregation.
+    Output is ≤ n_bits/32 rows regardless of input size — the classic
+    'aggregate a 100 TB column down to a constant-size state' shape
+    (duplicate inserts are idempotent under bit_or, so no pre-distinct
+    pass over the corpus is needed)."""
+    if n_bits % WORD_BITS != 0:
+        raise ValueError(f"n_bits must be a multiple of {WORD_BITS}")
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in 1..16, got {k}")
+    h1, h2 = _h1_h2(F.col(col), n_bits)
+    pos = df.select(
+        h1.alias("__h1"),
+        h2.alias("__h2"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
+    ).select(
+        _position(F.col("__h1"), F.col("__h2"), F.col("__i"), n_bits).alias("__p")
+    )
+    return (
+        pos.select(
+            (F.col("__p") / WORD_BITS).cast("long").alias("word_idx"),
+            F.expr(f"shiftleft(1L, cast(__p % {WORD_BITS} as int))").alias("__v"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__v").alias("word"))
+    )
+
+
+def build_bloom_words(
+    df: DataFrame, col: str, *, n_bits: int, k: int = 4
+) -> list[int]:
+    """Collect the (tiny, ≤ n_bits/32-row) sparse build and densify to a
+    plain word list — the driver-side artifact that ships to executors
+    as a literal/broadcast. Memory is O(n_bits/8) independent of input
+    size; the collect is the same bounded fit-statistic pattern every
+    encoder here uses (operators/encoders.py)."""
+    words = [0] * (n_bits // WORD_BITS)
+    for r in bloom_sparse_words(df, col, n_bits=n_bits, k=k).collect():
+        words[int(r["word_idx"])] = int(r["word"])
+    return words
+
+
+def bloom_member(c: Column, words: list[int], *, n_bits: int, k: int = 4) -> Column:
+    """Zero-shuffle membership probe: true iff all k bits are set. The
+    packed words ride along as a single array<long> literal; the k
+    probes run entirely JVM-side (sequence → forall → getbit), so a
+    100 TB corpus scan stays a map-only projection with whole-stage
+    codegen."""
+    if len(words) * WORD_BITS != n_bits:
+        raise ValueError(
+            f"words length {len(words)} does not match n_bits {n_bits}"
+        )
+    arr = F.lit([int(w) for w in words])
+    h1, h2 = _h1_h2(c, n_bits)
+    def bit_set(i: Column) -> Column:
+        p = _position(h1, h2, i, n_bits)
+        word = F.element_at(arr, (p / WORD_BITS).cast("int") + 1)
+        return F.getbit(word, (p % WORD_BITS).cast("int")) == 1
+
+    return F.forall(F.sequence(F.lit(0), F.lit(k - 1)), bit_set)
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    token_col: str,
+    *,
+    n: int = 3,
+    n_bits: int = 1 << 15,
+    k: int = 4,
+) -> DataFrame:
+    """ngram_contamination's constant-memory sibling (same output
+    schema: id, n_ngrams, n_flagged, flagged_frac): the benchmark n-gram
+    set folds into a Bloom filter instead of a broadcast join side, and
+    the corpus probe is join-free. Flags are a superset of the exact
+    answer (false positives only, never false negatives) — the right
+    trade for a pre-filter that gates expensive exact rechecks at
+    scale."""
+    from diffdataflowmlpipelines_spark.functions.dedup import word_shingles
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.filter(F.size(token_col) >= n).select(
+            id_col,
+            F.explode(F.array_distinct(word_shingles(F.col(token_col), n))).alias(
+                "__g"
+            ),
+        )
+
+    words = build_bloom_words(
+        grams(bench).select("__g").distinct(), "__g", n_bits=n_bits, k=k
+    )
+    hit = bloom_member(F.col("__g"), words, n_bits=n_bits, k=k).cast("int")
+    return grams(docs).select(F.col(id_col), hit.alias("__hit")).groupBy(
+        id_col
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.sum("__hit").cast("long").alias("n_flagged"),
+        F.round(F.sum("__hit").cast("double") / F.count(F.lit(1)), 6).alias(
+            "flagged_frac"
+        ),
+    )

@@ -2,12 +2,16 @@
 with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-The decode step is STUBBED (no imaging/audio libraries in this
-container): ``decode_image_features`` produces a deterministic fake
-feature vector derived from the payload bytes, clearly marked; swap
-``_fake_decode`` for a real decoder (PIL/torchvision/ffmpeg) in
-production — the Spark-side plumbing (schema, batch iteration,
-partitioning, UDF signature) is real and tested.
+The DEFAULT decode step is a stub (``_fake_decode``: deterministic
+pseudo-features from a sha256 of the payload, clearly marked) so the m1
+oracle is independent of any codec. A REAL decoder exists behind the
+same swap point: ``functions/media_codecs.decode_media_features``
+decodes 24-bit BMP images (pure numpy) and PCM16 WAV audio (stdlib
+``wave``) for real and featurizes them — exercised end-to-end by the
+m3 registry query and tests/test_media_codecs.py. Only video decode
+remains out of sandbox scope (needs ffmpeg). The Spark-side plumbing
+(schema, batch iteration, partitioning, UDF signature) is identical for
+both.
 """
 
 from __future__ import annotations
@@ -132,6 +136,20 @@ def extract_media_features(df: DataFrame, decode_fn=None) -> DataFrame:
             )
 
     return df.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def features_bits_csv(col) -> "F.Column":
+    """Bit-exact encoding of an ``array<float>`` column: CSV of the
+    float32 bit patterns (Arrow-batched pandas UDF; no float formatting,
+    so equality means bit-identical vectors — used by the m3 real-decode
+    oracle against fixture-pinned strings)."""
+    from diffdataflowmlpipelines_spark.functions.media_codecs import f32_bits_csv
+
+    @F.pandas_udf(T.StringType())
+    def _bits(feats: pd.Series) -> pd.Series:
+        return feats.map(f32_bits_csv)
+
+    return _bits(col)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

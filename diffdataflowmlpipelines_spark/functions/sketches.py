@@ -153,3 +153,129 @@ def windowed_count_min(
             F.col("w.start").alias("window_start"), "depth_j", "bucket", "count"
         )
     )
+
+
+# --- HyperLogLog -------------------------------------------------------------
+# Distinct counting at 100 TB without a distinct shuffle: the register
+# table is the ONLY thing that moves (m rows per group, map-side-combined
+# MAX), vs. countDistinct's shuffle of every distinct value. Registers
+# merge by cell-wise MAX, so window/partition rollups are a second tiny
+# aggregation — same mergeability story as the count-min cells above.
+# Like the rest of this file the hash is the engine-portable md5 family,
+# and the estimator is written in EXACT integer arithmetic (dyadic terms
+# 2^(maxrho - rho) summed as BIGINT, always < 2^62) so DuckDB reproduces
+# the estimate bit-for-bit — no float-summation-order drift.
+# (Reference has no sketches: SURVEY.md §2.3; hashing-trick lineage is
+# feature_extraction/hash_vectorizer.rs:21-48.)
+
+HLL_HASH_BITS = 60  # md5_hash60 domain
+
+
+def _hll_dims(p: int) -> tuple[int, int, float]:
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in 4..14, got {p}")
+    m = 1 << p
+    wbits = HLL_HASH_BITS - p  # value bits left after the bucket index
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return m, wbits, alpha
+
+
+def hll_registers(
+    df: DataFrame, col: str, group_cols: tuple[str, ...] = (), *, p: int = 9
+) -> DataFrame:
+    """(group_cols..., bucket, rho) sparse registers: bucket = h mod m,
+    rho = leading-zero count of the remaining wbits-bit value + 1 (via
+    string bit-length: wbits+1-length(bin(w)), the same closed form
+    DuckDB evaluates). Duplicates are free — MAX is idempotent."""
+    m, wbits, _ = _hll_dims(p)
+    gcols = [F.col(c) for c in group_cols]
+    h = md5_hash60(F.col(col).cast("string"))
+    hashed = df.select(*gcols, h.alias("__h")).select(
+        *gcols,
+        (F.col("__h") % m).alias("bucket"),
+        F.expr(f"__h div {m}").alias("__w"),
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin("__w"))
+    )
+    return hashed.groupBy(*gcols, "bucket").agg(
+        F.max(rho).cast("long").alias("rho")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: tuple[str, ...] = (), *, p: int = 9
+) -> DataFrame:
+    """Fold registers to (group_cols..., est, zeros, s). ``s`` is the
+    exact integer sum of 2^(maxrho - rho) over all m registers (empty
+    register => 2^maxrho), i.e. 2^maxrho * Z where Z = sum 2^-rho; the
+    raw estimate alpha*m^2*2^maxrho / s and the small-range correction
+    m*ln(m/zeros) are single-literal-over-integer expressions evaluated
+    identically by Spark and DuckDB."""
+    m, wbits, alpha = _hll_dims(p)
+    maxrho = wbits + 1
+    numer = alpha * float(m) * float(m) * float(2**maxrho)
+    gcols = [F.col(c) for c in group_cols]
+    term = F.pow(F.lit(2.0), (F.lit(maxrho) - F.col("rho")).cast("double")).cast(
+        "long"
+    )
+    agg = registers.groupBy(*gcols).agg(
+        F.sum(term).alias("__s_occ"), F.count(F.lit(1)).alias("__n_occ")
+    )
+    folded = agg.select(
+        *gcols,
+        (F.col("__s_occ") + (F.lit(m) - F.col("__n_occ")) * F.lit(2**maxrho))
+        .cast("long")
+        .alias("s"),
+        (F.lit(m) - F.col("__n_occ")).cast("long").alias("zeros"),
+    )
+    e_raw = F.lit(numer) / F.col("s").cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(e_raw)
+    return folded.select(
+        *gcols, F.round(est, 4).alias("est"), "zeros", "s"
+    )
+
+
+def windowed_hll(
+    df: DataFrame,
+    *,
+    window: str = "60 seconds",
+    watermark: str = "30 seconds",
+    p: int = 9,
+    tokens_col: str = "tokens",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-event-time-window HLL registers, incrementally maintained in
+    update mode: (window_start, bucket, rho). Register state is O(m) per
+    window regardless of stream volume, and window registers merge by
+    cell-wise MAX, so rollups to coarser windows are a second tiny
+    aggregation (the same mergeability story as windowed_count_min).
+
+    INSERT-ONLY by construction: MAX is not an abelian group — a
+    retraction cannot lower a register — so unlike the signed count-min
+    cells this operator rejects nothing but also repairs nothing; feed
+    it append streams (the honest contract for sketch-of-distinct under
+    Spark's state model). Same code path batch/streaming for parity
+    testing."""
+    m, wbits, _ = _hll_dims(p)
+    ex = df.select("event_time", F.explode(F.col(tokens_col)).alias("__t"))
+    if streaming:
+        ex = ex.withWatermark("event_time", watermark)
+    hashed = ex.select(
+        "event_time", md5_hash60(F.col("__t").cast("string")).alias("__h")
+    ).select(
+        "event_time",
+        (F.col("__h") % m).alias("bucket"),
+        F.expr(f"__h div {m}").alias("__w"),
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin("__w"))
+    )
+    return (
+        hashed.groupBy(F.window("event_time", window).alias("w"), F.col("bucket"))
+        .agg(F.max(rho).cast("long").alias("rho"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "rho")
+    )

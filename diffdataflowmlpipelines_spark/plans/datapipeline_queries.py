@@ -522,6 +522,64 @@ def d8_duplicated_spans(spark, sf_dir):
     return duplicated_spans(docs, "doc_id", "toks", window=5, min_docs=2)
 
 
+def _d9_sql(n_bits: int = 1 << 15, k: int = 4) -> str:
+    """DuckDB rebuild of the Bloom structure: the set of set bit
+    positions (word packing is storage, not semantics — membership in
+    the distinct-position set IS the bit-array probe). Same md5 double
+    hashing as functions/bloom._h1_h2, so false positives reproduce
+    exactly."""
+    h1 = "CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT)"
+    h2 = "CAST(CONCAT('0x', substr(md5(g), 16, 15)) AS BIGINT)"
+    pos = f"({h1} % {n_bits} + i.i * ({h2} % {n_bits})) % {n_bits}"
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS gs
+      FROM toks WHERE len(t) >= 3
+    ),
+    ii AS (SELECT unnest(range(0, {k})) AS i),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 19 = 0),
+    bpos AS (SELECT DISTINCT {pos} AS p FROM bench CROSS JOIN ii i),
+    corpus AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 19 <> 0),
+    cpos AS (SELECT doc_id, g, i.i AS i, {pos} AS p FROM corpus CROSS JOIN ii i),
+    hits AS (
+      SELECT doc_id, g,
+             SUM(CASE WHEN bp.p IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+      FROM cpos c LEFT JOIN bpos bp ON c.p = bp.p
+      GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN nhit = {k} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           ROUND(CAST(SUM(CASE WHEN nhit = {k} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS flagged_frac
+    FROM hits GROUP BY doc_id
+    """
+
+
+@q("d9_bloom_decontamination", _d9_sql())
+def d9_bloom_decontamination(spark, sf_dir):
+    """t5's constant-memory sibling: the benchmark 3-gram set folds into
+    a 32768-bit Bloom filter (functions/bloom.py) and the corpus probe
+    is a JOIN-FREE map-only projection — the packed words ship as one
+    array literal and each gram tests its 4 positions JVM-side via
+    getbit. At 100 TB this replaces a broadcast of the full bench-gram
+    set with O(n_bits/8) bytes per executor; flags are a deterministic
+    superset of t5's exact answer (false positives only), which the
+    oracle reproduces bit-for-bit."""
+    from diffdataflowmlpipelines_spark.functions.bloom import bloom_contamination
+
+    docs = _tokenized_docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    corpus = docs.filter(F.col("doc_id") % 19 != 0)
+    return bloom_contamination(
+        corpus, bench, "doc_id", "toks", n=3, n_bits=1 << 15, k=4
+    )
+
+
 # --- count-min sketch (north-star "count-min feature aggregation") -----------
 
 def _cm_sql_parts(depth: int, width: int):
@@ -632,6 +690,62 @@ def cm2_count_min_estimate(spark, sf_dir):
     return count_min_estimate(sk, toks, "token", depth=4, width=64, seed=42)
 
 
+def _cm4_sql(p: int = 9) -> str:
+    """DuckDB twin of hll_registers/hll_estimate: same md5 bucket/w
+    split, same string-bit-length rho, same exact dyadic-integer sum, so
+    the estimate (a literal-over-integer double) matches bit-for-bit."""
+    m = 1 << p
+    maxrho = 60 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * float(m) * float(m) * float(2**maxrho)
+    e_raw = f"{numer!r} / CAST(s AS DOUBLE)"
+    return f"""
+    WITH toks AS (SELECT source, unnest({_TOKS_SQL}) AS t FROM documents),
+    h AS (SELECT source,
+                 CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+          FROM toks),
+    b AS (SELECT source, h % {m} AS bucket, h // {m} AS w FROM h),
+    r AS (SELECT source, bucket,
+            CAST(MAX(CASE WHEN w = 0 THEN {maxrho}
+                     ELSE {maxrho} - length(bin(w)) END) AS BIGINT) AS rho
+          FROM b GROUP BY source, bucket),
+    a AS (SELECT source,
+            CAST(SUM(CAST(POWER(2, {maxrho} - rho) AS BIGINT)) AS BIGINT)
+              AS s_occ,
+            COUNT(*) AS n_occ
+          FROM r GROUP BY source),
+    f AS (SELECT source,
+            CAST(s_occ + ({m} - n_occ) * {2**maxrho} AS BIGINT) AS s,
+            CAST({m} - n_occ AS BIGINT) AS zeros
+          FROM a)
+    SELECT source,
+           ROUND(CASE WHEN {e_raw} <= {2.5 * m!r} AND zeros > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                      ELSE {e_raw} END, 4) AS est,
+           zeros, s
+    FROM f
+    """
+
+
+@q("cm4_hll_distinct", _cm4_sql())
+def cm4_hll_distinct(spark, sf_dir):
+    """Per-source approximate distinct-token counts via HyperLogLog
+    (functions/sketches.hll_registers/hll_estimate): the 100-TB distinct
+    query without a distinct shuffle — only m=512 registers per source
+    move (map-side-combined MAX), and registers merge by MAX for
+    rollups. The estimator runs in exact integer arithmetic, so even the
+    approximation's value is oracle-pinned, not tolerance-checked."""
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = _tokenized_docs(spark, sf_dir)
+    toks = docs.select("source", F.explode("toks").alias("t"))
+    regs = hll_registers(toks, "t", ("source",), p=9)
+    return hll_estimate(regs, ("source",), p=9)
+
+
 # --- multimodal --------------------------------------------------------------
 # the media table is a committed parquet fixture (tools/make_fixtures.py,
 # seed=42) so the DuckDB oracle reads the identical rows. The fixture
@@ -709,6 +823,53 @@ def m1_media_features(spark, sf_dir):
         "kind",
         F.col("n_bytes").cast("long").alias("n_bytes"),
         feat_sig.alias("feat_sig"),
+        "feat_checksum",
+    )
+
+
+MEDIA_REAL_FIXTURE = _os.path.join(_os.path.dirname(MEDIA_FIXTURE), "media_real.parquet")
+
+
+@q(
+    "m3_real_decode",
+    f"""
+    SELECT media_id, kind,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           feat_bits, feat_checksum
+    FROM read_parquet('{MEDIA_REAL_FIXTURE}')
+    WHERE kind <> 'video'
+    """,
+)
+def m3_real_decode(spark, sf_dir):
+    """REAL media decode through the distributed path (VERDICT r3 item
+    8): payloads are genuine 24-bit BMP images and PCM16 WAV audio,
+    decoded inside mapInPandas by pure-numpy/stdlib decoders
+    (functions/media_codecs.py) and featurized to float32. The oracle
+    reads feature strings PINNED AT FIXTURE-GENERATION TIME (CSV of the
+    float32 bit patterns — zero float formatting), so a value-hash match
+    proves the executor-side decode reproduces, bit-for-bit from the raw
+    binary column, what the generator computed. Video rows stay honestly
+    undecodable and are filtered on both sides."""
+    from diffdataflowmlpipelines_spark.functions.media_codecs import (
+        decode_media_features,
+    )
+    from diffdataflowmlpipelines_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        features_bits_csv,
+    )
+
+    media = (
+        spark.read.parquet(MEDIA_REAL_FIXTURE)
+        .filter(F.col("kind") != "video")
+        .select(*[f.name for f in MEDIA_SCHEMA.fields])
+    )
+    out = extract_media_features(media, decode_fn=decode_media_features)
+    return out.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        features_bits_csv("features").alias("feat_bits"),
         "feat_checksum",
     )
 

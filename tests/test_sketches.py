@@ -88,3 +88,119 @@ def test_windowed_count_min_streaming_parity(spark, tmp_path):
         if r["count"] != 0
     }
     assert got == want
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+
+def _py_hll_registers(values, p=9):
+    import hashlib
+
+    m, wbits = 1 << p, 60 - p
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        bucket, w = h % m, h // m
+        rho = wbits + 1 if w == 0 else wbits + 1 - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_twin(spark):
+    from diffdataflowmlpipelines_spark.functions.sketches import hll_registers
+
+    vals = [f"v{i}" for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["t"])
+    got = {
+        r["bucket"]: r["rho"]
+        for r in hll_registers(df, "t", p=9).collect()
+    }
+    assert got == _py_hll_registers(vals, p=9)
+
+
+def test_hll_estimate_accuracy(spark):
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    # duplicates must not matter; relative error ~1.04/sqrt(512) = 4.6%
+    for n in (500, 5000, 20000):
+        vals = [f"item-{i % n}" for i in range(2 * n)]
+        df = spark.createDataFrame([(v,) for v in vals], ["t"])
+        est = hll_estimate(hll_registers(df, "t", p=9), p=9).collect()[0]["est"]
+        assert abs(est - n) / n < 0.15, (n, est)
+
+
+def test_hll_registers_merge_by_max(spark):
+    from diffdataflowmlpipelines_spark.functions.sketches import hll_registers
+
+    vals = [f"x{i}" for i in range(2000)]
+    df_all = spark.createDataFrame([(v,) for v in vals], ["t"])
+    half_a = spark.createDataFrame([(v,) for v in vals[:1200]], ["t"])
+    half_b = spark.createDataFrame([(v,) for v in vals[900:]], ["t"])
+    full = {
+        r["bucket"]: r["rho"] for r in hll_registers(df_all, "t", p=9).collect()
+    }
+    merged = (
+        hll_registers(half_a, "t", p=9)
+        .unionByName(hll_registers(half_b, "t", p=9))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    )
+    assert {r["bucket"]: r["rho"] for r in merged} == full
+
+
+def test_hll_grouped_and_validation(spark):
+    import pytest
+
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    rows = [("a", f"t{i}") for i in range(800)] + [("b", f"t{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "t"])
+    out = {
+        r["g"]: r["est"]
+        for r in hll_estimate(
+            hll_registers(df, "t", ("g",), p=9), ("g",), p=9
+        ).collect()
+    }
+    assert abs(out["a"] - 800) / 800 < 0.15
+    assert abs(out["b"] - 50) / 50 < 0.15
+    with pytest.raises(ValueError, match="p must"):
+        hll_registers(df, "t", p=3)
+
+
+def test_windowed_hll_streaming_parity(spark, tmp_path):
+    from diffdataflowmlpipelines_spark.functions.sketches import windowed_hll
+
+    pdf = gen_tokens_pdf(3000, seed=54, rows_per_second=500.0)
+    src = EpochFileSource(spark, str(tmp_path / "src"), TOKENS_STREAM_SCHEMA)
+    n = len(pdf)
+    src.add_epoch(pdf.iloc[: n // 2])
+    src.add_epoch(pdf.iloc[n // 2 :])
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["window_start", "bucket"])
+    q = (
+        windowed_hll(src.stream(), window="60 seconds", p=9)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["window_start"], r["bucket"]): r["rho"]
+        for r in sink.read_current(spark).collect()
+    }
+    batch = spark.createDataFrame(pdf, TOKENS_STREAM_SCHEMA)
+    want = {
+        (r["window_start"], r["bucket"]): r["rho"]
+        for r in windowed_hll(batch, window="60 seconds", p=9, streaming=False).collect()
+    }
+    assert got == want

@@ -47,6 +47,9 @@ AUDITED = [
     "w8_time_since_last",
     "w9_ewma_value",
     "cep3_funnel_conversion",
+    "m3_real_decode",
+    "d9_bloom_decontamination",
+    "cm4_hll_distinct",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
