@@ -39,6 +39,8 @@ BATCH_QUERIES = [
     "d2_minhash_signatures",
     "d4_simhash",
     "d8_duplicated_spans",
+    "d9_bloom_decontamination",
+    "cm4_hll_distinct",
     "s1_cosine_topk",
     "cep1_event_funnel",
     "t11_corpus_pipeline",
