@@ -88,6 +88,87 @@ def simple_language_id(text: Column | str) -> Column:
     return F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("unknown"))
 
 
+def gopher_quality_filter(
+    text: Column | str,
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.80,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style document quality filter (Rae et al. 2021, §A1.1 —
+    public rules), composed as a single map-only pass of column
+    expressions (zero shuffle; at 100 TB this fuses into the scan).
+
+    Rules (each emitted as a 0/1 flag plus the underlying signal):
+      * token count in [min_tokens, max_tokens]
+      * mean token length in [min_mean_token_len, max_mean_token_len]
+      * symbol-to-word ratio ('#' chars + non-overlapping '...') <= max
+      * fraction of words containing an alphabetic char >= min
+      * at least ``min_stopword_hits`` DISTINCT stopwords present
+
+    The published line-level rules (bullet-start / ellipsis-end line
+    fractions) are inapplicable to this corpus (single-line documents,
+    TESTDATA.md) and intentionally omitted. ``keep`` is the AND of all
+    flags. Flags are ints (not booleans) for cross-engine hashing.
+
+    Beyond-reference operator (reference's text surface is tokenize-only,
+    ``feature_extraction/utils.rs:3-9``).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(c)
+    n_tokens = F.size(toks).cast("long")
+    tok_len_sum = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_len = F.coalesce(
+        F.try_divide(tok_len_sum.cast("double"), n_tokens.cast("double")),
+        F.lit(0.0),
+    )
+    # '#' occurrences + non-overlapping '...' occurrences (both engines
+    # count non-overlapping left-to-right)
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ellipsis = (
+        F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    ).cast("double")
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast(
+        "long"
+    )
+    alpha_ratio = alpha_words.cast("double") / F.greatest(n_tokens, F.lit(1)).cast(
+        "double"
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    ).cast("long")
+
+    f_len = ((n_tokens >= min_tokens) & (n_tokens <= max_tokens)).cast("int")
+    f_mean = (
+        (mean_len >= min_mean_token_len) & (mean_len <= max_mean_token_len)
+    ).cast("int")
+    f_sym = (symbol_ratio <= max_symbol_ratio).cast("int")
+    f_alpha = (alpha_ratio >= min_alpha_word_ratio).cast("int")
+    f_stop = (stop_hits >= min_stopword_hits).cast("int")
+    return {
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round(mean_len, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "alpha_word_ratio": F.round(alpha_ratio, 6),
+        "stopword_hits": stop_hits,
+        "f_len": f_len,
+        "f_mean_len": f_mean,
+        "f_symbol": f_sym,
+        "f_alpha": f_alpha,
+        "f_stopword": f_stop,
+        "keep": (f_len * f_mean * f_sym * f_alpha * f_stop).cast("int"),
+    }
+
+
 def duplicate_ngram_stats(tokens: Column | str, n: int = 2) -> dict[str, Column]:
     """Gopher-style intra-document repetition signal: the fraction of a
     document's n-grams that are duplicates of an earlier n-gram in the

@@ -24,6 +24,7 @@ from diffdataflowmlpipelines_spark.functions.similarity import cosine_topk, lsh_
 from diffdataflowmlpipelines_spark.functions.text import (
     STOPWORDS,
     duplicate_ngram_stats,
+    gopher_quality_filter,
     quality_features,
     simple_language_id,
     tokenize,
@@ -432,6 +433,101 @@ def t2_language_id(spark, sf_dir):
 def t3_fingerprint(spark, sf_dir):
     docs = _tokenized_docs(spark, sf_dir)
     return docs.select("doc_id", word_fingerprint("toks").alias("fp"))
+
+
+# --- t12: Gopher-style composed quality filter ------------------------------
+# thresholds tuned so both classes exist at every SF (median doc ~56
+# tokens, 10-99 range; min_tokens=30 fails ~2 deciles, stopword>=2 fails
+# the tail). Map-only: flags fuse into the scan at 100 TB.
+
+_T12_MIN_TOKENS = 30
+_T12_MIN_STOP = 2
+
+
+@q(
+    "t12_gopher_filter",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             COALESCE(list_sum(list_transform(toks, x -> LENGTH(x))), 0)::DOUBLE
+               / GREATEST(len(toks), 1) AS mean_len,
+             ((LENGTH(text) - LENGTH(replace(text, '#', '')))
+              + (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3.0)
+               / GREATEST(len(toks), 1) AS symbol_ratio,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / GREATEST(len(toks), 1) AS alpha_ratio,
+             CAST(len(list_intersect(list_transform(toks, x -> lower(x)),
+                                     {_STOP_SQL})) AS BIGINT) AS stopword_hits
+      FROM t
+    ),
+    f AS (
+      SELECT *,
+             CASE WHEN n_tokens >= {_T12_MIN_TOKENS} AND n_tokens <= 100000
+                  THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+                  THEN 1 ELSE 0 END AS f_mean_len,
+             CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS f_symbol,
+             CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END AS f_alpha,
+             CASE WHEN stopword_hits >= {_T12_MIN_STOP} THEN 1 ELSE 0 END
+               AS f_stopword
+      FROM s
+    )
+    SELECT doc_id, n_tokens, ROUND(mean_len, 6) AS mean_token_len,
+           ROUND(symbol_ratio, 6) AS symbol_ratio,
+           ROUND(alpha_ratio, 6) AS alpha_word_ratio,
+           stopword_hits, f_len, f_mean_len, f_symbol, f_alpha, f_stopword,
+           f_len * f_mean_len * f_symbol * f_alpha * f_stopword AS keep
+    FROM f
+    """,
+)
+def t12_gopher_filter(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    g = gopher_quality_filter(
+        "text", min_tokens=_T12_MIN_TOKENS, min_stopword_hits=_T12_MIN_STOP
+    )
+    return docs.select("doc_id", *[c.alias(k) for k, c in g.items()])
+
+
+# --- t13: CCNet-style bigram LM scoring -------------------------------------
+# the LM is trained on the corpus itself (add-one-smoothed bigrams), so
+# the query is closed over its input and exactly oracle-checkable.
+
+@q(
+    "t13_bigram_lm_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> struct_pack(w1 := toks[i],
+                                     pair := toks[i] || chr(1) || toks[i+1])))
+               AS s
+      FROM t WHERE len(toks) >= 2
+    ),
+    bgf AS (SELECT doc_id, s.w1 AS w1, s.pair AS pair FROM bg),
+    cb AS (SELECT pair, COUNT(*) AS cb FROM bgf GROUP BY pair),
+    cu AS (SELECT w, COUNT(*) AS cu
+           FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    v AS (SELECT COUNT(*) AS v FROM cu),
+    scored AS (
+      SELECT bgf.doc_id,
+             ln((cb.cb + 1.0) / (cu.cu + v.v)) AS lp
+      FROM bgf JOIN cb USING (pair) JOIN cu ON cu.w = bgf.w1 CROSS JOIN v
+    ),
+    agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, AVG(lp) AS avg_lp
+            FROM scored GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(agg.avg_lp, 6) AS avg_logprob
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def t13_bigram_lm_score(spark, sf_dir):
+    from diffdataflowmlpipelines_spark.functions.lm import bigram_lm_score
+
+    return bigram_lm_score(load(spark, sf_dir, "documents"))
 
 
 # --- d7: streaming near-dup candidates, batch twin -----------------------------

@@ -142,3 +142,76 @@ def test_quality_features_closed_form(spark):
     assert row["punct_ratio"] == pytest.approx(2 / 15)
     assert row["stopword_ratio"] == pytest.approx(2 / 4)  # 'the', 'a'
     assert row["alpha_ratio"] == pytest.approx(10 / 15)
+
+
+def test_gopher_filter_closed_form(spark):
+    from diffdataflowmlpipelines_spark.functions.text import gopher_quality_filter
+
+    rows = [
+        # 0: passes every rule (5 tokens incl. 2 stopwords, clean words)
+        (0, "the quick brown fox is"),
+        # 1: too short (min_tokens=2 here, this has 1)
+        (1, "word"),
+        # 2: mean token length too high (>10)
+        (2, "supercalifragilistically extraordinarily the is"),
+        # 3: symbol-heavy: '#' + '...' push symbol ratio over 0.1
+        (3, "the tag is ## trailing..."),
+        # 4: numeric words: alpha-word ratio below 0.8
+        (4, "the 12 34 56 is"),
+        # 5: no stopwords at all
+        (5, "quick brown fox jumps high"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = gopher_quality_filter(
+        "text", min_tokens=2, min_mean_token_len=1.0, min_stopword_hits=2
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[c.alias(k) for k, c in g.items()]).collect()
+    }
+    assert out[0]["keep"] == 1
+    assert out[1]["keep"] == 0 and out[1]["f_len"] == 0
+    assert out[2]["keep"] == 0 and out[2]["f_mean_len"] == 0
+    assert out[3]["keep"] == 0 and out[3]["f_symbol"] == 0
+    # doc 3: 2 '#' chars + 1 non-overlapping '...' over 5 tokens = 0.6
+    assert out[3]["symbol_ratio"] == pytest.approx(0.6)
+    assert out[4]["keep"] == 0 and out[4]["f_alpha"] == 0
+    assert out[4]["alpha_word_ratio"] == pytest.approx(2 / 5)
+    assert out[5]["keep"] == 0 and out[5]["f_stopword"] == 0
+    # stopword hits are DISTINCT ('the ... the' counts once per word)
+    one = spark.createDataFrame([(9, "the the the")], "doc_id long, text string")
+    g2 = gopher_quality_filter("text", min_tokens=1, min_mean_token_len=1.0)
+    assert one.select(*[c.alias(k) for k, c in g2.items()]).head()[
+        "stopword_hits"
+    ] == 1
+
+
+def test_gopher_filter_empty_doc(spark):
+    from diffdataflowmlpipelines_spark.functions.text import gopher_quality_filter
+
+    df = spark.createDataFrame([(0, ""), (1, "   ")], "doc_id long, text string")
+    g = gopher_quality_filter("text")
+    rows = df.select("doc_id", *[c.alias(k) for k, c in g.items()]).collect()
+    for r in rows:
+        assert r["n_tokens"] == 0
+        assert r["mean_token_len"] == 0.0
+        assert r["keep"] == 0
+
+
+def test_bigram_lm_score_closed_form(spark):
+    import math
+
+    from diffdataflowmlpipelines_spark.functions.lm import bigram_lm_score
+
+    # cu: a=3 b=3 c=1, V=3; cb: (a,b)=2 (b,a)=2
+    # every bigram scores ln((2+1)/(3+3)) = ln(0.5)
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a"), (2, "c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_logprob"] == pytest.approx(math.log(0.5), abs=1e-6)
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["avg_logprob"] == pytest.approx(math.log(0.5), abs=1e-6)
+    # <2 tokens: zero bigrams, NULL score, doc still present
+    assert out[2]["n_bigrams"] == 0 and out[2]["avg_logprob"] is None
