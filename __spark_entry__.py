@@ -30,6 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_oracle.py harness regardless of order; per-query driver
 # coverage is tabulated in STATUS.md ("driver coverage").
 _NEVER_DRIVER_COVERED = [
+    "t12_gopher_filter",
+    "t13_bigram_lm_score",
+    "cm5_bottomk_quantiles",
+    "s4_cluster_profile",
     "m3_real_decode",
     "d9_bloom_decontamination",
     "cm4_hll_distinct",

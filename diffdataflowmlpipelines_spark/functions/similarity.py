@@ -274,6 +274,82 @@ def kmeans_centroids(
     )
 
 
+def cluster_profile(
+    corpus: DataFrame,
+    key: str,
+    vec_col: str,
+    *,
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+    round_to: int = 9,
+) -> DataFrame:
+    """Semantic corpus profile: assign every vector to its nearest
+    centroid (cosine; ties by lower centroid id — the ivf_topk
+    discipline) and aggregate per-cluster membership statistics
+    (n_members, avg/min cosine-to-centroid). The per-cluster cohesion
+    numbers are the standard semantic-dedup / corpus-mixture diagnostic
+    over an embedding column.
+
+    Scale shape: identical to ivf_topk's assignment — the centroid
+    matrix is a collected literal (C x dim, small by construction; pass
+    ``kmeans_centroids(...)`` for refined cells), assignment is a
+    shuffle-free map-only projection, and the ONLY shuffle is the final
+    C-group aggregation (map-side combined). Beyond-reference operator
+    (the reference has no vector ops at all).
+    """
+    corpus = _nonzero(corpus, vec_col)
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(key)).limit(n_centroids)
+    cent_rows = centroids.select(
+        F.col(key).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cnorm"),
+    ).collect()
+    cent_rows = [r for r in cent_rows if float(r["__cnorm"]) > 0]
+    if not cent_rows:
+        raise ValueError("cluster_profile: no non-zero centroids")
+    cdim = len(cent_rows[0]["__cvec"])
+    _check_dim(corpus, vec_col, cdim, "corpus")
+
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["__cid"])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["__cvec"]]).alias("v"),
+                F.lit(float(r["__cnorm"])).alias("n"),
+            )
+            for r in cent_rows
+        ]
+    )
+    base = corpus.select(
+        F.col(key).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        _norm(F.col(vec_col)).alias("__vn"),
+    )
+    # struct max: (sim, -cid) — max sim, ties to the LOWER centroid id
+    sims = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(
+                _dot(F.col("__vec"), c.getField("v"))
+                / (F.col("__vn") * c.getField("n")),
+                round_to,
+            ).alias("sim"),
+            (-c.getField("cid")).alias("negcid"),
+        ),
+    )
+    best = F.array_max(sims)
+    assigned = base.select(
+        (-best.getField("negcid")).cast("long").alias("cluster_id"),
+        best.getField("sim").alias("__cos"),
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.avg("__cos"), 6).alias("avg_cosine"),
+        F.round(F.min("__cos"), 6).alias("min_cosine"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

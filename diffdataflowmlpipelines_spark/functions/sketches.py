@@ -239,6 +239,84 @@ def hll_estimate(
     )
 
 
+# --- bottom-k quantile sketch ------------------------------------------------
+# Mergeable quantile estimation in the same engine-portable style as the
+# count-min / HLL cells above: keep the k rows whose md5-based row hash
+# is smallest (a bottom-k / KMV sketch, Cohen & Kaplan 2007 — a uniform
+# but DETERMINISTIC sample), then answer quantile queries exactly within
+# the sample (error O(1/sqrt(k)) on the population rank). Two sketches
+# merge by union + re-taking the bottom k — the merged result is
+# IDENTICAL to sketching the concatenated input (tested), which is what
+# makes per-partition / per-window rollups exact rather than heuristic.
+# At 100 TB: per-group bottom-k is one windowed shuffle on the group key
+# (or TakeOrderedAndProject for the global sketch); the sketch itself is
+# k rows per group regardless of input size. The row hash is keyed on a
+# unique id column, NOT the value, so duplicated values sample
+# independently and the sample stays uniform over rows.
+# (Reference has no sketches: SURVEY.md §2.3.)
+
+from pyspark.sql.window import Window as _W
+
+
+def bottomk_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: tuple[str, ...] = (),
+    *,
+    k: int = 128,
+) -> DataFrame:
+    """(group_cols..., value, h): the k rows per group with smallest
+    row hash. ``h`` is carried so sketches can be merged."""
+    h = md5_hash60(F.col(id_col).cast("string"))
+    base = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).alias("value"),
+        h.alias("h"),
+    )
+    return _bottomk(base, group_cols, k)
+
+
+def _bottomk(base: DataFrame, group_cols: tuple[str, ...], k: int) -> DataFrame:
+    if not group_cols:
+        # global sketch: TakeOrderedAndProject (per-partition bottom-k,
+        # merged) — never a single-partition window
+        return base.orderBy("h").limit(k)
+    w = _W.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def merge_bottomk_sketches(
+    a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = (), *, k: int = 128
+) -> DataFrame:
+    """Union two sketches and re-take the bottom k per group — exactly
+    the sketch of the concatenated inputs (bottom-k is a semilattice)."""
+    return _bottomk(a.unionByName(b), group_cols, k)
+
+
+def bottomk_quantiles(
+    sketch: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    *,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Answer quantile queries from the sketch: exact percentile_cont
+    within the sample ((n-1)*q interpolation — the ANSI definition both
+    Spark's ``percentile`` and DuckDB's ``percentile_cont`` implement),
+    estimating the population quantile. Rounded to 6dp for cross-engine
+    hashing."""
+    gcols = [F.col(c) for c in group_cols]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_sample")] + [
+        F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{round(q * 100)}")
+        for q in quantiles
+    ]
+    return sketch.groupBy(*gcols).agg(*aggs)
+
+
 def windowed_hll(
     df: DataFrame,
     *,

@@ -337,6 +337,43 @@ def _ivf_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
     """
 
 
+def _s4_sql(n_centroids: int = 8) -> str:
+    dot = (
+        "ROUND(list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i])) / ({an} * {bn}), 9)"
+    )
+    sim = dot.format(a="c.v", b="ct.cv", an="c.nn", bn="ct.cn")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+          FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
+             WHERE vec_id < {n_centroids}),
+    sims AS (SELECT c.vec_id, ct.cid, {sim} AS sim
+             FROM n c CROSS JOIN cent ct),
+    asg AS (
+      SELECT vec_id, cid, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid) AS r
+        FROM sims
+      ) WHERE r = 1
+    )
+    SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(AVG(sim), 6) AS avg_cosine,
+           ROUND(MIN(sim), 6) AS min_cosine
+    FROM asg GROUP BY cid
+    """
+
+
+@q("s4_cluster_profile", _s4_sql())
+def s4_cluster_profile(spark, sf_dir):
+    from diffdataflowmlpipelines_spark.functions.similarity import cluster_profile
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cluster_profile(emb, "vec_id", "embedding", n_centroids=8)
+
+
 @q("s3_ivf_ann_topk", _ivf_sql())
 def s3_ivf_ann_topk(spark, sf_dir):
     from diffdataflowmlpipelines_spark.functions.similarity import ivf_topk
@@ -840,6 +877,53 @@ def cm4_hll_distinct(spark, sf_dir):
     toks = docs.select("source", F.explode("toks").alias("t"))
     regs = hll_registers(toks, "t", ("source",), p=9)
     return hll_estimate(regs, ("source",), p=9)
+
+
+_CM5_K = 64
+
+
+def _cm5_sql(k: int = _CM5_K) -> str:
+    return f"""
+    WITH h AS (
+      SELECT event_type, value,
+             CAST(CONCAT('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sample,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90,
+           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
+    FROM s WHERE rn <= {k}
+    GROUP BY event_type
+    """
+
+
+@q("cm5_bottomk_quantiles", _cm5_sql())
+def cm5_bottomk_quantiles(spark, sf_dir):
+    """Per-event-type quantile estimates from the bottom-k (KMV) sketch
+    (functions/sketches.bottomk_quantile_sketch): a deterministic
+    uniform sample of k=64 rows per group — the mergeable quantile-
+    sketch path for 100-TB inputs, where the exact a3-style percentile
+    needs the full value multiset per group and the sketch needs k rows.
+    Like cm4, even the approximation's value is oracle-pinned because
+    the sample membership is a pure function of the md5 row hash."""
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        bottomk_quantile_sketch,
+        bottomk_quantiles,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    sk = bottomk_quantile_sketch(
+        ev, "value", "event_id", ("event_type",), k=_CM5_K
+    )
+    return bottomk_quantiles(sk, ("event_type",), quantiles=(0.5, 0.9, 0.99))
 
 
 # --- multimodal --------------------------------------------------------------

@@ -257,3 +257,40 @@ def test_media_decode_fn_wrong_dim_rejected(spark):
     )
     with pytest.raises(Exception, match="decode_fn must return shape"):
         bad.collect()
+
+
+def test_cluster_profile_recovers_planted_clusters(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import (
+        cluster_profile,
+        kmeans_centroids,
+    )
+
+    # 4 well-separated centers x 25 members; with KMeans centroids the
+    # profile must recover exactly 4 clusters of 25 with high cohesion
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 4.0
+    vecs = np.repeat(centers, 25, axis=0) + 0.05 * rng.standard_normal((100, 16))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(df, "vec_id", "embedding", n_centroids=4, seed=3)
+    prof = cluster_profile(df, "vec_id", "embedding", centroids=cents)
+    rows = prof.collect()
+    assert len(rows) == 4
+    assert sorted(r["n_members"] for r in rows) == [25, 25, 25, 25]
+    assert all(r["avg_cosine"] > 0.99 for r in rows)
+    assert all(r["min_cosine"] <= r["avg_cosine"] for r in rows)
+
+
+def test_cluster_profile_dim_mismatch_raises(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import cluster_profile
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    bad = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        cluster_profile(df, "vec_id", "embedding", centroids=bad)

@@ -7,6 +7,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from diffdataflowmlpipelines_spark.functions.sketches import (
@@ -204,3 +205,62 @@ def test_windowed_hll_streaming_parity(spark, tmp_path):
         for r in windowed_hll(batch, window="60 seconds", p=9, streaming=False).collect()
     }
     assert got == want
+
+
+# --- bottom-k quantile sketch ------------------------------------------------
+
+
+def test_bottomk_merge_equals_sketch_of_union(spark):
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        bottomk_quantile_sketch,
+        merge_bottomk_sketches,
+    )
+
+    rows = [(i, f"g{i % 2}", float((i * 37) % 101)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, value double")
+    a = df.filter("id < 250")
+    b = df.filter("id >= 250")
+    sk_a = bottomk_quantile_sketch(a, "value", "id", ("g",), k=32)
+    sk_b = bottomk_quantile_sketch(b, "value", "id", ("g",), k=32)
+    merged = merge_bottomk_sketches(sk_a, sk_b, ("g",), k=32)
+    direct = bottomk_quantile_sketch(df, "value", "id", ("g",), k=32)
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want  # semilattice: merge == sketch of concatenation
+    assert len(want) == 64  # k per group
+
+
+def test_bottomk_quantile_accuracy(spark):
+    import numpy as np
+
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        bottomk_quantile_sketch,
+        bottomk_quantiles,
+    )
+
+    n = 20_000
+    rows = [(i, float((i * 7919) % n)) for i in range(n)]  # permutation of 0..n-1
+    df = spark.createDataFrame(rows, "id long, value double").repartition(8)
+    sk = bottomk_quantile_sketch(df, "value", "id", (), k=1024)
+    est = bottomk_quantiles(sk, (), quantiles=(0.5, 0.9)).head()
+    assert est["n_sample"] == 1024
+    # rank error O(1/sqrt(k)) ~ 3% of the range at k=1024 (3 sigma)
+    assert est["p50"] == pytest.approx(np.percentile([r[1] for r in rows], 50), abs=0.05 * n)
+    assert est["p90"] == pytest.approx(np.percentile([r[1] for r in rows], 90), abs=0.05 * n)
+
+
+def test_bottomk_small_group_is_exact(spark):
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        bottomk_quantile_sketch,
+        bottomk_quantiles,
+    )
+
+    # group smaller than k: the sketch IS the group, quantiles exact
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(11)], "id long, value double"
+    )
+    sk = bottomk_quantile_sketch(df, "value", "id", (), k=64)
+    row = bottomk_quantiles(sk, (), quantiles=(0.5, 0.9)).head()
+    assert row["n_sample"] == 11
+    assert row["p50"] == 5.0
+    assert row["p90"] == 9.0

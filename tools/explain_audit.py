@@ -50,6 +50,10 @@ AUDITED = [
     "m3_real_decode",
     "d9_bloom_decontamination",
     "cm4_hll_distinct",
+    "t12_gopher_filter",
+    "t13_bigram_lm_score",
+    "cm5_bottomk_quantiles",
+    "s4_cluster_profile",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
