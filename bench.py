@@ -41,6 +41,8 @@ BATCH_QUERIES = [
     "d8_duplicated_spans",
     "d9_bloom_decontamination",
     "cm4_hll_distinct",
+    "cm5_bottomk_quantiles",
+    "t13_bigram_lm_score",
     "s1_cosine_topk",
     "cep1_event_funnel",
     "t11_corpus_pipeline",
