@@ -267,7 +267,11 @@ def bottomk_quantile_sketch(
     k: int = 128,
 ) -> DataFrame:
     """(group_cols..., value, h): the k rows per group with smallest
-    row hash. ``h`` is carried so sketches can be merged."""
+    row hash. ``h`` is carried so sketches can be merged. NULL-id rows
+    are dropped — a NULL hash would sort FIRST in Spark but LAST in
+    standard SQL, and the streaming twin cannot hash them either; ids
+    must be non-null for the sample to be well-defined."""
+    df = df.filter(F.col(id_col).isNotNull())
     h = md5_hash60(F.col(id_col).cast("string"))
     base = df.select(
         *[F.col(c) for c in group_cols],

@@ -114,11 +114,15 @@ def gopher_quality_filter(
     fractions) are inapplicable to this corpus (single-line documents,
     TESTDATA.md) and intentionally omitted. ``keep`` is the AND of all
     flags. Flags are ints (not booleans) for cross-engine hashing.
+    NULL text is treated as the empty document (keep = 0 with zeroed
+    signals), never NULL flags — a NULL verdict would silently vanish
+    from both keep- and drop-side filters downstream.
 
     Beyond-reference operator (reference's text surface is tokenize-only,
     ``feature_extraction/utils.rs:3-9``).
     """
     c = F.col(text) if isinstance(text, str) else text
+    c = F.coalesce(c, F.lit(""))
     toks = tokenize(c)
     n_tokens = F.size(toks).cast("long")
     tok_len_sum = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))

@@ -484,7 +484,11 @@ _T12_MIN_STOP = 2
 @q(
     "t12_gopher_filter",
     f"""
-    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, COALESCE(text, '') AS text,
+                      list_filter(string_split_regex(trim(COALESCE(text, '')),
+                                                     '\\s+'), t -> t <> '')
+                        AS toks
+               FROM documents),
     s AS (
       SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS n_tokens,

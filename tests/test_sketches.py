@@ -230,6 +230,23 @@ def test_bottomk_merge_equals_sketch_of_union(spark):
     assert len(want) == 64  # k per group
 
 
+def test_bottomk_null_ids_dropped(spark):
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        bottomk_quantile_sketch,
+    )
+
+    # NULL ids must not occupy sample slots (Spark sorts NULLs first,
+    # SQL sorts them last, and the streaming twin can't hash them)
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0)] + [(i, float(i)) for i in range(10)],
+        "id long, value double",
+    )
+    sk = bottomk_quantile_sketch(df, "value", "id", (), k=4)
+    rows = sk.collect()
+    assert len(rows) == 4
+    assert all(r["h"] is not None for r in rows)
+
+
 def test_bottomk_quantile_accuracy(spark):
     import numpy as np
 

@@ -189,7 +189,9 @@ def test_gopher_filter_closed_form(spark):
 def test_gopher_filter_empty_doc(spark):
     from diffdataflowmlpipelines_spark.functions.text import gopher_quality_filter
 
-    df = spark.createDataFrame([(0, ""), (1, "   ")], "doc_id long, text string")
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None)], "doc_id long, text string"
+    )
     g = gopher_quality_filter("text")
     rows = df.select("doc_id", *[c.alias(k) for k, c in g.items()]).collect()
     for r in rows:
