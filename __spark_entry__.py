@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_oracle.py harness regardless of order; per-query driver
 # coverage is tabulated in STATUS.md ("driver coverage").
 _NEVER_DRIVER_COVERED = [
+    "d10_semantic_dedup",
     "t12_gopher_filter",
     "t13_bigram_lm_score",
     "cm5_bottomk_quantiles",

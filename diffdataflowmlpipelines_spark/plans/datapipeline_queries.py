@@ -366,6 +366,56 @@ def _s4_sql(n_centroids: int = 8) -> str:
     """
 
 
+def _d10_sql(n_centroids: int = 8, tau: float = 0.35) -> str:
+    dot = (
+        "ROUND(list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i])) / ({an} * {bn}), 9)"
+    )
+    sim = dot.format(a="c.v", b="ct.cv", an="c.nn", bn="ct.cn")
+    pcos = dot.format(a="na.v", b="nb.v", an="na.nn", bn="nb.nn")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+          FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
+             WHERE vec_id < {n_centroids}),
+    sims AS (SELECT c.vec_id, ct.cid, {sim} AS sim
+             FROM n c CROSS JOIN cent ct),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid) AS r
+        FROM sims
+      ) WHERE r = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id AS hi
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id > b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+      WHERE {pcos} >= {tau}
+    )
+    SELECT asg.vec_id, asg.cid AS cluster_id,
+           CAST(CASE WHEN d.hi IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM asg LEFT JOIN dropped d ON d.hi = asg.vec_id
+    """
+
+
+@q("d10_semantic_dedup", _d10_sql())
+def d10_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: centroid cells (default
+    first-8 convention, matching s4) + within-cell pairwise cosine at
+    tau=0.35; lower-vec_id representative wins. Both classes exist at
+    every SF (63/500 dropped at sf0.001, 76 at sf0.01, 759/5000 at
+    sf0.1)."""
+    from diffdataflowmlpipelines_spark.functions.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, n_centroids=8
+    )
+
+
 @q("s4_cluster_profile", _s4_sql())
 def s4_cluster_profile(spark, sf_dir):
     from diffdataflowmlpipelines_spark.functions.similarity import cluster_profile

@@ -283,6 +283,53 @@ def test_cluster_profile_recovers_planted_clusters(spark):
     assert all(r["min_cosine"] <= r["avg_cosine"] for r in rows)
 
 
+def test_semantic_dedup_planted(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = [
+        (10, [1.0, 0.05, 0.0, 0.0]),  # cell 0 representative
+        (11, [1.0, 0.06, 0.0, 0.0]),  # ~copy of 10 -> dropped
+        (12, [0.7, 0.3, 0.6, 0.0]),  # cell 0 but wide angle -> kept
+        (20, [0.05, 1.0, 0.0, 0.0]),  # cell 1 representative
+        (21, [0.06, 1.0, 0.0, 0.0]),  # ~copy of 20 -> dropped
+        # cos(30, 31) = 0.995 >= tau, but they land in DIFFERENT cells:
+        # SemDeDup is cell-scoped, so both survive
+        (30, [0.74, 0.67, 0.0, 0.0]),
+        (31, [0.67, 0.74, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.9, centroids=cents
+    )
+    got = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert got == {
+        10: (0, 1),
+        11: (0, 0),
+        12: (0, 1),
+        20: (1, 1),
+        21: (1, 0),
+        30: (0, 1),
+        31: (1, 1),
+    }
+
+
+def test_semantic_dedup_zero_vectors_excluded(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.01])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, "vec_id", "embedding", threshold=0.9, n_centroids=1)
+    got = {r["vec_id"]: r["keep"] for r in out.collect()}
+    # zero-norm row 1 has no cosine and is excluded up front
+    assert got == {0: 1, 2: 0}
+
+
 def test_cluster_profile_dim_mismatch_raises(spark):
     from diffdataflowmlpipelines_spark.functions.similarity import cluster_profile
 

@@ -49,6 +49,7 @@ AUDITED = [
     "cep3_funnel_conversion",
     "m3_real_decode",
     "d9_bloom_decontamination",
+    "d10_semantic_dedup",
     "cm4_hll_distinct",
     "t12_gopher_filter",
     "t13_bigram_lm_score",
