@@ -31,6 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage is tabulated in STATUS.md ("driver coverage").
 _NEVER_DRIVER_COVERED = [
     "d10_semantic_dedup",
+    "t14_oov_stats",
     "t12_gopher_filter",
     "t13_bigram_lm_score",
     "cm5_bottomk_quantiles",

@@ -248,3 +248,68 @@ def redact_pii(text: Column | str) -> dict[str, Column]:
         cur = F.regexp_replace(cur, pat, repl)
     out["redacted"] = cur
     return out
+
+
+def oov_stats(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    vocab_size: int = 64,
+):
+    """Vocabulary-coverage diagnostic: per-document out-of-vocabulary
+    token count/rate against the corpus's OWN top-``vocab_size``
+    most-frequent tokens (ties broken token-ascending) — the standard
+    "will my tokenizer cover this shard" check before training, and the
+    closed-over-its-input cousin of the c8/c12 fit-transform encoders.
+    Returns (id_col, n_tokens, n_oov, oov_rate) for EVERY input row;
+    empty/NULL documents get 0 tokens and rate 0.
+
+    Beyond-reference operator (reference text surface is tokenize-only,
+    ``src/feature_encoders/feature_extraction/utils.rs:3-9``).
+
+    100-TB shape: the tokenized corpus is staged ONCE (localCheckpoint —
+    the count pass, the scoring join and the all-docs outer join would
+    otherwise each re-scan and re-tokenize the base table); token counts
+    are one map-side-combined hash aggregation; the top-V rank is a
+    single-partition window over the DISTINCT-token frame (vocabulary-
+    universe-sized, bounded — same posture as c9's global doc count);
+    scoring is a BROADCAST left join against the V-row vocab, so the
+    corpus-sized side never shuffles on the token key.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = docs.select(
+        id_col, tokenize(F.coalesce(c, F.lit(""))).alias("__toks")
+    ).localCheckpoint(eager=True)
+    tok = toks.select(id_col, F.explode("__toks").alias("__w"))
+    cnt = tok.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(F.col("__c").desc(), F.col("__w").asc())
+    vocab = (
+        cnt.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= vocab_size)
+        .select("__w", F.lit(1).alias("__inv"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "__w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                F.when(F.col("__inv").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("__oov"),
+        )
+    )
+    n = F.coalesce(F.col("__n"), F.lit(0)).cast("long")
+    oov = F.coalesce(F.col("__oov"), F.lit(0)).cast("long")
+    return (
+        toks.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            n.alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.round(oov / F.greatest(n, F.lit(1)), 6).alias("oov_rate"),
+        )
+    )

@@ -621,6 +621,41 @@ def t13_bigram_lm_score(spark, sf_dir):
     return bigram_lm_score(load(spark, sf_dir, "documents"))
 
 
+_T14_V = 16  # the synthetic corpus has 31 distinct tokens: 16 keeps both
+# in-vocab and OOV classes populated at every SF
+
+
+@q(
+    "t14_oov_stats",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(COALESCE(text, '')),
+                                                     '\\s+'), x -> x <> '')
+                        AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    vocab AS (SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM cnt
+    ) WHERE r <= {_T14_V}),
+    pd AS (SELECT tok.doc_id, COUNT(*) AS n,
+                  SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS oov
+           FROM tok LEFT JOIN vocab v ON v.w = tok.w
+           GROUP BY tok.doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(pd.n, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(pd.oov, 0) AS BIGINT) AS n_oov,
+           ROUND(COALESCE(pd.oov, 0) / GREATEST(COALESCE(pd.n, 0), 1), 6)
+             AS oov_rate
+    FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id
+    """,
+)
+def t14_oov_stats(spark, sf_dir):
+    from diffdataflowmlpipelines_spark.functions.text import oov_stats
+
+    return oov_stats(load(spark, sf_dir, "documents"), vocab_size=_T14_V)
+
+
 # --- d7: streaming near-dup candidates, batch twin -----------------------------
 # the exact code path streaming/dedup.streaming_near_dup_candidates runs
 # on the arriving stream (streaming=False here); event_time is derived

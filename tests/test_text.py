@@ -217,3 +217,36 @@ def test_bigram_lm_score_closed_form(spark):
     assert out[1]["avg_logprob"] == pytest.approx(math.log(0.5), abs=1e-6)
     # <2 tokens: zero bigrams, NULL score, doc still present
     assert out[2]["n_bigrams"] == 0 and out[2]["avg_logprob"] is None
+
+
+def test_oov_stats_closed_form(spark):
+    from diffdataflowmlpipelines_spark.functions.text import oov_stats
+
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b d d"), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    # counts: a:4 b:3 d:2 c:1 -> vocab_size=2 keeps {a, b}
+    out = oov_stats(df, vocab_size=2)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in out.collect()
+    }
+    assert got == {
+        0: (6, 1, 0.166667),
+        1: (4, 2, 0.5),
+        2: (0, 0, 0.0),
+        3: (0, 0, 0.0),
+    }
+
+
+def test_oov_stats_tie_breaks_token_ascending(spark):
+    from diffdataflowmlpipelines_spark.functions.text import oov_stats
+
+    # a and b both appear twice; vocab_size=1 must pick "a" (token asc)
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "b a")], "doc_id long, text string"
+    )
+    out = oov_stats(df, vocab_size=1)
+    got = {r["doc_id"]: r["n_oov"] for r in out.collect()}
+    assert got == {0: 1, 1: 1}

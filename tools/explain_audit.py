@@ -50,6 +50,7 @@ AUDITED = [
     "m3_real_decode",
     "d9_bloom_decontamination",
     "d10_semantic_dedup",
+    "t14_oov_stats",
     "cm4_hll_distinct",
     "t12_gopher_filter",
     "t13_bigram_lm_score",
