@@ -1,0 +1,81 @@
+"""windowed_count_min coverage (it was exported but untested): epoch-
+driven streaming parity vs the same transform with streaming=False, and
+the cell-additivity rollup — summing per-window cells over (depth_j,
+bucket) must equal the whole-corpus count_min_sketch cells, the property
+that makes coarser-window rollups a second tiny aggregation at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from diffdataflowmlpipelines_spark.functions.sketches import (
+    count_min_sketch,
+    windowed_count_min,
+)
+from diffdataflowmlpipelines_spark.sources.fixtures import (
+    TOKENS_STREAM_SCHEMA,
+    gen_tokens_pdf,
+)
+from diffdataflowmlpipelines_spark.streaming.sink import ExactlyOnceParquetSink
+from diffdataflowmlpipelines_spark.streaming.sources import write_epoch_files
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+
+
+def test_windowed_count_min_streaming_parity(spark, tmp_path):
+    pdf = gen_tokens_pdf(1200, seed=42, rows_per_second=100.0)
+    src = str(tmp_path / "src")
+    write_epoch_files(pdf, src, 6)
+    sink = ExactlyOnceParquetSink(
+        str(tmp_path / "out"), ["window_start", "depth_j", "bucket"]
+    )
+    stream = (
+        spark.readStream.schema(TOKENS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_count_min(stream, depth=2, width=64)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sink.read_current(spark).filter(F.col("count") != 0).toPandas()
+    batch = spark.createDataFrame(pdf, TOKENS_STREAM_SCHEMA)
+    want = (
+        windowed_count_min(batch, depth=2, width=64, streaming=False)
+        .filter(F.col("count") != 0)
+        .toPandas()
+    )
+    assert len(got) > 50
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False
+    )
+
+
+def test_windowed_count_min_rolls_up_to_global_sketch(spark):
+    pdf = gen_tokens_pdf(600, seed=7, rows_per_second=100.0)
+    df = spark.createDataFrame(pdf, TOKENS_STREAM_SCHEMA)
+    windowed = windowed_count_min(df, depth=2, width=64, streaming=False)
+    rolled = (
+        windowed.groupBy("depth_j", "bucket")
+        .agg(F.sum("count").cast("long").alias("count"))
+        .filter(F.col("count") != 0)
+        .toPandas()
+    )
+    total = (
+        count_min_sketch(df, "tokens", depth=2, width=64)
+        .filter(F.col("count") != 0)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        _canon(rolled), _canon(total), check_dtype=False
+    )
