@@ -177,3 +177,15 @@ def test_lineage_numeric_order(spark, tmp_path):
     for e in range(12):
         sink.write_batch_local(pd.DataFrame({"v": [e]}), e)
     assert [l["epoch"] for l in sink.lineage()] == list(range(12))
+
+
+def test_labels_df_matches_tokens_fixture(spark):
+    from diffdataflowmlpipelines_spark.sources.fixtures import (
+        gen_tokens_pdf,
+        labels_df,
+    )
+
+    pdf = gen_tokens_pdf(200, seed=5, rows_per_second=50.0)
+    df = labels_df(spark, pdf)
+    assert df.count() > 0
+    assert set(df.columns) >= {"label"} or len(df.columns) >= 2

@@ -111,3 +111,21 @@ def test_streaming_near_dup_candidates_parity(spark, tmp_path):
     assert ("d2", "d3") in got
     assert ("d0", "d1") in got
     assert ("d0", "d4") not in got and ("d1", "d4") not in got
+
+
+def test_streaming_signatures_is_rowwise_parity(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import (
+        minhash_signatures_rowwise,
+    )
+    from diffdataflowmlpipelines_spark.streaming.dedup import streaming_signatures
+
+    df = spark.createDataFrame(
+        [(0, ["a", "b", "c", "d"]), (1, ["b", "c", "d", "e"])],
+        "doc_id long, tokens array<string>",
+    )
+    # NB: defaults differ (streaming n_hashes=8, matching
+    # streaming_near_dup_candidates; batch rowwise defaults to 16) —
+    # pin explicitly
+    got = streaming_signatures(df, n_hashes=8).collect()
+    want = minhash_signatures_rowwise(df, "doc_id", "tokens", n_hashes=8).collect()
+    assert sorted(map(str, got)) == sorted(map(str, want))
