@@ -40,6 +40,8 @@ BATCH_QUERIES = [
     "d4_simhash",
     "d8_duplicated_spans",
     "d9_bloom_decontamination",
+    "d10_semantic_dedup",
+    "t14_oov_stats",
     "cm4_hll_distinct",
     "cm5_bottomk_quantiles",
     "t13_bigram_lm_score",
