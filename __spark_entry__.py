@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEVER_DRIVER_COVERED = [
     "d10_semantic_dedup",
     "t14_oov_stats",
+    "t15_curation_v2",
     "t12_gopher_filter",
     "t13_bigram_lm_score",
     "cm5_bottomk_quantiles",

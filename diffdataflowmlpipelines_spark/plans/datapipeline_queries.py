@@ -656,6 +656,163 @@ def t14_oov_stats(spark, sf_dir):
     return oov_stats(load(spark, sf_dir, "documents"), vocab_size=_T14_V)
 
 
+# --- t15: curation pipeline v2 ----------------------------------------------
+# this round's new signals composed the way a production pipeline runs
+# them: Gopher quality verdict AND vocabulary-coverage gate AND exact
+# fingerprint dedup, all off ONE staged tokenization (localCheckpoint).
+# Per-doc verdicts are emitted separately (keep_quality/keep_oov/
+# keep_dedup) plus the fused keep, so downstream can attribute drops.
+
+_T15_MAX_OOV = 0.6
+_T15_FP_PREFIX = 8  # leading-passage dedup grain: docs opening with the
+# same 8 tokens are template/boilerplate dups (the corpus's planted
+# shared passages, cf. d8); whole-doc fingerprints collide only at
+# sf0.1, which would leave keep_dedup single-class at the compare SF
+
+
+@q(
+    "t15_curation_v2",
+    f"""
+    WITH t AS (SELECT doc_id, COALESCE(text, '') AS text,
+                      list_filter(string_split_regex(trim(COALESCE(text, '')),
+                                                     '\\s+'), x -> x <> '')
+                        AS toks
+               FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             COALESCE(list_sum(list_transform(toks, x -> LENGTH(x))), 0)::DOUBLE
+               / GREATEST(len(toks), 1) AS mean_len,
+             ((LENGTH(text) - LENGTH(replace(text, '#', '')))
+              + (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3.0)
+               / GREATEST(len(toks), 1) AS symbol_ratio,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / GREATEST(len(toks), 1) AS alpha_ratio,
+             CAST(len(list_intersect(list_transform(toks, x -> lower(x)),
+                                     {_STOP_SQL})) AS BIGINT) AS stopword_hits
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id,
+             (CASE WHEN n_tokens >= {_T12_MIN_TOKENS} AND n_tokens <= 100000
+                   THEN 1 ELSE 0 END)
+             * (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+                     THEN 1 ELSE 0 END)
+             * (CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END)
+             * (CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END)
+             * (CASE WHEN stopword_hits >= {_T12_MIN_STOP} THEN 1 ELSE 0 END)
+               AS keep_quality
+      FROM s
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    vocab AS (SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM cnt
+    ) WHERE r <= {_T14_V}),
+    pd AS (SELECT tok.doc_id, COUNT(*) AS n,
+                  SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS oov
+           FROM tok LEFT JOIN vocab v ON v.w = tok.w
+           GROUP BY tok.doc_id),
+    o AS (SELECT t.doc_id,
+                 CASE WHEN ROUND(COALESCE(pd.oov, 0)
+                                 / GREATEST(COALESCE(pd.n, 0), 1), 6)
+                           <= {_T15_MAX_OOV} THEN 1 ELSE 0 END AS keep_oov
+          FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id),
+    fp AS (SELECT doc_id,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(toks[1:{_T15_FP_PREFIX}],
+                        w -> CAST(97 * LENGTH(w) + ascii(SUBSTRING(w, 1, 1))
+                                  AS BIGINT))),
+                    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+           FROM t),
+    dd AS (SELECT doc_id,
+                  CASE WHEN ROW_NUMBER() OVER (PARTITION BY fp
+                                               ORDER BY doc_id) = 1
+                       THEN 1 ELSE 0 END AS keep_dedup
+           FROM fp)
+    SELECT q.doc_id, q.keep_quality, o.keep_oov, dd.keep_dedup,
+           q.keep_quality * o.keep_oov * dd.keep_dedup AS keep
+    FROM q JOIN o USING (doc_id) JOIN dd USING (doc_id)
+    """,
+)
+def t15_curation_v2(spark, sf_dir):
+    """Composed curation v2 — Gopher verdict x OOV gate x fingerprint
+    dedup off one staged tokenization: the documents parquet is read
+    ONCE (localCheckpoint), the vocab is a bounded top-V broadcast, the
+    dedup winner is a window over the fingerprint, and every other
+    signal fuses into the staged scan as column expressions."""
+    from pyspark.sql import Window
+
+    from diffdataflowmlpipelines_spark.functions.text import (
+        gopher_quality_filter,
+        tokenize,
+        word_fingerprint,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        tokenize(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+    ).localCheckpoint(eager=True)
+
+    tok = base.select("doc_id", F.explode("toks").alias("__w"))
+    cnt = tok.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    vw = Window.orderBy(F.col("__c").desc(), F.col("__w").asc())
+    vocab = (
+        cnt.withColumn("__r", F.row_number().over(vw))
+        .filter(F.col("__r") <= _T14_V)
+        .select("__w", F.lit(1).alias("__inv"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "__w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                F.when(F.col("__inv").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("__oov"),
+        )
+    )
+    rate = F.round(
+        F.coalesce(F.col("__oov"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("__n"), F.lit(0)), F.lit(1)),
+        6,
+    )
+
+    g = gopher_quality_filter(
+        "text", min_tokens=_T12_MIN_TOKENS, min_stopword_hits=_T12_MIN_STOP
+    )
+    fpw = Window.partitionBy("__fp").orderBy("doc_id")
+    flagged = (
+        base.select(
+            "doc_id",
+            g["keep"].alias("keep_quality"),
+            word_fingerprint(F.slice("toks", 1, _T15_FP_PREFIX)).alias(
+                "__fp"
+            ),
+        )
+        .withColumn(
+            "keep_dedup",
+            (F.row_number().over(fpw) == 1).cast("int"),
+        )
+    )
+    return (
+        flagged.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "keep_quality",
+            (rate <= F.lit(_T15_MAX_OOV)).cast("int").alias("keep_oov"),
+            "keep_dedup",
+        )
+        .withColumn(
+            "keep",
+            F.col("keep_quality") * F.col("keep_oov") * F.col("keep_dedup"),
+        )
+    )
+
+
 # --- d7: streaming near-dup candidates, batch twin -----------------------------
 # the exact code path streaming/dedup.streaming_near_dup_candidates runs
 # on the arriving stream (streaming=False here); event_time is derived

@@ -226,3 +226,15 @@ def test_duplicated_spans_overlapping_plants_merge(spark):
         for r in duplicated_spans(df, "doc_id", "toks", window=5).collect()
     }
     assert out[1] == (0, 9, 10)  # A..B merged: starts {0, 5} not contiguous
+
+
+def test_t15_curation_v2_flags_and_fused_keep(spark):
+    from diffdataflowmlpipelines_spark.plans import QUERIES
+
+    rows = QUERIES["t15_curation_v2"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    for col in ("keep_quality", "keep_oov", "keep_dedup"):
+        vals = {r[col] for r in rows}
+        assert vals == {0, 1}, f"{col} must be two-class, got {vals}"
+    for r in rows:
+        assert r["keep"] == r["keep_quality"] * r["keep_oov"] * r["keep_dedup"]

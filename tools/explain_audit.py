@@ -51,6 +51,7 @@ AUDITED = [
     "d9_bloom_decontamination",
     "d10_semantic_dedup",
     "t14_oov_stats",
+    "t15_curation_v2",
     "cm4_hll_distinct",
     "t12_gopher_filter",
     "t13_bigram_lm_score",
