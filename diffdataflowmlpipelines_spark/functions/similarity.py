@@ -291,6 +291,11 @@ def _nearest_assign(
     literal array, so no join and no exchange reaches the plan."""
     corpus = _nonzero(corpus, vec_col)
     if centroids is None:
+        if corpus.isStreaming:
+            raise ValueError(
+                f"{what}: a streaming corpus needs explicit centroids "
+                "(the first-N-keys default would require a batch scan)"
+            )
         centroids = corpus.orderBy(F.col(key)).limit(n_centroids)
     cent_rows = centroids.select(
         F.col(key).alias("__cid"),
@@ -301,7 +306,8 @@ def _nearest_assign(
     if not cent_rows:
         raise ValueError(f"{what}: no non-zero centroids")
     cdim = len(cent_rows[0]["__cvec"])
-    _check_dim(corpus, vec_col, cdim, "corpus")
+    if not corpus.isStreaming:  # eager one-row guard needs an action
+        _check_dim(corpus, vec_col, cdim, "corpus")
 
     cent_arr = F.array(
         *[

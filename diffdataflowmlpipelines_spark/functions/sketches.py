@@ -40,9 +40,18 @@ def count_min_sketch(
     depth: int = 4,
     width: int = 256,
     seed: int = 42,
+    emit_zeros: bool = False,
 ) -> DataFrame:
     """Build the sketch: (depth_j, bucket, count) sparse cells, count =
-    signed sum of multiplicities (diff-aware). Absent cells are zero."""
+    signed sum of multiplicities (diff-aware). Absent cells are zero.
+
+    Streaming: the SAME plan runs as an unwatermarked update-mode
+    aggregation — state is bounded by construction (<= depth*width
+    cells, never corpus-sized), so no watermark is needed. Pass
+    ``emit_zeros=True`` on a stream: a retraction that moves a cell
+    back to 0 must EMIT the zero row so a latest-row-wins sink
+    overwrites the stale nonzero value — the batch default filters
+    zero cells instead (sparse output)."""
     params = _minhash_params(depth, seed)
     ex = with_diff(df).select(
         F.explode(F.col(tokens_col)).alias("__t"), DIFF
@@ -57,15 +66,15 @@ def count_min_sketch(
             for j, (a, b) in enumerate(params)
         ]
     )
-    return (
+    out = (
         ex.select(F.explode(rows).alias("__c"), DIFF)
         .groupBy(
             F.col("__c.depth_j").alias("depth_j"),
             F.col("__c.bucket").alias("bucket"),
         )
         .agg(F.sum(DIFF).cast("long").alias("count"))
-        .filter(F.col("count") != 0)
     )
+    return out if emit_zeros else out.filter(F.col("count") != 0)
 
 
 # NOTE: estimate/heavy-hitter calls must use the SAME (depth, width,

@@ -3,6 +3,7 @@ from diffdataflowmlpipelines_spark.streaming.count_vectorizer import (
 )
 from diffdataflowmlpipelines_spark.streaming.dedup import (
     streaming_near_dup_candidates,
+    streaming_semantic_dedup,
     streaming_signatures,
 )
 from diffdataflowmlpipelines_spark.streaming.incremental_transform import (
@@ -47,6 +48,7 @@ __all__ = [
     "streaming_event_features",
     "streaming_event_funnel",
     "streaming_near_dup_candidates",
+    "streaming_semantic_dedup",
     "streaming_signatures",
     "tfidf_from_counts",
     "tumbling_token_frequency",

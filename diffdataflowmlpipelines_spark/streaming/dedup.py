@@ -130,3 +130,116 @@ def streaming_near_dup_candidates(
         )
     )
     return left.join(right, cond, "inner").select("a", "b", "a_time", "b_time")
+
+# --- online semantic dedup (streaming twin of functions/similarity.
+# semantic_dedup, the d10 SemDeDup operator) ---------------------------------
+
+SEMANTIC_OUTPUT_SCHEMA = "vec_id long, cluster_id long, keep int"
+SEMANTIC_STATE_SCHEMA = (
+    "ids array<long>, norms array<double>, vecs array<array<double>>"
+)
+
+
+def _semantic_fn(threshold: float, round_to: int):
+    import math
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ids, norms, vecs = state.get
+            ids = list(ids)
+            norms = [float(n) for n in norms]
+            vecs = [[float(x) for x in v] for v in vecs]
+        else:
+            ids, norms, vecs = [], [], []
+        kept = set(ids)
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for _, row in pdf.sort_values("__id").iterrows():
+                rid = int(row["__id"])
+                if rid in kept:
+                    # replayed delivery of a kept vector: same verdict
+                    out.append((rid, int(key[0]), 1))
+                    continue
+                v = [float(x) for x in row["__vec"]]
+                vn = math.sqrt(sum(x * x for x in v))
+                dup = False
+                for rn, rv in zip(norms, vecs):
+                    dot = sum(a * b for a, b in zip(v, rv))
+                    if round(dot / (vn * rn), round_to) >= threshold:
+                        dup = True
+                        break
+                if dup:
+                    out.append((rid, int(key[0]), 0))
+                else:
+                    ids.append(rid)
+                    norms.append(vn)
+                    vecs.append(v)
+                    kept.add(rid)
+                    out.append((rid, int(key[0]), 1))
+        state.update((ids, norms, vecs))
+        if out:
+            yield pd.DataFrame(out, columns=["vec_id", "cluster_id", "keep"])
+
+    return fn
+
+
+def streaming_semantic_dedup(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    *,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_to: int = 9,
+) -> DataFrame:
+    """Online SemDeDup over an unbounded embedding stream: assign each
+    arriving vector to its centroid cell (the SAME shuffle-free
+    literal-centroid projection as the batch d10 — a stateless select,
+    so it runs identically on the stream), then greedily keep the first
+    vector of each epsilon-ball per cell: an arrival is dropped iff its
+    cosine to some ALREADY-KEPT representative of its cell clears the
+    threshold; otherwise it becomes a representative.
+
+    Semantics vs the batch twin (functions/similarity.semantic_dedup):
+    the batch rule drops x iff ANY lower-key vector matches (kept or
+    dropped); the online rule compares against KEPT representatives
+    only. On chain-free inputs (no a-b-c with cos(a,b) and cos(b,c)
+    above threshold but cos(a,c) below) delivered in key order the two
+    agree exactly (parity-tested); on transitive chains the online rule
+    keeps the chain's far end — the standard online-greedy epsilon-net
+    semantics, pinned by test.
+
+    Replay-idempotent WITHOUT a seen-id log: the kept set only grows,
+    and a drop verdict is monotone in the representative set (more
+    representatives can only re-drop), so re-delivered rows reproduce
+    their verdicts from the surviving state alone. State per cell is
+    the representatives — the epsilon-packing of the cell, the minimum
+    any online semantic dedup must hold; bound it operationally with
+    more centroids (smaller cells), exactly like batch SemDeDup.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from diffdataflowmlpipelines_spark.functions.similarity import (
+        _nearest_assign,
+    )
+
+    assigned = _nearest_assign(
+        vecs,
+        key,
+        vec_col,
+        n_centroids=0,
+        centroids=centroids,
+        round_to=round_to,
+        what="streaming_semantic_dedup",
+    ).select("__id", F.col("__vec").cast("array<double>").alias("__vec"), "cluster_id")
+    return assigned.groupBy("cluster_id").applyInPandasWithState(
+        _semantic_fn(threshold, round_to),
+        outputStructType=SEMANTIC_OUTPUT_SCHEMA,
+        stateStructType=SEMANTIC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -79,3 +79,37 @@ def test_windowed_count_min_rolls_up_to_global_sketch(spark):
     pd.testing.assert_frame_equal(
         _canon(rolled), _canon(total), check_dtype=False
     )
+
+
+def test_global_count_min_streaming_parity(spark, tmp_path):
+    """count_min_sketch's own plan run as an UNWATERMARKED update-mode
+    streaming aggregation (state bounded at depth*width cells by
+    construction): final consolidated cells must equal the batch sketch
+    over the full multiset, including retraction-bearing epochs —
+    emit_zeros=True so a cell retracted to 0 overwrites its stale value
+    in the latest-row-wins sink."""
+    pdf = gen_tokens_pdf(1000, seed=13, rows_per_second=100.0)
+    src = str(tmp_path / "src")
+    write_epoch_files(pdf, src, 5)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["depth_j", "bucket"])
+    stream = (
+        spark.readStream.schema(TOKENS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        count_min_sketch(
+            stream, "tokens", depth=2, width=64, emit_zeros=True
+        )
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sink.read_current(spark).filter(F.col("count") != 0).toPandas()
+    batch = spark.createDataFrame(pdf, TOKENS_STREAM_SCHEMA)
+    want = count_min_sketch(batch, "tokens", depth=2, width=64).toPandas()
+    assert len(got) > 10
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)

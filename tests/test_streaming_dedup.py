@@ -129,3 +129,137 @@ def test_streaming_signatures_is_rowwise_parity(spark):
     got = streaming_signatures(df, n_hashes=8).collect()
     want = minhash_signatures_rowwise(df, "doc_id", "tokens", n_hashes=8).collect()
     assert sorted(map(str, got)) == sorted(map(str, want))
+
+
+def _run_semantic_stream(spark, tmp_path, pdf, n_epochs, tag):
+    from diffdataflowmlpipelines_spark.streaming.dedup import (
+        streaming_semantic_dedup,
+    )
+    from diffdataflowmlpipelines_spark.streaming.sink import (
+        ExactlyOnceParquetSink,
+    )
+    from diffdataflowmlpipelines_spark.streaming.sources import (
+        write_epoch_files,
+    )
+
+    src = str(tmp_path / f"src_{tag}")
+    write_epoch_files(pdf, src, n_epochs, sort_col=None)  # keep given order
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    sink = ExactlyOnceParquetSink(str(tmp_path / f"out_{tag}"), ["vec_id"])
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_semantic_dedup(stream, cents, threshold=0.9)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in sink.read_current(spark).collect()
+    }
+
+
+def test_streaming_semantic_dedup_parity_chain_free(spark, tmp_path):
+    import pandas as pd
+
+    from diffdataflowmlpipelines_spark.functions.similarity import semantic_dedup
+
+    # chain-free planted cells (near-copies are mutually similar), ids
+    # delivered in ascending order across epochs -> online greedy must
+    # equal the batch lower-id-wins rule exactly
+    rows = [
+        (10, [1.0, 0.05, 0.0, 0.0]),
+        (11, [1.0, 0.06, 0.0, 0.0]),
+        (12, [0.7, 0.3, 0.6, 0.0]),
+        (20, [0.05, 1.0, 0.0, 0.0]),
+        (21, [0.06, 1.0, 0.0, 0.0]),
+        (30, [0.74, 0.67, 0.0, 0.0]),
+        (31, [0.67, 0.74, 0.0, 0.0]),
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    got = _run_semantic_stream(spark, tmp_path, pdf, 3, "parity")
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.9, centroids=cents
+        ).collect()
+    }
+    assert got == want
+    assert got[11] == (0, 0) and got[21] == (1, 0)  # dups really dropped
+
+
+def test_streaming_semantic_dedup_chain_keeps_far_end(spark, tmp_path):
+    import math
+
+    import pandas as pd
+
+    # a-b-c chain in ONE cell: cos(a,b) and cos(b,c) clear 0.9 but
+    # cos(a,c) does not. Batch drops b AND c (any lower id matches);
+    # online drops b only (c is compared against kept reps {a}) — the
+    # online-greedy epsilon-net semantics, pinned here.
+    def unit(deg):
+        t = math.radians(deg)
+        return [math.cos(t), math.sin(t), 0.0, 0.0]
+
+    # true plane angles: cos(20deg)=0.94 >= 0.9 for both adjacent
+    # pairs, cos(40deg)=0.77 < 0.9 for the far pair
+    a, b, c = unit(0.0), unit(20.0), unit(40.0)
+    rows = [(1, a), (2, b), (3, c)]
+    # sanity on the planted geometry
+    def cos(u, v):
+        du = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return du / (nu * nv)
+
+    assert cos(a, b) >= 0.9 and cos(b, c) >= 0.9 and cos(a, c) < 0.9
+
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    got = _run_semantic_stream(spark, tmp_path, pdf, 1, "chain")
+    assert got[1][1] == 1 and got[2][1] == 0 and got[3][1] == 1
+
+    from diffdataflowmlpipelines_spark.functions.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    batch = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.9, centroids=cents
+        ).collect()
+    }
+    assert batch == {1: 1, 2: 0, 3: 0}  # the documented divergence
+
+
+def test_streaming_semantic_dedup_replay_idempotent(spark, tmp_path):
+    import pandas as pd
+
+    # second epoch re-delivers every row of the first (at-least-once):
+    # verdicts must be reproduced from surviving state alone
+    rows = [
+        (10, [1.0, 0.05, 0.0, 0.0]),
+        (11, [1.0, 0.06, 0.0, 0.0]),
+        (20, [0.05, 1.0, 0.0, 0.0]),
+    ]
+    pdf = pd.DataFrame(rows + rows, columns=["vec_id", "embedding"])
+    got = _run_semantic_stream(spark, tmp_path, pdf, 2, "replay")
+    assert got == {10: (0, 1), 11: (0, 0), 20: (1, 1)}
