@@ -113,3 +113,47 @@ def test_global_count_min_streaming_parity(spark, tmp_path):
     want = count_min_sketch(batch, "tokens", depth=2, width=64).toPandas()
     assert len(got) > 10
     pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_hll_registers_streaming_parity(spark, tmp_path):
+    """hll_registers' own plan as an unwatermarked update-mode streaming
+    aggregation: bounded state (m=2^p registers), MAX is idempotent so
+    at-least-once delivery is free, and the final register table — and
+    therefore the integer-exact estimate — must equal the batch sketch.
+    (No retraction path: a MAX register cannot un-see a value; deletes
+    are out of HLL's contract, unlike the signed count-min cells.)"""
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    pdf = gen_tokens_pdf(800, seed=21, rows_per_second=100.0)
+    src = str(tmp_path / "src_hll")
+    write_epoch_files(pdf, src, 4)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out_hll"), ["bucket"])
+    stream = (
+        spark.readStream.schema(TOKENS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(F.explode("tokens").alias("tok"))
+    )
+    q = (
+        hll_registers(stream, "tok", p=9)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sink.read_current(spark)
+    batch = spark.createDataFrame(pdf, TOKENS_STREAM_SCHEMA).select(
+        F.explode("tokens").alias("tok")
+    )
+    want = hll_registers(batch, "tok", p=9)
+    pd.testing.assert_frame_equal(
+        _canon(got.toPandas()), _canon(want.toPandas()), check_dtype=False
+    )
+    est_stream = hll_estimate(got.select("bucket", "rho"), p=9).first()
+    est_batch = hll_estimate(want, p=9).first()
+    assert est_stream["est"] == est_batch["est"]
