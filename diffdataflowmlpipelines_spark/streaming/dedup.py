@@ -141,16 +141,15 @@ SEMANTIC_STATE_SCHEMA = (
 
 
 def _semantic_fn(threshold: float, round_to: int):
-    import math
-
     def fn(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         if state.exists:
             ids, norms, vecs = state.get
             ids = list(ids)
             norms = [float(n) for n in norms]
-            vecs = [[float(x) for x in v] for v in vecs]
+            vecs = [np.asarray(v, dtype=np.float64) for v in vecs]
         else:
             ids, norms, vecs = [], [], []
         kept = set(ids)
@@ -158,20 +157,22 @@ def _semantic_fn(threshold: float, round_to: int):
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            for _, row in pdf.sort_values("__id").iterrows():
-                rid = int(row["__id"])
+            pdf = pdf.sort_values("__id")
+            # the outer loop is inherently sequential (greedy epsilon
+            # net: each keep changes the comparison set); the rep
+            # comparison inside is one vectorized matmul per arrival
+            for rid, vec in zip(pdf["__id"], pdf["__vec"]):
+                rid = int(rid)
                 if rid in kept:
                     # replayed delivery of a kept vector: same verdict
                     out.append((rid, int(key[0]), 1))
                     continue
-                v = [float(x) for x in row["__vec"]]
-                vn = math.sqrt(sum(x * x for x in v))
+                v = np.asarray(vec, dtype=np.float64)
+                vn = float(np.sqrt(v @ v))
                 dup = False
-                for rn, rv in zip(norms, vecs):
-                    dot = sum(a * b for a, b in zip(v, rv))
-                    if round(dot / (vn * rn), round_to) >= threshold:
-                        dup = True
-                        break
+                if vecs:
+                    cos = (np.stack(vecs) @ v) / (np.asarray(norms) * vn)
+                    dup = bool(np.any(np.round(cos, round_to) >= threshold))
                 if dup:
                     out.append((rid, int(key[0]), 0))
                 else:
@@ -180,7 +181,9 @@ def _semantic_fn(threshold: float, round_to: int):
                     vecs.append(v)
                     kept.add(rid)
                     out.append((rid, int(key[0]), 1))
-        state.update((ids, norms, vecs))
+        state.update(
+            (ids, norms, [[float(x) for x in v] for v in vecs])
+        )
         if out:
             yield pd.DataFrame(out, columns=["vec_id", "cluster_id", "keep"])
 
