@@ -101,3 +101,44 @@ def mixture_weights(
         w.alias("weight"),
         F.round(w * F.lit(float(budget_rows)), 0).cast("long").alias("target_rows"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]] | None = None,
+    scale: int = SCALE,
+) -> "F.Column":
+    """Deterministic train/val/test split assignment — the final stage
+    of every training-data pipeline. Returns a COLUMN (map-only, fuses
+    into the scan at 100 TB): the row's split is chosen by where
+    ``md5_hash60(id) mod scale`` falls among the cumulative integer
+    thresholds ``floor(sum(weights) * scale)``. Hash-deterministic, so
+    the assignment is stable across engines, retries, partitionings and
+    reruns — never ``rand()`` (module docstring), and membership of a
+    given id never changes when rows are added or removed (unlike
+    ordinal splits).
+
+    Weights need not sum to 1; they are normalized. NULL ids hash to
+    NULL and get a NULL split (no identity, no stable assignment) —
+    filter or surrogate upstream, same contract as stratified_sample.
+    """
+    if splits is None:
+        splits = [("train", 0.98), ("val", 0.01), ("test", 0.01)]
+    if len(splits) < 2:
+        raise ValueError("hash_split needs at least two splits")
+    total = float(sum(w for _, w in splits))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    h = F.pmod(md5_hash60(F.col(id_col).cast("string")), F.lit(scale))
+    expr = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w / total
+        thr = int(cum * scale)
+        cond = h < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # last split takes the remainder; NULL hash propagates to NULL split
+    return F.when(h.isNotNull(), expr.otherwise(F.lit(splits[-1][0]))).otherwise(
+        F.lit(None).cast("string")
+    )

@@ -656,6 +656,37 @@ def t14_oov_stats(spark, sf_dir):
     return oov_stats(load(spark, sf_dir, "documents"), vocab_size=_T14_V)
 
 
+@q(
+    "t16_hash_split",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN hv < 900000 THEN 'train'
+                WHEN hv < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def t16_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment over documents —
+    map-only, fuses into the scan; the split of a given doc_id never
+    changes as the corpus grows (hash-range, not ordinal)."""
+    from diffdataflowmlpipelines_spark.functions.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        hash_split(
+            docs, "doc_id", [("train", 0.90), ("val", 0.05), ("test", 0.05)]
+        ).alias("split"),
+    )
+
+
 # --- t15: curation pipeline v2 ----------------------------------------------
 # this round's new signals composed the way a production pipeline runs
 # them: Gopher quality verdict AND vocabulary-coverage gate AND exact

@@ -238,3 +238,55 @@ def test_t15_curation_v2_flags_and_fused_keep(spark):
         assert vals == {0, 1}, f"{col} must be two-class, got {vals}"
     for r in rows:
         assert r["keep"] == r["keep_quality"] * r["keep_oov"] * r["keep_dedup"]
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from diffdataflowmlpipelines_spark.functions.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = df.select(
+        "doc_id",
+        hash_split(df, "doc_id", [("train", 0.90), ("val", 0.05), ("test", 0.05)]).alias(
+            "split"
+        ),
+    )
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    # membership is a pure function of the id: a smaller corpus assigns
+    # the same splits (hash-range, not ordinal)
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    got_small = {
+        r["doc_id"]: r["split"]
+        for r in small.select(
+            "doc_id",
+            hash_split(
+                small, "doc_id", [("train", 0.90), ("val", 0.05), ("test", 0.05)]
+            ).alias("split"),
+        ).collect()
+    }
+    assert all(got[k] == v for k, v in got_small.items())
+
+
+def test_hash_split_null_id_and_weight_normalization(spark):
+    import pytest as _pytest
+
+    from diffdataflowmlpipelines_spark.functions.sampling import hash_split
+
+    df = spark.createDataFrame([(None,), (1,)], "doc_id long")
+    rows = df.select(
+        "doc_id", hash_split(df, "doc_id").alias("split")
+    ).collect()
+    by_id = {r["doc_id"]: r["split"] for r in rows}
+    assert by_id[None] is None and by_id[1] is not None
+
+    # un-normalized weights behave like their normalized form
+    a = df.select(hash_split(df, "doc_id", [("a", 2.0), ("b", 2.0)]).alias("s"))
+    b = df.select(hash_split(df, "doc_id", [("a", 0.5), ("b", 0.5)]).alias("s"))
+    assert [r["s"] for r in a.collect()] == [r["s"] for r in b.collect()]
+
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", [("only", 1.0)])

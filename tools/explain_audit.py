@@ -52,6 +52,7 @@ AUDITED = [
     "d10_semantic_dedup",
     "t14_oov_stats",
     "t15_curation_v2",
+    "t16_hash_split",
     "cm4_hll_distinct",
     "t12_gopher_filter",
     "t13_bigram_lm_score",
