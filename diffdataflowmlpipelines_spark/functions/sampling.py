@@ -104,7 +104,6 @@ def mixture_weights(
 
 
 def hash_split(
-    df: DataFrame,
     id_col: str,
     splits: list[tuple[str, float]] | None = None,
     scale: int = SCALE,

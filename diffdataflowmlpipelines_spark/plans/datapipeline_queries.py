@@ -682,7 +682,7 @@ def t16_hash_split(spark, sf_dir):
     return docs.select(
         "doc_id",
         hash_split(
-            docs, "doc_id", [("train", 0.90), ("val", 0.05), ("test", 0.05)]
+            "doc_id", [("train", 0.90), ("val", 0.05), ("test", 0.05)]
         ).alias("split"),
     )
 

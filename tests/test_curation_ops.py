@@ -246,7 +246,7 @@ def test_hash_split_deterministic_and_complete(spark):
     df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
     out = df.select(
         "doc_id",
-        hash_split(df, "doc_id", [("train", 0.90), ("val", 0.05), ("test", 0.05)]).alias(
+        hash_split("doc_id", [("train", 0.90), ("val", 0.05), ("test", 0.05)]).alias(
             "split"
         ),
     )
@@ -264,7 +264,7 @@ def test_hash_split_deterministic_and_complete(spark):
         for r in small.select(
             "doc_id",
             hash_split(
-                small, "doc_id", [("train", 0.90), ("val", 0.05), ("test", 0.05)]
+                "doc_id", [("train", 0.90), ("val", 0.05), ("test", 0.05)]
             ).alias("split"),
         ).collect()
     }
@@ -278,15 +278,15 @@ def test_hash_split_null_id_and_weight_normalization(spark):
 
     df = spark.createDataFrame([(None,), (1,)], "doc_id long")
     rows = df.select(
-        "doc_id", hash_split(df, "doc_id").alias("split")
+        "doc_id", hash_split("doc_id").alias("split")
     ).collect()
     by_id = {r["doc_id"]: r["split"] for r in rows}
     assert by_id[None] is None and by_id[1] is not None
 
     # un-normalized weights behave like their normalized form
-    a = df.select(hash_split(df, "doc_id", [("a", 2.0), ("b", 2.0)]).alias("s"))
-    b = df.select(hash_split(df, "doc_id", [("a", 0.5), ("b", 0.5)]).alias("s"))
+    a = df.select(hash_split("doc_id", [("a", 2.0), ("b", 2.0)]).alias("s"))
+    b = df.select(hash_split("doc_id", [("a", 0.5), ("b", 0.5)]).alias("s"))
     assert [r["s"] for r in a.collect()] == [r["s"] for r in b.collect()]
 
     with _pytest.raises(ValueError):
-        hash_split(df, "doc_id", [("only", 1.0)])
+        hash_split("doc_id", [("only", 1.0)])
