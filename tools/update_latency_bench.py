@@ -100,6 +100,30 @@ def bench_scaler(spark) -> dict:
         pipe.process_epoch(bulk_df, 2 * N_UPDATES + 1)
         bulk_sec = time.time() - t0
 
+        # fold-only lane (run LAST; it advances the statistic without a
+        # sink commit, so nothing may follow it): the in-process
+        # statistical fold + net-row re-encode with NO durable writes —
+        # the exact work inside the reference's 1.45 ms per-row number,
+        # which holds its aggregate in memory and emits the encoded row
+        # without durability. The gap between this lane and the local
+        # entry above IS the price of the two exactly-once parquet
+        # commits per update.
+        fold_ms = []
+        for k in range(N_UPDATES):
+            pdf = pd.DataFrame(
+                {
+                    "row_id": np.array(
+                        [INIT_ROWS + 20_000 + k], dtype="int64"
+                    ),
+                    "x": rng.normal(100.0, 25.0, size=1),
+                    "diff": np.ones(1, dtype="int64"),
+                }
+            )
+            t0 = time.time()
+            meta = pipe._fold_pdf(pdf)
+            pipe._encode_pdf(pdf, meta)
+            fold_ms.append((time.time() - t0) * 1000)
+
         return {
             "init_rows": INIT_ROWS,
             "init_sec": round(init_sec, 2),
@@ -110,6 +134,10 @@ def bench_scaler(spark) -> dict:
                 statistics.median(local_ms), 1
             ),
             "single_row_update_local_ms_min": round(min(local_ms), 1),
+            "single_row_fold_only_ms_median": round(
+                statistics.median(fold_ms), 2
+            ),
+            "single_row_fold_only_ms_min": round(min(fold_ms), 2),
             "bulk_rows": BULK_ROWS,
             "bulk_update_sec": round(bulk_sec, 2),
             "full_reencodes": pipe.full_reencodes,
