@@ -367,19 +367,14 @@ class DriverVocabularyPipeline:
         self.output_sink.write_batch_local(out, epoch_id)
         self.epochs += 1
 
-    def process_epoch_local(self, pdf: pd.DataFrame, epoch_id: int) -> None:
-        """Driver-local ingestion of a (token, diff[, event_time]) delta
-        the caller already holds as pandas — zero Spark jobs on the hot
-        path (``process_epoch``'s keyed collect costs ~30-40 ms of job
-        launch alone). The shard routing uses the pure-python XXH64
-        twin of ``F.xxhash64`` (functions/xxhash.py, hypothesis-pinned
-        to the JVM value), so emitted (shard, idx) assignments are
-        bit-identical to the Spark-df path and the streaming operator.
-        Exactly-once layout and replay semantics are unchanged."""
+    def _route_pdf(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Null-filter + python-XXH64 shard routing of a raw delta into
+        the keyed (shard, token, diff, event_time) frame the fold and
+        the sinks consume — the pure in-process half of
+        process_epoch_local, exposed so the latency bench can time
+        route+fold without the durable commits."""
         from diffdataflowmlpipelines_spark.functions.xxhash import spark_shard
 
-        if self.input_sink.is_committed(epoch_id):
-            return self.process_epoch(None, epoch_id)  # replay/repair only
         keep = pdf[pdf[self.token_col].notna() & pdf["diff"].notna()]
         toks = keep[self.token_col].astype(str)
         keyed = pd.DataFrame(
@@ -401,6 +396,20 @@ class DriverVocabularyPipeline:
         )
         if keyed["event_time"].dt.tz is None:
             keyed["event_time"] = keyed["event_time"].dt.tz_localize("UTC")
+        return keyed
+
+    def process_epoch_local(self, pdf: pd.DataFrame, epoch_id: int) -> None:
+        """Driver-local ingestion of a (token, diff[, event_time]) delta
+        the caller already holds as pandas — zero Spark jobs on the hot
+        path (``process_epoch``'s keyed collect costs ~30-40 ms of job
+        launch alone). The shard routing uses the pure-python XXH64
+        twin of ``F.xxhash64`` (functions/xxhash.py, hypothesis-pinned
+        to the JVM value), so emitted (shard, idx) assignments are
+        bit-identical to the Spark-df path and the streaming operator.
+        Exactly-once layout and replay semantics are unchanged."""
+        if self.input_sink.is_committed(epoch_id):
+            return self.process_epoch(None, epoch_id)  # replay/repair only
+        keyed = self._route_pdf(pdf)
         self.input_sink.write_batch_local(keyed, epoch_id)
         out = self._apply_pdf(keyed)
         self._applied_epochs.add(epoch_id)

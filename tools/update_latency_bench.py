@@ -380,6 +380,29 @@ def bench_dict(spark) -> dict:
                 pipe.process_epoch_local(one, appends + 1 + i)
                 local_ms.append((time.time() - t0) * 1000)
 
+            # fold-only lane (run LAST: it advances the dictionary
+            # without a sink commit): python-XXH64 routing + in-place
+            # dictionary fold, NO durable writes — the reference's own
+            # measurement condition (its ~µs number updates an
+            # in-process HashMap with no durability)
+            fold_ms, fold_unique = [], drv_unique + appends // 20 + 1
+            for i in range(appends):
+                if i % 20 == 0:
+                    fold_unique += 1
+                    val = str(fold_unique)
+                else:
+                    val = str(i % uniques)
+                one = pd.DataFrame(
+                    {
+                        "token": [val],
+                        "diff": [1],
+                        "event_time": [t0_ts + timedelta(seconds=300 + i)],
+                    }
+                )
+                t0 = time.time()
+                pipe._apply_pdf(pipe._route_pdf(one))
+                fold_ms.append((time.time() - t0) * 1000)
+
             results.append(
                 {
                     "base_rows": base,
@@ -400,6 +423,10 @@ def bench_dict(spark) -> dict:
                         statistics.median(local_ms), 1
                     ),
                     "driver_state_update_local_ms_min": round(min(local_ms), 1),
+                    "fold_only_ms_median": round(
+                        statistics.median(fold_ms), 3
+                    ),
+                    "fold_only_ms_min": round(min(fold_ms), 3),
                 }
             )
         finally:
