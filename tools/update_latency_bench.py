@@ -205,6 +205,25 @@ def bench_multi(spark) -> dict:
             pipe.process_epoch_local(pdf, N_UPDATES + 1 + k)
             local_ms.append((time.time() - t0) * 1000)
 
+        # fold-only lane (run LAST; no sink commit follows): all 21
+        # statistic folds + the net-row re-encode with no durability —
+        # the reference's Fig.3 per-row condition
+        fold_ms = []
+        for k in range(N_UPDATES):
+            data = {
+                "row_id": np.array(
+                    [MULTI_INIT_ROWS + 20_000 + k], dtype="int64"
+                )
+            }
+            for j, c in enumerate(cols):
+                data[c] = rng.normal(float(j), 0.5, size=1)
+            data["diff"] = np.ones(1, dtype="int64")
+            pdf = pd.DataFrame(data)
+            t0 = time.time()
+            meta = pipe._fold_pdf(pdf)
+            pipe._encode_pdf(pdf, meta)
+            fold_ms.append((time.time() - t0) * 1000)
+
         return {
             "cols": MULTI_COLS,
             "init_rows": MULTI_INIT_ROWS,
@@ -215,6 +234,10 @@ def bench_multi(spark) -> dict:
                 statistics.median(local_ms), 1
             ),
             "single_row_update_local_ms_min": round(min(local_ms), 1),
+            "single_row_fold_only_ms_median": round(
+                statistics.median(fold_ms), 2
+            ),
+            "single_row_fold_only_ms_min": round(min(fold_ms), 2),
             "full_reencodes": pipe.full_reencodes,
             "epochs": pipe.epochs,
             "reference_note": (
