@@ -126,6 +126,10 @@ def hash_split(
         splits = [("train", 0.98), ("val", 0.01), ("test", 0.01)]
     if len(splits) < 2:
         raise ValueError("hash_split needs at least two splits")
+    if any(w < 0 for _, w in splits):
+        # a negative weight would make the cumulative thresholds
+        # non-monotonic: the preceding split silently absorbs the range
+        raise ValueError("split weights must be non-negative")
     total = float(sum(w for _, w in splits))
     if total <= 0:
         raise ValueError("split weights must sum to a positive value")

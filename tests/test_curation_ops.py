@@ -290,3 +290,5 @@ def test_hash_split_null_id_and_weight_normalization(spark):
 
     with _pytest.raises(ValueError):
         hash_split("doc_id", [("only", 1.0)])
+    with _pytest.raises(ValueError):
+        hash_split("doc_id", [("a", -0.1), ("b", 1.1)])

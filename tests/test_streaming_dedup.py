@@ -263,3 +263,75 @@ def test_streaming_semantic_dedup_replay_idempotent(spark, tmp_path):
     pdf = pd.DataFrame(rows + rows, columns=["vec_id", "embedding"])
     got = _run_semantic_stream(spark, tmp_path, pdf, 2, "replay")
     assert got == {10: (0, 1), 11: (0, 0), 20: (1, 1)}
+
+
+def test_streaming_semantic_dedup_resumes_from_checkpoint(spark, tmp_path):
+    """The representative state must round-trip through the state store
+    across SEPARATE query runs: a second availableNow run on the same
+    checkpoint sees run 1's representatives, so a near-copy of a run-1
+    keeper arriving in run 2 is dropped."""
+    import pandas as pd
+
+    from diffdataflowmlpipelines_spark.streaming.dedup import (
+        streaming_semantic_dedup,
+    )
+    from diffdataflowmlpipelines_spark.streaming.sink import (
+        ExactlyOnceParquetSink,
+    )
+    from diffdataflowmlpipelines_spark.streaming.sources import (
+        write_epoch_files,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path / "src")
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["vec_id"])
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_semantic_dedup(stream, cents, threshold=0.9)
+            .writeStream.foreachBatch(sink.foreach_batch())
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write_epoch_files(
+        pd.DataFrame(
+            [(10, [1.0, 0.05, 0.0, 0.0]), (20, [0.05, 1.0, 0.0, 0.0])],
+            columns=["vec_id", "embedding"],
+        ),
+        src,
+        1,
+        sort_col=None,
+    )
+    run()
+    # second run, NEW epoch file on the SAME checkpoint: a near-copy of
+    # kept 10 must be dropped, a new direction kept
+    import os
+
+    pd2 = pd.DataFrame(
+        [(11, [1.0, 0.06, 0.0, 0.0]), (12, [0.7, 0.3, 0.6, 0.0])],
+        columns=["vec_id", "embedding"],
+    )
+    path2 = os.path.join(src, "epoch-99999.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pd2, preserve_index=False), path2)
+    run()
+
+    got = {
+        r["vec_id"]: r["keep"] for r in sink.read_current(spark).collect()
+    }
+    assert got == {10: 1, 20: 1, 11: 0, 12: 1}
