@@ -45,6 +45,7 @@ BATCH_QUERIES = [
     "cm4_hll_distinct",
     "cm5_bottomk_quantiles",
     "t13_bigram_lm_score",
+    "t15_curation_v2",
     "s1_cosine_topk",
     "cep1_event_funnel",
     "t11_corpus_pipeline",
