@@ -35,6 +35,7 @@ _NEVER_DRIVER_COVERED = [
     "t14_oov_stats",
     "t15_curation_v2",
     "t16_hash_split",
+    "t17_chunking",
     "t12_gopher_filter",
     "t13_bigram_lm_score",
     "cm5_bottomk_quantiles",

@@ -313,3 +313,63 @@ def oov_stats(
             F.round(oov / F.greatest(n, F.lit(1)), 6).alias("oov_rate"),
         )
     )
+
+
+def chunk_documents(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_tokens: int = 32,
+    overlap: int = 8,
+):
+    """Split documents into fixed-size token chunks with overlap — the
+    chunker stage every pretraining/RAG pipeline runs before packing or
+    embedding (t8 packs whole sequences; this produces them). Chunk i
+    covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; the final chunk may be short, and a
+    document shorter than max_tokens yields exactly one chunk. Empty
+    and NULL documents yield ZERO chunks (nothing to train on).
+
+    Returns (id_col, chunk_id, chunk_text, n_tokens) — one row per
+    chunk, chunk_id 0-based per document.
+
+    100-TB shape: pure column expressions (tokenize once, F.sequence
+    over chunk starts, F.slice + concat_ws per chunk, one explode) —
+    zero shuffle, zero Python; the chunk fan-out happens inside the
+    scan stage. Beyond-reference operator (text surface is
+    tokenize-only, ``feature_extraction/utils.rs:3-9``).
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    stride = max_tokens - overlap
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokenize(F.coalesce(c, F.lit("")))
+    n = F.size(toks)
+    # number of chunks: ceil(max(n - overlap, 1) / stride) for n > 0
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.ceil((F.greatest(n - F.lit(overlap), F.lit(1))) / F.lit(stride)).cast(
+            "int"
+        )
+    )
+    starts = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(toks, i * stride + 1, max_tokens).alias("ts"),
+        ),
+    )
+    ex = docs.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    )
+    return ex.select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.array_join(F.col("__c.ts"), " ").alias("chunk_text"),
+        F.size(F.col("__c.ts")).cast("long").alias("n_tokens"),
+    )

@@ -687,6 +687,42 @@ def t16_hash_split(spark, sf_dir):
     )
 
 
+_T17_MAX, _T17_OVL = 32, 8  # stride 24; docs are 10-99 tokens -> 1-4 chunks
+
+
+@q(
+    "t17_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (SELECT doc_id, toks,
+                 CASE WHEN n <= 0 THEN 0
+                      ELSE CAST(ceil(GREATEST(n - {_T17_OVL}, 1)
+                                     / CAST({_T17_MAX - _T17_OVL} AS DOUBLE))
+                           AS INT) END AS n_chunks
+          FROM n),
+    ex AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS i
+           FROM c WHERE n_chunks > 0)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(
+             toks[i * {_T17_MAX - _T17_OVL} + 1 :
+                  i * {_T17_MAX - _T17_OVL} + {_T17_MAX}], ' ') AS chunk_text,
+           CAST(len(toks[i * {_T17_MAX - _T17_OVL} + 1 :
+                         i * {_T17_MAX - _T17_OVL} + {_T17_MAX}]) AS BIGINT)
+             AS n_tokens
+    FROM ex
+    """,
+)
+def t17_chunking(spark, sf_dir):
+    from diffdataflowmlpipelines_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"),
+        max_tokens=_T17_MAX,
+        overlap=_T17_OVL,
+    )
+
+
 # --- t15: curation pipeline v2 ----------------------------------------------
 # this round's new signals composed the way a production pipeline runs
 # them: Gopher quality verdict AND vocabulary-coverage gate AND exact

@@ -250,3 +250,50 @@ def test_oov_stats_tie_breaks_token_ascending(spark):
     out = oov_stats(df, vocab_size=1)
     got = {r["doc_id"]: r["n_oov"] for r in out.collect()}
     assert got == {0: 1, 1: 1}
+
+
+def test_chunk_documents_closed_form(spark):
+    from diffdataflowmlpipelines_spark.functions.text import chunk_documents
+
+    # 10 tokens, max=4, overlap=2 -> stride 2, ceil(max(10-2,1)/2)=4
+    # chunks: [0:4], [2:6], [4:8], [6:10]
+    toks = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(0, toks), (1, "x y"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=4, overlap=2)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    assert got == {
+        (0, 0): ("a b c d", 4),
+        (0, 1): ("c d e f", 4),
+        (0, 2): ("e f g h", 4),
+        (0, 3): ("g h i j", 4),
+        (1, 0): ("x y", 2),  # short doc: exactly one chunk
+        # empty and NULL docs yield zero chunks
+    }
+
+
+def test_chunk_documents_tail_and_validation(spark):
+    import pytest as _pytest
+
+    from diffdataflowmlpipelines_spark.functions.text import chunk_documents
+
+    # 7 tokens, max=4, overlap=1 -> stride 3, ceil(max(6,1)/3)=2 chunks,
+    # second chunk is the short tail [3:7]
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g")], "doc_id long, text string"
+    )
+    got = {
+        r["chunk_id"]: (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
+    }
+    assert got == {0: ("a b c d", 4), 1: ("d e f g", 4)}
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)

@@ -53,6 +53,7 @@ AUDITED = [
     "t14_oov_stats",
     "t15_curation_v2",
     "t16_hash_split",
+    "t17_chunking",
     "cm4_hll_distinct",
     "t12_gopher_filter",
     "t13_bigram_lm_score",
