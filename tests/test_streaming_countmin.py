@@ -157,3 +157,45 @@ def test_hll_registers_streaming_parity(spark, tmp_path):
     est_stream = hll_estimate(got.select("bucket", "rho"), p=9).first()
     est_batch = hll_estimate(want, p=9).first()
     assert est_stream["est"] == est_batch["est"]
+
+
+def test_chunk_documents_is_streaming_safe(spark, tmp_path):
+    """chunk_documents is pure column expressions (no agg, no state):
+    it must run unchanged on a streaming frame, and the streamed chunks
+    must equal the batch chunks over the same rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from diffdataflowmlpipelines_spark.functions.text import chunk_documents
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a b c d e f g h", "x y z"]}
+    )
+    src = str(tmp_path / "src_chunk")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(src, "part-0.parquet"),
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    sink = ExactlyOnceParquetSink(
+        str(tmp_path / "out_chunk"), ["doc_id", "chunk_id"]
+    )
+    q = (
+        chunk_documents(stream, max_tokens=4, overlap=2)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_chunk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sink.read_current(spark).toPandas()
+    want = chunk_documents(
+        spark.createDataFrame(pdf, "doc_id long, text string"),
+        max_tokens=4,
+        overlap=2,
+    ).toPandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
