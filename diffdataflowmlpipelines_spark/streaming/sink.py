@@ -59,8 +59,24 @@ class ExactlyOnceParquetSink:
     def epoch_dir(self, epoch_id: int) -> str:
         return os.path.join(self.root, f"epoch={epoch_id}")
 
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_compacted.json")
+
+    def _manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
     def is_committed(self, epoch_id: int) -> bool:
-        return os.path.isdir(self.epoch_dir(epoch_id))
+        if os.path.isdir(self.epoch_dir(epoch_id)):
+            return True
+        # a compacted epoch's directory is gone but its commit must
+        # survive: the replay contract (drop re-delivered epochs) is
+        # what makes the sink exactly-once
+        m = self._manifest()
+        return m is not None and epoch_id in set(m["epochs"])
 
     def write_batch(self, df: DataFrame, epoch_id: int) -> None:
         """foreachBatch body. Safe to call again with the same epoch_id."""
@@ -165,15 +181,107 @@ class ExactlyOnceParquetSink:
     # -- read side ------------------------------------------------------------
 
     def committed_epochs(self) -> list[int]:
+        self._recover_compaction()
+        dirs = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.root)
+            if d.startswith("epoch=")
+        }
+        m = self._manifest()
+        if m is not None:
+            dirs |= set(m["epochs"])
+        return sorted(dirs)
+
+    def _live_epoch_dirs(self) -> list[int]:
         return sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(self.root)
             if d.startswith("epoch=")
         )
 
+    # -- compaction ----------------------------------------------------------
+
+    def compact(self, spark: SparkSession, up_to: int | None = None) -> int | None:
+        """Fold every committed epoch <= ``up_to`` (default: all) into
+        ONE snapshot directory at the highest folded epoch, preserving
+        read_current semantics exactly (the snapshot holds the winning
+        row per key, including net-0 tombstones, so later epochs and
+        key filters behave unchanged). After compaction, ``read_all``
+        reports the folded history at the snapshot epoch — per-epoch
+        history is intentionally discarded; ``_lineage/`` keeps the
+        audit record.
+
+        Crash-safe with the sink's own discipline: the snapshot is
+        staged, then a manifest write is the atomic commit point
+        (watermark + the full list of folded epoch ids + a pending
+        marker), then the folded directories are dropped and the
+        staging dir renamed into place. A crash anywhere in the last
+        step is finished by ``_recover_compaction`` on the next read —
+        and ``is_committed`` answers from the manifest, so replayed
+        deliveries of folded epochs are still dropped (the exactly-once
+        contract survives its own garbage collection).
+
+        Returns the snapshot epoch, or None if there is nothing to fold.
+        """
+        self._recover_compaction()
+        live = self._live_epoch_dirs()
+        fold = [e for e in live if up_to is None or e <= up_to]
+        if len(fold) < 2:
+            return None
+        target = max(fold)
+        df = spark.read.option("basePath", self.root).parquet(
+            *[self.epoch_dir(e) for e in fold]
+        )
+        order = [F.col("epoch").desc()]
+        if "diff" in df.columns:
+            order.append(F.col("diff").desc())
+        w = Window.partitionBy(*self.key_cols).orderBy(*order)
+        snap = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "epoch")
+        )
+        staging = os.path.join(
+            self.root, "_staging", f"compact.{uuid.uuid4().hex[:8]}"
+        )
+        snap.write.mode("overwrite").parquet(staging)
+        prev = self._manifest()
+        epochs = sorted(set(fold) | (set(prev["epochs"]) if prev else set()))
+        manifest = {
+            "watermark": target,
+            "epochs": epochs,
+            "pending": {"staging": staging, "target": target, "drop": fold},
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, self._manifest_path())  # atomic commit point
+        self._finish_compaction(manifest)
+        return target
+
+    def _recover_compaction(self) -> None:
+        m = self._manifest()
+        if m is not None and "pending" in m:
+            self._finish_compaction(m)
+
+    def _finish_compaction(self, manifest: dict) -> None:
+        p = manifest["pending"]
+        if os.path.isdir(p["staging"]):
+            for e in p["drop"]:
+                shutil.rmtree(self.epoch_dir(e), ignore_errors=True)
+            os.rename(p["staging"], self.epoch_dir(p["target"]))
+        # staging already renamed (crash after the move): just clear
+        done = {k: v for k, v in manifest.items() if k != "pending"}
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(done, f)
+        os.rename(tmp, self._manifest_path())
+
     def read_all(self, spark: SparkSession) -> DataFrame:
-        """Every committed row, tagged with its epoch."""
-        epochs = self.committed_epochs()
+        """Every committed row, tagged with its epoch (compacted
+        history appears folded at its snapshot epoch)."""
+        self._recover_compaction()
+        epochs = self._live_epoch_dirs()
         if not epochs:
             raise FileNotFoundError(f"no committed epochs under {self.root}")
         return (
