@@ -97,3 +97,81 @@ def test_compaction_crash_window_recovered_on_next_read(spark, tmp_path):
     )
     assert live == [2, 3]
     assert sink2.committed_epochs() == [0, 1, 2, 3]
+
+
+def test_compaction_between_streaming_runs(spark, tmp_path):
+    """Compact between two availableNow runs of the SAME query +
+    checkpoint: the resumed stream keeps committing past the snapshot
+    and the upsert view stays correct — compaction is safe to schedule
+    while a streaming pipeline owns the sink."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from diffdataflowmlpipelines_spark.sources.fixtures import (
+        TOKENS_STREAM_SCHEMA,
+        gen_tokens_pdf,
+    )
+    from diffdataflowmlpipelines_spark.streaming.sources import write_epoch_files
+    from diffdataflowmlpipelines_spark.streaming.windows import (
+        tumbling_token_frequency,
+    )
+
+    pdf = gen_tokens_pdf(600, seed=3, rows_per_second=100.0)
+    src = str(tmp_path / "src")
+    paths = write_epoch_files(pdf, src, 6)
+    # hold back the last two epochs for run 2 — OUTSIDE the source dir
+    # (a renamed-in-place file would still be listed and read by the
+    # file source, then re-read under its restored name in run 2)
+    hold = str(tmp_path / "hold")
+    os.makedirs(hold, exist_ok=True)
+    held = []
+    for p in paths[4:]:
+        dst = os.path.join(hold, os.path.basename(p))
+        held.append((p, dst))
+        os.rename(p, dst)
+
+    sink = ExactlyOnceParquetSink(
+        str(tmp_path / "out"), ["window_start", "token"]
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(TOKENS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            tumbling_token_frequency(stream)
+            .writeStream.foreachBatch(sink.foreach_batch())
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    assert sink.compact(spark) is not None
+
+    for orig, h in held:
+        os.rename(h, orig)
+    run()
+
+    got = (
+        sink.read_current(spark)
+        .filter(F.col("tf") != 0)
+        .toPandas()
+    )
+    batch = spark.createDataFrame(pdf, TOKENS_STREAM_SCHEMA)
+    want = (
+        tumbling_token_frequency(batch, streaming=False)
+        .filter(F.col("tf") != 0)
+        .toPandas()
+    )
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols, kind="stable").reset_index(drop=True),
+        want[cols].sort_values(cols, kind="stable").reset_index(drop=True),
+        check_dtype=False,
+    )
