@@ -264,6 +264,28 @@ class ExactlyOnceParquetSink:
         if m is not None and "pending" in m:
             self._finish_compaction(m)
 
+    def vacuum_staging(self) -> int:
+        """Remove orphaned ``_staging`` entries left by crashed writes
+        (a write that died before its atomic rename leaves its staging
+        dir forever — harmless for correctness, but they accumulate).
+        Safe between writes in the sink's single-driver model: the only
+        staging entry that may be live across calls is a pending
+        compaction snapshot, which is preserved. Returns the number of
+        entries removed."""
+        m = self._manifest()
+        keep = (
+            {os.path.basename(m["pending"]["staging"])}
+            if m is not None and "pending" in m
+            else set()
+        )
+        sdir = os.path.join(self.root, "_staging")
+        removed = 0
+        for name in os.listdir(sdir):
+            if name not in keep:
+                shutil.rmtree(os.path.join(sdir, name), ignore_errors=True)
+                removed += 1
+        return removed
+
     def _finish_compaction(self, manifest: dict) -> None:
         p = manifest["pending"]
         if os.path.isdir(p["staging"]):

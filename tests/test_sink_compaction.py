@@ -175,3 +175,25 @@ def test_compaction_between_streaming_runs(spark, tmp_path):
         want[cols].sort_values(cols, kind="stable").reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_vacuum_staging_preserves_pending_compaction(spark, tmp_path):
+    sink = _mk(tmp_path, "s4")
+    # orphaned staging dirs from crashed writes
+    for i in range(3):
+        os.makedirs(os.path.join(sink.root, "_staging", f"epoch=9.{i:08x}"))
+    # a pending compaction snapshot must survive the vacuum
+    sink._finish_compaction_orig = sink._finish_compaction
+    sink._finish_compaction = lambda m: None
+    sink.compact(spark, up_to=2)
+    pending = sink._manifest()["pending"]["staging"]
+    assert os.path.isdir(pending)
+
+    removed = sink.vacuum_staging()
+    assert removed == 3
+    assert os.path.isdir(pending)  # snapshot kept
+
+    # recovery still completes after the vacuum
+    sink2 = ExactlyOnceParquetSink(sink.root, ["k"])
+    assert _current(spark, sink2) == {"a": 10, "b": 20, "c": 3}
+    assert sink2.vacuum_staging() == 0
