@@ -216,7 +216,23 @@ class IncrementalScalerPipeline:
         Nullable Float64 arithmetic: a NULL value must encode to a
         parquet NULL like the distributed path (plain float64 would
         write NaN instead)."""
+        import numpy as np
+        import pandas as pd
+
         mean, var = meta
+        if len(pdf) == 1:
+            # scalar lane (see the multi-column twin): one-row Float64
+            # Series construction dominates the single-row re-encode
+            v = pdf[self.value_col].iloc[0]
+            if pd.isna(v):
+                r = None
+            else:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    rv = (np.float64(v) - np.float64(mean)) / np.float64(var)
+                r = None if pd.isna(rv) else float(rv)
+            out = pdf.copy()
+            out["scaled"] = pd.array([r], dtype="Float64")
+            return out
         out = pdf.copy()
         out["scaled"] = (out[self.value_col].astype("Float64") - mean) / var
         return out
