@@ -31,6 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # order; registry size and per-query driver coverage are tabulated in
 # STATUS.md ("driver coverage").
 _NEVER_DRIVER_COVERED = [
+    "v1_bpe_pair_counts",
+    "v2_bpe_learn",
+    "v3_bpe_encode",
+    "t18_importance_resample",
+    "t19_source_drift_kl",
     "d10_semantic_dedup",
     "t14_oov_stats",
     "t15_curation_v2",

@@ -1,0 +1,295 @@
+"""Byte-pair-encoding vocabulary learning + application over the corpus
+— the canonical "tokens" operator a training-data pipeline needs that
+the reference lacks (its text surface is whitespace tokenize only,
+``src/feature_encoders/feature_extraction/utils.rs:3-9``; its
+vocabulary operator assigns ids to ALREADY-FIXED tokens,
+``src/types/integer_assignment_aggregate.rs:43-95`` — BPE is the stage
+that decides what the tokens ARE). Algorithm: Sennrich et al. 2016
+(arXiv:1508.07909), greedy leftmost merge application.
+
+100-TB shape (the whole point of doing BPE on Spark):
+  * ONE corpus-wide shuffle builds the word-frequency table
+    (``word_frequencies``); every merge iteration after that runs over
+    the VOCABULARY-sized frame (millions of rows, not the corpus) —
+    identical totals because pair counts are linear in word frequency,
+  * each iteration = one vocab-frame aggregation + a 1-row bounded
+    collect (the argmax pair, same convention as the encoders' fit
+    statistics) + a pure-Catalyst fold that applies the merge
+    (``merge_pair``: F.aggregate, no Python, provably greedy-leftmost
+    — see tests/test_bpe.py's adversarial run cases),
+  * the iterating frame is ``localCheckpoint``-ed every iteration
+    (repo rule: iterative DataFrame algorithms otherwise grow lineage
+    exponentially and stall the analyzer),
+  * encoding documents with a learned merge table applies the merges
+    to the DISTINCT-word frame, then maps corpus tokens through one
+    hash join — the corpus is never folded per-merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from diffdataflowmlpipelines_spark.functions.text import tokenize
+
+# terminal end-of-word symbol (Sennrich-style): lets the model learn
+# suffix units distinct from word-internal ones, and makes the encoded
+# symbol stream decodable back into words.
+EOW = "</w>"
+
+_SYM = "array<string>"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the whitespace-tokenized corpus — the single
+    corpus-wide pass; map-side partial agg, one hash shuffle."""
+    return (
+        docs.select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def initial_symbols(word: Column | str) -> Column:
+    """Character symbols plus the EOW terminal: 'low' -> [l, o, w, </w>].
+    Split on the zero-width boundary strictly BETWEEN characters
+    ('(?!^)(?=.)': not at start, one char must follow — a bare '(?!^)'
+    also matches at end-of-string and emits a trailing empty symbol
+    under Spark's limit=-1 split)."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.concat(F.split(c, r"(?!^)(?=.)"), F.array(F.lit(EOW)))
+
+
+def _pair_structs(syms: Column) -> Column:
+    """Adjacent (left, right) symbol pairs; empty for 1-symbol rows."""
+    n = F.size(syms)
+    pairs = F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    return F.when(n >= 2, pairs).otherwise(
+        F.array().cast("array<struct<left:string,right:string>>")
+    )
+
+
+def pair_counts(word_freqs: DataFrame, symbols_col: str = "symbols") -> DataFrame:
+    """(left, right, pair_count): adjacent-pair frequencies over the
+    symbol sequences, weighted by word frequency. Equals the count over
+    every token OCCURRENCE in the corpus (linearity) — the vocab-sized
+    frame is the optimization, not an approximation."""
+    return (
+        word_freqs.select(
+            "freq", F.explode(_pair_structs(F.col(symbols_col))).alias("p")
+        )
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+
+
+def corpus_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pair counts directly over token OCCURRENCES — a single
+    aggregation, so the same plan runs unchanged as an unwatermarked
+    update-mode STREAMING agg (incremental BPE statistics maintained
+    over a document stream — the north star's "incremental
+    vocabulary/statistics updates" for the stage that precedes
+    vocabulary assignment). Equals ``pair_counts(word_frequencies(...))
+    `` exactly, by linearity of pair counts in word frequency (the
+    batch path keeps the word-freq collapse as its optimization; the
+    parity is pinned in tests/test_bpe.py)."""
+    return (
+        docs.select(F.explode(tokenize(text_col)).alias("word"))
+        .select(
+            F.explode(_pair_structs(initial_symbols(F.col("word")))).alias("p")
+        )
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+    )
+
+
+def merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Greedy leftmost non-overlapping merge of adjacent (left, right)
+    into left+right — pure Catalyst fold, no Python.
+
+    Correctness of the fold against the scan definition: a symbol
+    emitted by a merge in this pass is ``left+right``, which can equal
+    neither ``left`` nor ``right`` (both non-empty), so a just-merged
+    element can never re-match — the fold is exactly the left-to-right
+    scan. (The tempting string-replace trick is NOT: for left==right,
+    ``replace`` mis-aligns on runs of 4+ — pinned in tests.)
+    """
+    return F.aggregate(
+        syms,
+        F.array().cast(_SYM),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+MERGES_SCHEMA = T.StructType(
+    [
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("left", T.StringType(), False),
+        T.StructField("right", T.StringType(), False),
+        T.StructField("merged", T.StringType(), False),
+        T.StructField("pair_count", T.LongType(), False),
+    ]
+)
+
+
+def learn_bpe(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
+    table (rank, left, right, merged, pair_count) in learned order —
+    deterministic: ties in pair_count break on (left, right) ascending.
+    Stops early if no adjacent pair remains (fully merged vocabulary).
+    """
+    spark = docs.sparkSession
+    wf = (
+        word_frequencies(docs, text_col)
+        .select("freq", initial_symbols("word").alias("symbols"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        top = (
+            pair_counts(wf)
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((rank, l, r, l + r, c))
+        wf = wf.select(
+            "freq", merge_pair(F.col("symbols"), l, r).alias("symbols")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def apply_merges(syms: Column, merges: list[tuple[str, str]]) -> Column:
+    """Fold a merge list (rank order) over a symbol array column —
+    ``len(merges)`` chained Catalyst folds. Keep merge lists handed to
+    a single expression modest (the caller checkpoints between blocks
+    for long tables — see bpe_encode)."""
+    for l, r in merges:
+        syms = merge_pair(syms, l, r)
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges_per_block: int = 16,
+) -> DataFrame:
+    """Encode documents with a learned merge table: (id_col, bpe_tokens
+    array<string>, n_bpe int). Scale shape: merges are applied to the
+    DISTINCT-word frame (vocab-sized), then tokens map through ONE hash
+    join and re-assemble in original order — the corpus itself is
+    scanned once and never folded per-merge. Expression depth is
+    bounded by checkpointing every ``merges_per_block`` merges."""
+    toks = docs.select(
+        id_col, F.posexplode(tokenize(text_col)).alias("pos", "word")
+    )
+    vocab = toks.select("word").distinct()
+    enc = vocab.select("word", initial_symbols("word").alias("symbols"))
+    for i in range(0, len(merges), merges_per_block):
+        enc = enc.select(
+            "word",
+            apply_merges(
+                F.col("symbols"), merges[i : i + merges_per_block]
+            ).alias("symbols"),
+        )
+        if i + merges_per_block < len(merges):
+            enc = enc.localCheckpoint(eager=True)
+    assembled = (
+        toks.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "symbols"))
+                    ),
+                    lambda s: s["symbols"],
+                )
+            ).alias("bpe_tokens")
+        )
+    )
+    # empty documents (no tokens) keep a row with an empty encoding
+    return (
+        docs.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("bpe_tokens", F.array().cast(_SYM)).alias("bpe_tokens"),
+        )
+        .withColumn("n_bpe", F.size("bpe_tokens").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-local twin (pure python) — the parity reference for tests; the
+# same role as the encoders' driver-local pipelines: small-input ground
+# truth with NO Spark involved.
+# ---------------------------------------------------------------------------
+
+
+def merge_local(seq: list[str], left: str, right: str) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def learn_bpe_local(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Pure-python BPE (Sennrich alg. 1) with the same determinism
+    contract: argmax pair_count, ties on (left, right) ascending."""
+    vocab = {w: (list(w) + [EOW], f) for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, l + r, c))
+        vocab = {
+            w: (merge_local(syms, l, r), f) for w, (syms, f) in vocab.items()
+        }
+    return merges
+
+
+def encode_local(
+    text: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    out: list[str] = []
+    for w in text.split():
+        syms = list(w) + [EOW]
+        for l, r in merges:
+            syms = merge_local(syms, l, r)
+        out.extend(syms)
+    return out

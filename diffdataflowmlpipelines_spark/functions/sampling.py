@@ -145,3 +145,31 @@ def hash_split(
     return F.when(h.isNotNull(), expr.otherwise(F.lit(splits[-1][0]))).otherwise(
         F.lit(None).cast("string")
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_permille,
+    permille_scale: int = 1000,
+) -> DataFrame:
+    """Importance resampling: keep a row iff
+    ``md5_hash60(id) % permille_scale < weight_permille`` where
+    ``weight_permille`` is a caller-supplied INTEGER column expression
+    in [0, permille_scale] derived from row content (quality score,
+    length, dedup cluster size, ...). Soft per-row sampling — the
+    content decides each row's survival probability, where
+    ``stratified_sample`` applies one rate per stratum.
+
+    Integer-exact by construction (hash and weight are both integers),
+    so the kept set is bit-reproducible across engines, retries and
+    partitionings — no float thresholds at the gate boundary. Map-only:
+    fuses into the scan, nothing shuffles, membership of a given id is
+    stable as the corpus grows.
+
+    Null semantics: NULL ``id_col`` rows are dropped (no identity to
+    hash — same contract as stratified_sample); a NULL weight drops the
+    row (NULL comparison is false).
+    """
+    gate = F.pmod(md5_hash60(F.col(id_col).cast("string")), F.lit(permille_scale))
+    return df.filter(gate < weight_permille)

@@ -373,3 +373,59 @@ def chunk_documents(
         F.array_join(F.col("__c.ts"), " ").alias("chunk_text"),
         F.size(F.col("__c.ts")).cast("long").alias("n_tokens"),
     )
+
+
+def source_unigram_kl(
+    docs,
+    text_col: str = "text",
+    group_col: str = "source",
+):
+    """Per-group token-distribution drift: KL(P_group || P_corpus) over
+    unigram frequencies,
+
+        KL_g = sum_w  (c_gw / n_g) * ln( (c_gw / n_g) / (c_w / N) )
+
+    — the "which source/shard drifts most from the training mixture"
+    diagnostic run before re-weighting (cf. t10's mixture weights: that
+    operator decides HOW MUCH of each source to take, this one measures
+    how DIFFERENT each source reads). Always >= 0; 0 iff the group's
+    unigram distribution equals the corpus's. Every term is exact: a
+    group's support is a subset of the corpus support, so no smoothing
+    is needed. Returns (group_col, n_tokens, kl), one row per group.
+
+    Beyond-reference operator (reference text surface is tokenize-only,
+    ``src/feature_encoders/feature_extraction/utils.rs:3-9``).
+
+    100-TB shape: ONE corpus-wide shuffle builds the (group, token)
+    count frame; the corpus totals per token, per group, and overall are
+    all re-aggregations of that |groups| x |vocab|-bounded frame
+    (localCheckpoint'ed so its three consumers don't re-scan the base
+    table — the d3/cep3 defect class, avoided at birth); the final join
+    runs tiny x tiny.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    st = (
+        docs.select(F.col(group_col).alias("__g"), F.explode(tokenize(c)).alias("__w"))
+        .groupBy("__g", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    ng = st.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    ct = st.groupBy("__w").agg(F.sum("__c").alias("__cw"))
+    # corpus total: bounded fit statistic (|groups| rows -> 1)
+    n_total = float(ng.agg(F.sum("__ng")).collect()[0][0] or 0)
+    pg = F.col("__c") / F.col("__ng")
+    pc = F.col("__cw") / F.lit(n_total)
+    # null-safe join: a NULL group is a group (repo convention; a plain
+    # equi-join would silently drop the NULL source's rows)
+    ng2 = ng.select(F.col("__g").alias("__g2"), "__ng")
+    return (
+        st.join(F.broadcast(ng2), F.col("__g").eqNullSafe(F.col("__g2")))
+        .join(ct, "__w")
+        .groupBy("__g")
+        .agg(
+            F.max("__ng").cast("long").alias("n_tokens"),
+            F.round(F.sum(pg * F.log(pg / pc)), 6).alias("kl"),
+        )
+        .select(F.col("__g").alias(group_col), "n_tokens", "kl")
+    )

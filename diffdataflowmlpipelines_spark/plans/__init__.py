@@ -5,5 +5,6 @@ from diffdataflowmlpipelines_spark.plans.reference_queries import (
 )
 import diffdataflowmlpipelines_spark.plans.datapipeline_queries  # noqa: F401,E402  (registers into QUERIES/ORACLES)
 import diffdataflowmlpipelines_spark.plans.more_queries  # noqa: F401,E402  (registers into QUERIES/ORACLES)
+import diffdataflowmlpipelines_spark.plans.token_queries  # noqa: F401,E402  (registers into QUERIES/ORACLES)
 
 __all__ = ["ORACLES", "QUERIES", "load"]

@@ -1,0 +1,250 @@
+"""BPE vocabulary learning (functions/bpe.py) — the correctness gate
+for the oracle-less v2/v3 registry queries: exact parity against the
+pure-python Sennrich-2016 twin (merge tables, encodings, tie-breaks),
+adversarial greedy-merge cases the string-replace shortcut gets wrong,
+the linearity identity behind the vocab-frame optimization, and the
+streaming incremental pair-count twin.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from diffdataflowmlpipelines_spark.functions.bpe import (
+    EOW,
+    bpe_encode,
+    corpus_pair_counts,
+    encode_local,
+    initial_symbols,
+    learn_bpe,
+    learn_bpe_local,
+    merge_local,
+    merge_pair,
+    pair_counts,
+    word_frequencies,
+)
+from diffdataflowmlpipelines_spark.streaming.sink import ExactlyOnceParquetSink
+from diffdataflowmlpipelines_spark.streaming.sources import write_epoch_files
+
+DOCS_SCHEMA = "doc_id string, text string"
+
+
+def _docs_from_freqs(spark, wf: dict[str, int]):
+    """One doc per word occurrence — makes word_frequencies(docs)
+    reproduce ``wf`` exactly."""
+    rows = []
+    i = 0
+    for w, f in wf.items():
+        for _ in range(f):
+            rows.append((f"d{i}", w))
+            i += 1
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+# --- greedy merge application ------------------------------------------
+
+
+MERGE_CASES = [
+    # (sequence, left, right) — incl. the self-pair runs where the
+    # string-replace trick mis-aligns (run of 4+: replace merges
+    # elements 1-2 then 4-5 instead of 1-2, 3-4)
+    (["x", "x", "x", "x"], "x", "x"),
+    (["x", "x", "x"], "x", "x"),
+    (["x", "x", "x", "x", "x"], "x", "x"),
+    (["a", "x", "x", "x", "x", "b"], "x", "x"),
+    (["a", "b", "a", "b"], "a", "b"),
+    (["b", "a", "b", "a"], "a", "b"),
+    (["a", "b"], "a", "b"),
+    (["a"], "a", "b"),
+    ([], "a", "b"),
+    (["ab", "c", "c"], "ab", "c"),
+    (["xx", "x", "x"], "xx", "x"),
+]
+
+
+def test_merge_pair_fold_matches_scan_definition(spark):
+    rows = [(i, seq) for i, (seq, _, _) in enumerate(MERGE_CASES)]
+    df = spark.createDataFrame(rows, "i int, syms array<string>")
+    for i, (seq, l, r) in enumerate(MERGE_CASES):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(merge_pair(F.col("syms"), l, r).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got == merge_local(seq, l, r), (seq, l, r, got)
+
+
+def test_initial_symbols_no_empty_fragments(spark):
+    df = spark.createDataFrame([("low",), ("x",), ("ab",)], "word string")
+    got = {
+        r["word"]: r["s"]
+        for r in df.select(
+            "word", initial_symbols("word").alias("s")
+        ).collect()
+    }
+    assert got == {
+        "low": ["l", "o", "w", EOW],
+        "x": ["x", EOW],
+        "ab": ["a", "b", EOW],
+    }
+
+
+# --- learn parity -------------------------------------------------------
+
+
+def test_learn_bpe_golden_sennrich_corpus(spark):
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    docs = _docs_from_freqs(spark, wf)
+    got = [tuple(r) for r in learn_bpe(docs, 10).collect()]
+    want = learn_bpe_local(wf, 10)
+    assert got == want
+    # the classic corpus learns 'est</w>' as a unit
+    merged = [m[3] for m in want]
+    assert "est</w>" in merged
+
+
+def test_learn_bpe_random_corpus_exact_parity(spark):
+    rng = random.Random(1234)
+    words = set()
+    while len(words) < 40:
+        n = rng.randint(1, 8)
+        words.add("".join(rng.choice("abcde") for _ in range(n)))
+    wf = {w: rng.randint(1, 9) for w in sorted(words)}
+    docs = _docs_from_freqs(spark, wf)
+    got = [tuple(r) for r in learn_bpe(docs, 12).collect()]
+    want = learn_bpe_local(wf, 12)
+    assert got == want
+
+
+def test_learn_bpe_early_stop_when_fully_merged(spark):
+    # single 1-char word: one merge ('a', EOW) exhausts every pair
+    docs = spark.createDataFrame(
+        [("d0", "a"), ("d1", "a"), ("d2", "a")], DOCS_SCHEMA
+    )
+    got = [tuple(r) for r in learn_bpe(docs, 5).collect()]
+    assert got == [(0, "a", EOW, "a" + EOW, 3)]
+
+
+# --- encode parity ------------------------------------------------------
+
+
+def test_bpe_encode_matches_local_twin(spark):
+    texts = [
+        ("d1", "low lower lowest low"),
+        ("d2", "newest wide widest newest"),
+        ("d3", "low"),
+        ("d4", ""),  # empty doc keeps a row with an empty encoding
+    ]
+    docs = spark.createDataFrame(texts, DOCS_SCHEMA)
+    merges_df = learn_bpe(docs, 8)
+    merges = [(r["left"], r["right"]) for r in merges_df.collect()]
+    got = {
+        r["doc_id"]: (r["bpe_tokens"], r["n_bpe"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for doc_id, text in texts:
+        want = encode_local(text, merges)
+        assert got[doc_id] == (want, len(want)), doc_id
+    # round-trip: concatenating symbols of a word recovers word + EOW
+    joined = "".join(got["d3"][0])
+    assert joined == "low" + EOW
+
+
+def test_bpe_encode_blocks_checkpoint_between_merge_groups(spark):
+    # > merges_per_block merges exercises the checkpoint path
+    docs = spark.createDataFrame(
+        [("d1", "aaabbb aab abab babb ab"), ("d2", "bbbb aaaa ab ba")],
+        DOCS_SCHEMA,
+    )
+    merges = [
+        (r["left"], r["right"]) for r in learn_bpe(docs, 6).collect()
+    ]
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, merges, merges_per_block=2).collect()
+    }
+    for doc_id, text in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+        assert got[doc_id] == encode_local(text, merges)
+
+
+# --- linearity: occurrence counts == freq-weighted vocab counts ---------
+
+
+def test_corpus_pair_counts_equals_word_freq_path(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "low low lower"),
+            ("d2", "newest newest low"),
+            ("d3", "wide widest"),
+        ],
+        DOCS_SCHEMA,
+    )
+    via_vocab = pair_counts(
+        word_frequencies(docs).select(
+            "freq", initial_symbols("word").alias("symbols")
+        )
+    )
+    direct = corpus_pair_counts(docs)
+    a = {(r["left"], r["right"]): r["pair_count"] for r in via_vocab.collect()}
+    b = {(r["left"], r["right"]): r["pair_count"] for r in direct.collect()}
+    assert a == b and len(a) > 5
+
+
+# --- streaming twin: incremental pair statistics ------------------------
+
+
+def test_streaming_pair_counts_parity(spark, tmp_path):
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        n = rng.randint(1, 6)
+        rows.append(
+            (
+                f"d{i:04d}",
+                " ".join(
+                    "".join(
+                        rng.choice("abcd") for _ in range(rng.randint(1, 5))
+                    )
+                    for _ in range(n)
+                ),
+            )
+        )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    src = str(tmp_path / "src")
+    write_epoch_files(pdf, src, 5, sort_col=None)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["left", "right"])
+    q = (
+        corpus_pair_counts(stream)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in sink.read_current(spark).collect()
+    }
+    batch = spark.createDataFrame(pdf, schema)
+    want = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in corpus_pair_counts(batch).collect()
+    }
+    assert got == want and len(want) > 10

@@ -59,6 +59,10 @@ AUDITED = [
     "t13_bigram_lm_score",
     "cm5_bottomk_quantiles",
     "s4_cluster_profile",
+    "v1_bpe_pair_counts",
+    "v3_bpe_encode",
+    "t18_importance_resample",
+    "t19_source_drift_kl",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
