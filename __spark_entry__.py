@@ -36,6 +36,7 @@ _NEVER_DRIVER_COVERED = [
     "v3_bpe_encode",
     "t18_importance_resample",
     "t19_source_drift_kl",
+    "t20_tokenizer_pipeline",
     "d10_semantic_dedup",
     "t14_oov_stats",
     "t15_curation_v2",

@@ -49,6 +49,9 @@ BATCH_QUERIES = [
     "s1_cosine_topk",
     "cep1_event_funnel",
     "t11_corpus_pipeline",
+    "v3_bpe_encode",
+    "t19_source_drift_kl",
+    "t20_tokenizer_pipeline",
 ]
 
 

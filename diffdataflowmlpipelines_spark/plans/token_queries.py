@@ -164,3 +164,61 @@ def t19_source_drift_kl(spark, sf_dir):
     drift diagnostic before mixture re-weighting (t10 decides how much
     of each source; this measures how different each source reads)."""
     return source_unigram_kl(load(spark, sf_dir, "documents"))
+
+
+@q("t20_tokenizer_pipeline")  # composes v2+v3+c12 — same oracle-less
+# gate as v2/v3 (iterative upstream); token-array equality vs the
+# python twin is pinned in tests/test_bpe.py.
+def t20_tokenizer_pipeline(spark, sf_dir):
+    """The complete tokenizer path, composed production-style from the
+    same library functions the standalone queries use: text -> learned
+    BPE units (v2) -> per-doc unit sequences (v3) -> stable dense int
+    ids (c12's sharded fit_dictionary). Output is EXACTLY the
+    north-rule input shape the streaming engine ingests — (doc_id,
+    tokens array<int>, n_tok int, source) — i.e. this engine also
+    BUILDS the pre-tokenized table the 10^12-sequence stream reads.
+
+    Scale shape: learn_bpe = one corpus shuffle + vocab-sized
+    iterations; bpe_encode maps the corpus through one hash join; the
+    encoded frame is localCheckpoint'ed because BOTH the dictionary fit
+    and the id mapping consume it (the d3/cep3 double-plan class,
+    avoided at birth); fit_dictionary is the range-sharded rank (no
+    single-partition window); the id mapping is one join keyed on the
+    unit (vocabulary-sized build side) + one per-doc regroup.
+    """
+    from diffdataflowmlpipelines_spark.operators.encoders import (
+        fit_dictionary,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"]) for r in learn_bpe(docs, 8).collect()
+    ]
+    enc = bpe_encode(docs, merges).localCheckpoint(eager=True)
+    vocab = fit_dictionary(
+        enc.select(F.explode("bpe_tokens").alias("unit")), "unit"
+    )
+    ex = enc.select("doc_id", F.posexplode("bpe_tokens").alias("pos", "unit"))
+    ids = (
+        ex.join(vocab, "unit")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__idx"))),
+                lambda s: s["__idx"].cast("int"),
+            ).alias("tokens")
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("tokens", F.array().cast("array<int>")).alias(
+                "tokens"
+            ),
+            "source",
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .select("doc_id", "tokens", "n_tok", "source")
+    )

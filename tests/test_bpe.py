@@ -248,3 +248,41 @@ def test_streaming_pair_counts_parity(spark, tmp_path):
         for r in corpus_pair_counts(batch).collect()
     }
     assert got == want and len(want) > 10
+
+
+# --- t20: full tokenizer path, token-array equality ----------------------
+
+
+def test_tokenizer_pipeline_token_array_equality(spark):
+    """The north-rule per-row invariant (token-array equality) for the
+    composed text -> BPE -> int-id path, vs the pure-python twin with
+    the same sorted-dictionary convention."""
+    from diffdataflowmlpipelines_spark.plans.token_queries import (
+        t20_tokenizer_pipeline,
+    )
+
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_tok"], r["source"])
+        for r in t20_tokenizer_pipeline(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    docs = [
+        (r["doc_id"], r["text"], r["source"])
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    ]
+    wf: dict[str, int] = {}
+    for _, text, _ in docs:
+        for w in text.split():
+            wf[w] = wf.get(w, 0) + 1
+    merges = [(l, r) for _, l, r, _, _ in learn_bpe_local(wf, 8)]
+    units = sorted(
+        {u for _, text, _ in docs for u in encode_local(text, merges)}
+    )
+    ids = {u: i for i, u in enumerate(units)}
+    assert len(got) == len(docs)
+    for doc_id, text, source in docs:
+        want = [ids[u] for u in encode_local(text, merges)]
+        assert got[doc_id] == (want, len(want), source), doc_id

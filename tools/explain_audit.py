@@ -63,6 +63,7 @@ AUDITED = [
     "v3_bpe_encode",
     "t18_importance_resample",
     "t19_source_drift_kl",
+    "t20_tokenizer_pipeline",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
@@ -72,6 +73,7 @@ MUST_BROADCAST = {"t5_decontamination", "t7_stratified_sample", "t11_corpus_pipe
 # dictionary-bearing plans must not rank the vocabulary in one task
 # (fit_dictionary is sharded: range-partitioned local rank + offsets)
 NO_SINGLE_PARTITION = {
+    "t20_tokenizer_pipeline",
     "c12_dictionary",
     "c8_count_vectorizer_dense",
     "c6_onehot_encoder",
