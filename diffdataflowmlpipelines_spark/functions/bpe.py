@@ -97,14 +97,24 @@ def corpus_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     vocabulary assignment). Equals ``pair_counts(word_frequencies(...))
     `` exactly, by linearity of pair counts in word frequency (the
     batch path keeps the word-freq collapse as its optimization; the
-    parity is pinned in tests/test_bpe.py)."""
+    parity is pinned in tests/test_bpe.py).
+
+    Retraction-aware (the DD collection semantics, reference
+    ``src/types/`` signed abelian aggregates): if the input carries a
+    ``diff`` column, pair counts are SUM(diff)-weighted — a retracted
+    document subtracts its pairs, and in streaming update mode a pair
+    driven to 0 re-emits its 0 row so the exactly-once sink overwrites
+    the stale value (filter ``pair_count != 0`` on read, same contract
+    as the streaming count-min)."""
+    w = F.col("diff").cast("long") if "diff" in docs.columns else F.lit(1)
     return (
-        docs.select(F.explode(tokenize(text_col)).alias("word"))
+        docs.select(w.alias("__w"), F.explode(tokenize(text_col)).alias("word"))
         .select(
-            F.explode(_pair_structs(initial_symbols(F.col("word")))).alias("p")
+            "__w",
+            F.explode(_pair_structs(initial_symbols(F.col("word")))).alias("p"),
         )
         .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
-        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .agg(F.sum("__w").cast("long").alias("pair_count"))
     )
 
 

@@ -286,3 +286,61 @@ def test_tokenizer_pipeline_token_array_equality(spark):
     for doc_id, text, source in docs:
         want = [ids[u] for u in encode_local(text, merges)]
         assert got[doc_id] == (want, len(want), source), doc_id
+
+
+def test_streaming_pair_counts_with_retractions(spark, tmp_path):
+    """DD semantics: a later epoch retracts a document (diff=-1); the
+    final consolidated pair counts equal the batch counts over the net
+    collection, and pairs driven to 0 overwrite their stale sink rows."""
+    ins = [
+        ("d1", "low low", 1),
+        ("d2", "lowest", 1),
+        ("d3", "wow", 1),
+    ]
+    # epoch 2 retracts d3 entirely and one copy of d1's 'low'
+    rets = [("d3", "wow", -1)]
+    pdf = pd.DataFrame(ins + rets, columns=["doc_id", "text", "diff"])
+    src = str(tmp_path / "src")
+    # epochs in listed order: inserts first, retraction last
+    write_epoch_files(pdf, src, 2, sort_col=None)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("diff", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["left", "right"])
+    q = (
+        corpus_pair_counts(stream)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in sink.read_current(spark).collect()
+        if r["pair_count"] != 0
+    }
+    net = spark.createDataFrame(pd.DataFrame(ins[:2], columns=["doc_id", "text", "diff"]), schema)
+    want = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in corpus_pair_counts(net.drop("diff")).collect()
+    }
+    assert got == want
+    # the retracted-to-zero pairs ('w','o' of 'wow' etc.) really hit 0
+    zeros = {
+        (r["left"], r["right"])
+        for r in sink.read_current(spark).collect()
+        if r["pair_count"] == 0
+    }
+    assert ("o", "w") not in zeros  # still alive via 'low'/'lowest'
+    assert ("w", "o") in zeros  # only 'wow' had it
