@@ -35,7 +35,12 @@ from diffdataflowmlpipelines_spark.functions.text import tokenize
 
 # terminal end-of-word symbol (Sennrich-style): lets the model learn
 # suffix units distinct from word-internal ones, and makes the encoded
-# symbol stream decodable back into words.
+# symbol stream decodable back into words. Note: on text containing the
+# literal characters '<','/','w','>' a chain of merges could DERIVE a
+# symbol equal to EOW; later merges then treat both identically. That
+# aliasing is inherent to string-symbol BPE (the python twin behaves
+# bit-identically, so parity holds) — use a non-printable EOW if the
+# corpus can contain it.
 EOW = "</w>"
 
 _SYM = "array<string>"
@@ -246,6 +251,67 @@ def bpe_encode(
             F.coalesce("bpe_tokens", F.array().cast(_SYM)).alias("bpe_tokens"),
         )
         .withColumn("n_bpe", F.size("bpe_tokens").cast("int"))
+    )
+
+
+def tokenizer_pipeline(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The complete tokenizer path: text -> learned BPE units ->
+    per-doc unit sequences -> stable dense int ids (the sharded
+    fit_dictionary, C12). Output is EXACTLY the north-rule input shape
+    the streaming engine ingests — (doc_id, tokens array<int>, n_tok
+    int, source) — i.e. this engine also BUILDS the pre-tokenized table
+    the 10^12-sequence stream reads.
+
+    Scale shape: learn_bpe = one corpus shuffle + vocab-sized
+    iterations; bpe_encode maps the corpus through one hash join; the
+    encoded frame is localCheckpoint'ed because BOTH the dictionary fit
+    and the id mapping consume it (the d3/cep3 double-plan class,
+    avoided at birth); fit_dictionary is the range-sharded rank (no
+    single-partition window); the id mapping is one join keyed on the
+    unit (vocabulary-sized build side) + one per-doc regroup.
+    """
+    from diffdataflowmlpipelines_spark.operators.encoders import (
+        fit_dictionary,
+    )
+
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe(docs, n_merges, text_col=text_col).collect()
+    ]
+    enc = bpe_encode(
+        docs, merges, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    vocab = fit_dictionary(
+        enc.select(F.explode("bpe_tokens").alias("unit")), "unit"
+    )
+    ex = enc.select(id_col, F.posexplode("bpe_tokens").alias("pos", "unit"))
+    ids = (
+        ex.join(vocab, "unit")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__idx"))),
+                lambda s: s["__idx"].cast("int"),
+            ).alias("tokens")
+        )
+    )
+    return (
+        docs.select(id_col, "source")
+        .join(ids, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("tokens", F.array().cast("array<int>")).alias(
+                "tokens"
+            ),
+            "source",
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .select(id_col, "tokens", "n_tok", "source")
     )
 
 

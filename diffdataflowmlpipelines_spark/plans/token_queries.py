@@ -6,13 +6,14 @@ the tokens ARE — upstream of everything the reference's vocabulary
 aggregate (``src/types/integer_assignment_aggregate.rs:43-95``) and
 this repo's packing/chunking/OOV stages consume.
 
-Oracle coverage: v1 (the pair-count statistics kernel every BPE
-iteration re-runs) has a full DuckDB oracle. v2/v3 are iterative-argmax
-algorithms — k data-dependent argmax+fold rounds are not expressible in
-one ANSI-SQL statement, so they are registered WITHOUT oracle_sql (the
-driver records the weaker rows-only check) and their correctness gate
-is tests/test_bpe.py: exact merge-table and encoding parity against a
-pure-python Sennrich-2016 twin, plus adversarial greedy-merge cases.
+Oracle coverage: FULL, including the iterative queries. v1 is the
+pair-count statistics kernel; v2/v3/t20's k data-dependent argmax+fold
+rounds are expressed as GENERATED SQL (k repeated CTE blocks; the
+greedy-leftmost merge fold runs via DuckDB list_reduce over a
+chr(1)-joined symbol string — same precedent as the generated MinHash
+oracles). tests/test_bpe.py additionally pins exact merge-table and
+encoding parity against a pure-python Sennrich-2016 twin, adversarial
+greedy-merge cases, tie-breaks, and early-stop.
 """
 
 from __future__ import annotations
@@ -79,26 +80,123 @@ def v1_bpe_pair_counts(spark, sf_dir):
     )
 
 
-@q("v2_bpe_learn")  # iterative argmax — no single-statement SQL oracle;
-# correctness gate: tests/test_bpe.py exact parity vs the pure-python
-# Sennrich twin (merge-by-merge, incl. tie-breaks) + golden example.
+_BPE_K = 8
+
+# The iterative Sennrich loop IS expressible as one (generated) SQL
+# statement — same precedent as the generated MinHash oracles: k
+# repeated CTE blocks, each = a pair-count aggregation, a LIMIT-1
+# argmax with the (left, right)-ascending tie-break, and the
+# greedy-leftmost merge fold via DuckDB list_reduce over a
+# chr(1)-joined symbol string (a just-merged symbol is left+right,
+# which equals neither left nor right, so the string fold is exactly
+# the left-to-right scan — same proof as the Catalyst fold).
+# Caveat (documented, not hit at any test SF): if the corpus exhausts
+# its pairs before k merges, Spark early-stops while the SQL's CROSS
+# JOIN against an empty top{i} empties the symbol frame.
+_FOLD = (
+    "string_split(list_reduce(s, (acc, x) -> CASE "
+    "WHEN (acc = t.lft OR ends_with(acc, chr(1) || t.lft)) AND x = t.rgt "
+    "THEN substr(acc, 1, len(acc) - len(t.lft)) || t.lft || t.rgt "
+    "ELSE acc || chr(1) || x END), chr(1))"
+)
+
+
+def _bpe_iter_blocks(k: int) -> str:
+    """WITH-clause blocks: wf, syms0..syms{k}, pc/top per iteration —
+    `word` is threaded through so the encode oracles can join back."""
+    parts = [
+        f"""wf AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w
+    ),
+    syms0 AS (
+      SELECT word, list_append(string_split(word, ''), '{EOW}') AS s, freq
+      FROM wf
+    )"""
+    ]
+    for i in range(k):
+        parts.append(
+            f"""pc{i} AS (
+      SELECT s[j] AS lft, s[j + 1] AS rgt, SUM(freq) AS c
+      FROM syms{i}, UNNEST(range(1, len(s))) AS u(j)
+      GROUP BY 1, 2
+    ),
+    top{i} AS (SELECT lft, rgt, c FROM pc{i} ORDER BY c DESC, lft, rgt LIMIT 1),
+    syms{i + 1} AS (
+      SELECT word, {_FOLD} AS s, freq
+      FROM syms{i} CROSS JOIN top{i} t
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_learn_sql(k: int) -> str:
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, lft, rgt, c FROM top{i}" for i in range(k)
+    )
+    return f"""
+    WITH {_bpe_iter_blocks(k)}
+    SELECT CAST(i AS INT) AS rank, lft AS "left", rgt AS "right",
+           lft || rgt AS merged, CAST(c AS BIGINT) AS pair_count
+    FROM ({union})
+    """
+
+
+# per-doc encoded unit sequences from syms{k}: tokenize with position,
+# join each word's final symbol list, flatten in order
+def _bpe_encode_blocks(k: int) -> str:
+    return f"""{_bpe_iter_blocks(k)},
+    tok AS (
+      SELECT t.doc_id, u.j AS pos, t.ts[u.j] AS word
+      FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents) t,
+           UNNEST(range(1, len(t.ts) + 1)) AS u(j)
+    ),
+    flat AS (
+      SELECT tok.doc_id, flatten(list(e.s ORDER BY tok.pos)) AS bt
+      FROM tok JOIN syms{k} e USING (word)
+      GROUP BY tok.doc_id
+    )"""
+
+
+@q(
+    "v2_bpe_learn",
+    _bpe_learn_sql(_BPE_K),
+)
 def v2_bpe_learn(spark, sf_dir):
     """Learn 8 BPE merges from the documents corpus. Deterministic:
-    argmax pair_count, ties (left, right) ascending."""
-    return learn_bpe(load(spark, sf_dir, "documents"), n_merges=8)
+    argmax pair_count, ties (left, right) ascending. Oracle: the
+    generated k-iteration SQL above; the python-twin parity suite
+    (tests/test_bpe.py) additionally pins tie-breaks and early-stop."""
+    return learn_bpe(load(spark, sf_dir, "documents"), n_merges=_BPE_K)
 
 
-@q("v3_bpe_encode")  # depends on v2's learned merges — same gate.
+@q(
+    "v3_bpe_encode",
+    f"""
+    WITH {_bpe_encode_blocks(_BPE_K)}
+    SELECT d.doc_id,
+           COALESCE(array_to_string(f.bt, ' '), '') AS bpe_text,
+           CAST(COALESCE(len(f.bt), 0) AS INT) AS n_bpe
+    FROM documents d LEFT JOIN flat f USING (doc_id)
+    """,
+)
 def v3_bpe_encode(spark, sf_dir):
-    """Encode every document with the 8 merges of v2: (doc_id,
-    bpe_tokens, n_bpe). Merges apply to the DISTINCT-word frame; the
-    corpus maps through one hash join (never folded per-merge)."""
+    """Encode every document with the 8 merges of v2. Merges apply to
+    the DISTINCT-word frame; the corpus maps through one hash join
+    (never folded per-merge). The unit sequence is serialized to a
+    space-joined string for driver hashability (the m1/c16 convention;
+    units cannot contain spaces — words are whitespace-split)."""
     docs = load(spark, sf_dir, "documents")
     merges = [
         (r["left"], r["right"])
-        for r in learn_bpe(docs, n_merges=8).collect()
+        for r in learn_bpe(docs, n_merges=_BPE_K).collect()
     ]
-    return bpe_encode(docs, merges)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+        "n_bpe",
+    )
 
 
 @q(
@@ -166,59 +264,52 @@ def t19_source_drift_kl(spark, sf_dir):
     return source_unigram_kl(load(spark, sf_dir, "documents"))
 
 
-@q("t20_tokenizer_pipeline")  # composes v2+v3+c12 — same oracle-less
-# gate as v2/v3 (iterative upstream); token-array equality vs the
-# python twin is pinned in tests/test_bpe.py.
+@q(
+    "t20_tokenizer_pipeline",
+    f"""
+    WITH {_bpe_encode_blocks(_BPE_K)},
+    units AS (SELECT DISTINCT unnest(bt) AS unit FROM flat),
+    ids AS (
+      SELECT unit, CAST(ROW_NUMBER() OVER (ORDER BY unit) - 1 AS INT) AS idx
+      FROM units
+    ),
+    ex AS (
+      SELECT doc_id, u.j AS p, bt[u.j] AS unit
+      FROM flat, UNNEST(range(1, len(bt) + 1)) AS u(j)
+    ),
+    mapped AS (
+      SELECT ex.doc_id, list(ids.idx ORDER BY ex.p) AS tokens
+      FROM ex JOIN ids USING (unit)
+      GROUP BY ex.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(array_to_string(m.tokens, ' '), '') AS tokens_csv,
+           CAST(COALESCE(len(m.tokens), 0) AS INT) AS n_tok,
+           d.source
+    FROM documents d LEFT JOIN mapped m USING (doc_id)
+    """,
+)
 def t20_tokenizer_pipeline(spark, sf_dir):
-    """The complete tokenizer path, composed production-style from the
-    same library functions the standalone queries use: text -> learned
-    BPE units (v2) -> per-doc unit sequences (v3) -> stable dense int
-    ids (c12's sharded fit_dictionary). Output is EXACTLY the
-    north-rule input shape the streaming engine ingests — (doc_id,
-    tokens array<int>, n_tok int, source) — i.e. this engine also
-    BUILDS the pre-tokenized table the 10^12-sequence stream reads.
-
-    Scale shape: learn_bpe = one corpus shuffle + vocab-sized
-    iterations; bpe_encode maps the corpus through one hash join; the
-    encoded frame is localCheckpoint'ed because BOTH the dictionary fit
-    and the id mapping consume it (the d3/cep3 double-plan class,
-    avoided at birth); fit_dictionary is the range-sharded rank (no
-    single-partition window); the id mapping is one join keyed on the
-    unit (vocabulary-sized build side) + one per-doc regroup.
-    """
-    from diffdataflowmlpipelines_spark.operators.encoders import (
-        fit_dictionary,
+    """The complete tokenizer path (functions/bpe.tokenizer_pipeline):
+    text -> learned BPE units (v2) -> per-doc unit sequences (v3) ->
+    stable dense int ids (c12's sharded fit_dictionary). The library
+    function returns the true north-rule shape (tokens array<int>);
+    this registry entry serializes the id array to a space-joined
+    string for driver hashability (m1/c16 convention). The end-to-end
+    token-ARRAY equality vs the python twin is pinned in
+    tests/test_bpe.py."""
+    from diffdataflowmlpipelines_spark.functions.bpe import (
+        tokenizer_pipeline,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    merges = [
-        (r["left"], r["right"]) for r in learn_bpe(docs, 8).collect()
-    ]
-    enc = bpe_encode(docs, merges).localCheckpoint(eager=True)
-    vocab = fit_dictionary(
-        enc.select(F.explode("bpe_tokens").alias("unit")), "unit"
+    out = tokenizer_pipeline(
+        load(spark, sf_dir, "documents"), n_merges=_BPE_K
     )
-    ex = enc.select("doc_id", F.posexplode("bpe_tokens").alias("pos", "unit"))
-    ids = (
-        ex.join(vocab, "unit")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "__idx"))),
-                lambda s: s["__idx"].cast("int"),
-            ).alias("tokens")
-        )
-    )
-    return (
-        docs.select("doc_id", "source")
-        .join(ids, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("tokens", F.array().cast("array<int>")).alias(
-                "tokens"
-            ),
-            "source",
-        )
-        .withColumn("n_tok", F.size("tokens").cast("int"))
-        .select("doc_id", "tokens", "n_tok", "source")
+    return out.select(
+        "doc_id",
+        F.array_join(
+            F.transform("tokens", lambda x: x.cast("string")), " "
+        ).alias("tokens_csv"),
+        "n_tok",
+        "source",
     )

@@ -257,14 +257,15 @@ def test_tokenizer_pipeline_token_array_equality(spark):
     """The north-rule per-row invariant (token-array equality) for the
     composed text -> BPE -> int-id path, vs the pure-python twin with
     the same sorted-dictionary convention."""
-    from diffdataflowmlpipelines_spark.plans.token_queries import (
-        t20_tokenizer_pipeline,
+    from diffdataflowmlpipelines_spark.functions.bpe import (
+        tokenizer_pipeline,
     )
 
     got = {
         r["doc_id"]: (r["tokens"], r["n_tok"], r["source"])
-        for r in t20_tokenizer_pipeline(
-            spark, "/root/testdata/sf0.001"
+        for r in tokenizer_pipeline(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+            n_merges=8,
         ).collect()
     }
     docs = [
