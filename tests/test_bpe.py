@@ -1,9 +1,12 @@
-"""BPE vocabulary learning (functions/bpe.py) — the correctness gate
-for the oracle-less v2/v3 registry queries: exact parity against the
-pure-python Sennrich-2016 twin (merge tables, encodings, tie-breaks),
-adversarial greedy-merge cases the string-replace shortcut gets wrong,
-the linearity identity behind the vocab-frame optimization, and the
-streaming incremental pair-count twin.
+"""BPE vocabulary learning (functions/bpe.py): exact parity against
+the pure-python Sennrich-2016 twin (merge tables, encodings,
+tie-breaks), adversarial + randomized greedy-merge cases the
+string-replace shortcut gets wrong, the linearity identity behind the
+vocab-frame optimization, the streaming incremental pair-count twin
+(incl. retractions), and end-to-end token-array equality for the
+composed tokenizer pipeline. (The v1/v2/v3/t20 registry entries are
+ALSO checked against generated DuckDB oracles — this suite is the
+independent second gate.)
 """
 
 from __future__ import annotations
@@ -345,3 +348,33 @@ def test_streaming_pair_counts_with_retractions(spark, tmp_path):
     }
     assert ("o", "w") not in zeros  # still alive via 'low'/'lowest'
     assert ("w", "o") in zeros  # only 'wow' had it
+
+
+def test_merge_pair_randomized_property(spark):
+    """200 random symbol sequences x 4 merge pairs (incl. the self-pair
+    and prefix-overlap shapes), all in one Spark job per pair — the fold
+    must equal the left-to-right scan everywhere."""
+    rng = random.Random(99)
+    seqs = []
+    for i in range(200):
+        n = rng.randint(0, 10)
+        seqs.append(
+            (i, [rng.choice(["x", "a", "b", "xx", "ab"]) for _ in range(n)])
+        )
+    df = spark.createDataFrame(seqs, "i int, syms array<string>")
+    pairs = [("x", "x"), ("a", "b"), ("b", "a"), ("xx", "x")]
+    sel = df.select(
+        "i",
+        "syms",
+        *[
+            merge_pair(F.col("syms"), l, r).alias(f"m{k}")
+            for k, (l, r) in enumerate(pairs)
+        ],
+    )
+    for row in sel.collect():
+        for k, (l, r) in enumerate(pairs):
+            assert row[f"m{k}"] == merge_local(row["syms"], l, r), (
+                row["syms"],
+                l,
+                r,
+            )
