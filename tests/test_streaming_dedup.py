@@ -335,3 +335,65 @@ def test_streaming_semantic_dedup_resumes_from_checkpoint(spark, tmp_path):
         r["vec_id"]: r["keep"] for r in sink.read_current(spark).collect()
     }
     assert got == {10: 1, 20: 1, 11: 0, 12: 1}
+
+
+def test_streaming_exact_dedup_parity_and_min_id_update(spark, tmp_path):
+    """Exact dedup runs UNCHANGED as an unwatermarked update-mode
+    streaming agg (min(key) and count are both streaming-aggregable) —
+    the streaming twin of d1. Cross-epoch duplicates consolidate; a
+    SMALLER representative id arriving in a LATER epoch re-emits the
+    group and overwrites the sink row (deterministic min-id rule, no
+    arrival-order dependence)."""
+    from diffdataflowmlpipelines_spark.functions.dedup import exact_dedup
+    from diffdataflowmlpipelines_spark.streaming.sources import (
+        write_epoch_files,
+    )
+
+    rows = [
+        # epoch 1
+        ("z9", "alpha beta"),
+        ("m3", "gamma"),
+        ("m4", "delta"),
+        # epoch 2: duplicate of 'alpha beta' with a SMALLER id, plus a
+        # same-epoch duplicate pair
+        ("a0", "alpha beta"),
+        ("b1", "gamma"),
+        ("b2", "epsilon"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    src = str(tmp_path / "src")
+    write_epoch_files(pdf, src, 2, sort_col=None)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["content_hash"])
+    q = (
+        exact_dedup(stream, "doc_id", ["text"])
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["content_hash"]: (r["keep_id"], r["n_dups"])
+        for r in sink.read_current(spark).collect()
+    }
+    batch = spark.createDataFrame(pdf, schema)
+    want = {
+        r["content_hash"]: (r["keep_id"], r["n_dups"])
+        for r in exact_dedup(batch, "doc_id", ["text"]).collect()
+    }
+    assert got == want
+    # the late-arriving smaller id won deterministically
+    alpha = [v for v in got.values() if v[1] == 2 and v[0] == "a0"]
+    assert len(alpha) == 1
