@@ -259,6 +259,7 @@ def tokenizer_pipeline(
     n_merges: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    source_col: str = "source",
 ) -> DataFrame:
     """The complete tokenizer path: text -> learned BPE units ->
     per-doc unit sequences -> stable dense int ids (the sharded
@@ -300,18 +301,26 @@ def tokenizer_pipeline(
             ).alias("tokens")
         )
     )
+    # a frame without the source column still tokenizes — source is
+    # NULL (the column is part of the output CONTRACT, not an input
+    # requirement)
+    src = (
+        F.col(source_col)
+        if source_col in docs.columns
+        else F.lit(None).cast("string")
+    )
     return (
-        docs.select(id_col, "source")
+        docs.select(id_col, src.alias(source_col))
         .join(ids, id_col, "left")
         .select(
             id_col,
             F.coalesce("tokens", F.array().cast("array<int>")).alias(
                 "tokens"
             ),
-            "source",
+            source_col,
         )
         .withColumn("n_tok", F.size("tokens").cast("int"))
-        .select(id_col, "tokens", "n_tok", "source")
+        .select(id_col, "tokens", "n_tok", source_col)
     )
 
 
@@ -320,6 +329,17 @@ def tokenizer_pipeline(
 # same role as the encoders' driver-local pipelines: small-input ground
 # truth with NO Spark involved.
 # ---------------------------------------------------------------------------
+
+
+def tokenize_local(text: str) -> list[str]:
+    """Twin of text.tokenize: Java regex \\s is ASCII-only
+    [ \\t\\n\\x0b\\f\\r], while Python's str.split()/re \\s are
+    Unicode-aware — a non-breaking space would tokenize differently and
+    silently break the parity contract, so the twin pins the engine's
+    exact character class."""
+    import re
+
+    return [t for t in re.split("[ \t\n\x0b\f\r]+", text) if t != ""]
 
 
 def merge_local(seq: list[str], left: str, right: str) -> list[str]:
@@ -363,7 +383,7 @@ def encode_local(
     text: str, merges: list[tuple[str, str]]
 ) -> list[str]:
     out: list[str] = []
-    for w in text.split():
+    for w in tokenize_local(text):
         syms = list(w) + [EOW]
         for l, r in merges:
             syms = merge_local(syms, l, r)

@@ -191,6 +191,15 @@ def v3_bpe_encode(spark, sf_dir):
         (r["left"], r["right"])
         for r in learn_bpe(docs, n_merges=_BPE_K).collect()
     ]
+    if len(merges) < _BPE_K:
+        # self-diagnosing guard: Spark early-stops but the generated
+        # oracle's CROSS JOIN against an empty top{i} empties the
+        # symbol frame — the oracle would report '' for every doc and
+        # the gate failure would read as an engine bug
+        raise ValueError(
+            f"corpus supports only {len(merges)} < {_BPE_K} merges; "
+            "lower _BPE_K to keep the generated oracle aligned"
+        )
     enc = bpe_encode(docs, merges)
     return enc.select(
         "doc_id",
@@ -204,8 +213,8 @@ def v3_bpe_encode(spark, sf_dir):
     """
     WITH w AS (
       SELECT doc_id, source,
-             len(list_distinct(list_filter(
-                 string_split_regex(trim(text), '\\s+'), t -> t <> '')))
+             COALESCE(len(list_distinct(list_filter(
+                 string_split_regex(trim(text), '\\s+'), t -> t <> ''))), 0)
                AS n_distinct
       FROM documents
     )
@@ -222,9 +231,14 @@ def t18_importance_resample(spark, sf_dir):
     with probability ~ lexical diversity (distinct-token count * 25
     permille, capped) — upsamples diverse documents, thins repetitive
     ones. Integer-exact hash gate, map-only, growth-stable membership
-    (functions/sampling.quality_weighted_sample)."""
+    (functions/sampling.quality_weighted_sample). NULL text counts as
+    0 distinct tokens -> weight 0 -> dropped (without the coalesce,
+    F.least/LEAST skip the NULL and the LOWEST-quality document would
+    get the MAXIMUM weight — review finding r4c)."""
     docs = load(spark, sf_dir, "documents")
-    n_distinct = F.size(F.array_distinct(tokenize("text")))
+    n_distinct = F.coalesce(
+        F.size(F.array_distinct(tokenize("text"))), F.lit(0)
+    )
     scored = docs.select(
         "doc_id",
         "source",

@@ -27,6 +27,7 @@ from diffdataflowmlpipelines_spark.functions.bpe import (
     learn_bpe,
     learn_bpe_local,
     merge_local,
+    tokenize_local,
     merge_pair,
     pair_counts,
     word_frequencies,
@@ -279,7 +280,7 @@ def test_tokenizer_pipeline_token_array_equality(spark):
     ]
     wf: dict[str, int] = {}
     for _, text, _ in docs:
-        for w in text.split():
+        for w in tokenize_local(text):
             wf[w] = wf.get(w, 0) + 1
     merges = [(l, r) for _, l, r, _, _ in learn_bpe_local(wf, 8)]
     units = sorted(
@@ -296,17 +297,23 @@ def test_streaming_pair_counts_with_retractions(spark, tmp_path):
     """DD semantics: a later epoch retracts a document (diff=-1); the
     final consolidated pair counts equal the batch counts over the net
     collection, and pairs driven to 0 overwrite their stale sink rows."""
-    ins = [
-        ("d1", "low low", 1),
-        ("d2", "lowest", 1),
-        ("d3", "wow", 1),
+    # 6 rows over 3 epochs (2 rows each): d3's insert lands in epoch 2
+    # and its retraction in epoch 3, so the ('w','o') count is COMMITTED
+    # to the sink as a nonzero row by an earlier batch and must be
+    # overwritten to 0 by a later one — the cross-batch stale-row path,
+    # not an intra-batch cancellation.
+    rows = [
+        ("d1", "low low", 1),  # epoch 1
+        ("d2", "lowest", 1),  # epoch 1
+        ("d3", "wow", 1),  # epoch 2
+        ("d4", "low", 1),  # epoch 2
+        ("d3", "wow", -1),  # epoch 3: retract d3 entirely
+        ("d5", "west", 1),  # epoch 3
     ]
-    # epoch 2 retracts d3 entirely and one copy of d1's 'low'
-    rets = [("d3", "wow", -1)]
-    pdf = pd.DataFrame(ins + rets, columns=["doc_id", "text", "diff"])
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "diff"])
     src = str(tmp_path / "src")
-    # epochs in listed order: inserts first, retraction last
-    write_epoch_files(pdf, src, 2, sort_col=None)
+    # epochs in listed order: insert epochs first, retraction last
+    write_epoch_files(pdf, src, 3, sort_col=None)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.StringType()),
@@ -334,7 +341,10 @@ def test_streaming_pair_counts_with_retractions(spark, tmp_path):
         for r in sink.read_current(spark).collect()
         if r["pair_count"] != 0
     }
-    net = spark.createDataFrame(pd.DataFrame(ins[:2], columns=["doc_id", "text", "diff"]), schema)
+    net_rows = [r for r in rows if r[0] != "d3"]
+    net = spark.createDataFrame(
+        pd.DataFrame(net_rows, columns=["doc_id", "text", "diff"]), schema
+    )
     want = {
         (r["left"], r["right"]): r["pair_count"]
         for r in corpus_pair_counts(net.drop("diff")).collect()
@@ -443,3 +453,32 @@ def test_tokenizer_output_feeds_north_star_stream(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 50  # multiple windows x BPE-unit ids
+
+
+def test_tokenize_local_matches_engine_on_unicode_whitespace(spark):
+    """The twin tokenizer pins Java's ASCII-only \\s: a non-breaking
+    space is NOT a separator for either side."""
+    from diffdataflowmlpipelines_spark.functions.text import tokenize
+
+    texts = ["foo\u00a0bar", "a  b\tc", " x ", "", "nl\nnl"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["t"] for r in df.select(tokenize("text").alias("t")).collect()]
+    for t, g in zip(texts, got):
+        assert g == tokenize_local(t), repr(t)
+    assert tokenize_local("foo\u00a0bar") == ["foo\u00a0bar"]
+
+
+def test_tokenizer_pipeline_without_source_column(spark):
+    """source is part of the output CONTRACT, not an input requirement:
+    a (doc_id, text) frame tokenizes with NULL source."""
+    from diffdataflowmlpipelines_spark.functions.bpe import (
+        tokenizer_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "low lower"), ("d2", "low")], DOCS_SCHEMA
+    )
+    got = {r["doc_id"]: r for r in tokenizer_pipeline(docs, 4).collect()}
+    assert set(got) == {"d1", "d2"}
+    for r in got.values():
+        assert r["source"] is None and r["n_tok"] == len(r["tokens"]) > 0
