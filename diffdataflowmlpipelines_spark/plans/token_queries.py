@@ -66,7 +66,7 @@ _V1_TOPK = 40
     """,
 )
 def v1_bpe_pair_counts(spark, sf_dir):
-    """BPE iteration-0 statistics: the top-{40} adjacent symbol pairs
+    """BPE iteration-0 statistics: the top-40 adjacent symbol pairs
     (char symbols + EOW) over the corpus word-frequency table — the
     aggregation kernel every merge iteration re-runs. One corpus
     shuffle to word frequencies, then vocab-sized work only."""

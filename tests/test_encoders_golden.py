@@ -139,6 +139,19 @@ def test_fit_dictionary_no_persist_leak(spark):
     def nblocks():
         return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
+    # drain first: earlier tests in the session leave garbage
+    # checkpoint blocks that the ContextCleaner reclaims ASYNCHRONOUSLY
+    # — a baseline snapshotted mid-drain races both asserts below
+    # (observed once the checkpoint-heavy BPE suite ran before this
+    # file). Stable-for-5-polls == drained.
+    last, stable, t0 = nblocks(), 0, time.time()
+    while time.time() - t0 < 60 and stable < 5:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
+        cur = nblocks()
+        stable = stable + 1 if cur == last else 0
+        last = cur
     base = nblocks()
     df = _col_df(spark, list(range(50))).withColumn(
         "w", F.concat(F.lit("v"), F.col("x").cast("string"))
