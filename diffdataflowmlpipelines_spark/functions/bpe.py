@@ -211,12 +211,20 @@ def bpe_encode(
     """Encode documents with a learned merge table: (id_col, bpe_tokens
     array<string>, n_bpe int). Scale shape: merges are applied to the
     DISTINCT-word frame (vocab-sized), then tokens map through ONE hash
-    join and re-assemble in original order — the corpus itself is
-    scanned once and never folded per-merge. Expression depth is
-    bounded by checkpointing every ``merges_per_block`` merges."""
+    join and re-assemble in original order — the corpus is never folded
+    per-merge. The exploded token frame is pinned (localCheckpoint)
+    because BOTH the distinct-vocab build and the assembly join consume
+    it — unpinned, Catalyst re-plans the scan+tokenize+posexplode under
+    each consumer (the d3/cep3 shared-subtree class; column pruning
+    makes the two scans non-identical, so the explain-audit duplicate-
+    FileScan check cannot catch this one). One further scan of ``docs``
+    survives by design: the id-only left join that restores empty
+    documents is column-pruned to ``id_col`` at the source. Expression
+    depth is bounded by checkpointing every ``merges_per_block``
+    merges."""
     toks = docs.select(
         id_col, F.posexplode(tokenize(text_col)).alias("pos", "word")
-    )
+    ).localCheckpoint(eager=True)
     vocab = toks.select("word").distinct()
     enc = vocab.select("word", initial_symbols("word").alias("symbols"))
     for i in range(0, len(merges), merges_per_block):
@@ -260,6 +268,7 @@ def tokenizer_pipeline(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """The complete tokenizer path: text -> learned BPE units ->
     per-doc unit sequences -> stable dense int ids (the sharded
@@ -275,15 +284,22 @@ def tokenizer_pipeline(
     avoided at birth); fit_dictionary is the range-sharded rank (no
     single-partition window); the id mapping is one join keyed on the
     unit (vocabulary-sized build side) + one per-doc regroup.
+
+    Pass ``merges`` (a learned ``[(left, right), ...]`` table, rank
+    order) to skip the learning pass — the learn-once / encode-many
+    path, and how callers that need to SEE the merge count (e.g. to
+    diagnose an early-stopped corpus against a fixed-k oracle) avoid
+    learning twice.
     """
     from diffdataflowmlpipelines_spark.operators.encoders import (
         fit_dictionary,
     )
 
-    merges = [
-        (r["left"], r["right"])
-        for r in learn_bpe(docs, n_merges, text_col=text_col).collect()
-    ]
+    if merges is None:
+        merges = [
+            (r["left"], r["right"])
+            for r in learn_bpe(docs, n_merges, text_col=text_col).collect()
+        ]
     enc = bpe_encode(
         docs, merges, text_col=text_col, id_col=id_col
     ).localCheckpoint(eager=True)

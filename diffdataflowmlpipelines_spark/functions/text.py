@@ -271,24 +271,24 @@ def oov_stats(
     100-TB shape: the tokenized corpus is staged ONCE (localCheckpoint —
     the count pass, the scoring join and the all-docs outer join would
     otherwise each re-scan and re-tokenize the base table); token counts
-    are one map-side-combined hash aggregation; the top-V rank is a
-    single-partition window over the DISTINCT-token frame (vocabulary-
-    universe-sized, bounded — same posture as c9's global doc count);
+    are one map-side-combined hash aggregation; the top-V selection is
+    ``orderBy().limit(V)`` — TakeOrderedAndProject, per-partition top-V
+    then a V-row merge, so the DISTINCT-token frame (billions of rows
+    at corpus scale) never funnels through a single-partition window
+    (the same rule sketches._bottomk states explicitly; (count desc,
+    token asc) is a total order, so limit == the rank filter exactly);
     scoring is a BROADCAST left join against the V-row vocab, so the
     corpus-sized side never shuffles on the token key.
     """
-    from pyspark.sql import Window
-
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = docs.select(
         id_col, tokenize(F.coalesce(c, F.lit(""))).alias("__toks")
     ).localCheckpoint(eager=True)
     tok = toks.select(id_col, F.explode("__toks").alias("__w"))
     cnt = tok.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
-    w = Window.orderBy(F.col("__c").desc(), F.col("__w").asc())
     vocab = (
-        cnt.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= vocab_size)
+        cnt.orderBy(F.col("__c").desc(), F.col("__w").asc())
+        .limit(vocab_size)
         .select("__w", F.lit(1).alias("__inv"))
     )
     per_doc = (

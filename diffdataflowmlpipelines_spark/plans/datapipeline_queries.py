@@ -826,10 +826,12 @@ def t15_curation_v2(spark, sf_dir):
 
     tok = base.select("doc_id", F.explode("toks").alias("__w"))
     cnt = tok.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
-    vw = Window.orderBy(F.col("__c").desc(), F.col("__w").asc())
+    # orderBy+limit -> TakeOrderedAndProject: the distinct-token frame
+    # never funnels through a single-partition window; (count desc,
+    # token asc) is a total order so this equals the rank filter
     vocab = (
-        cnt.withColumn("__r", F.row_number().over(vw))
-        .filter(F.col("__r") <= _T14_V)
+        cnt.orderBy(F.col("__c").desc(), F.col("__w").asc())
+        .limit(_T14_V)
         .select("__w", F.lit(1).alias("__inv"))
     )
     per_doc = (

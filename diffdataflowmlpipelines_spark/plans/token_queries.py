@@ -313,12 +313,24 @@ def t20_tokenizer_pipeline(spark, sf_dir):
     token-ARRAY equality vs the python twin is pinned in
     tests/test_bpe.py."""
     from diffdataflowmlpipelines_spark.functions.bpe import (
+        learn_bpe,
         tokenizer_pipeline,
     )
 
-    out = tokenizer_pipeline(
-        load(spark, sf_dir, "documents"), n_merges=_BPE_K
-    )
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe(docs, n_merges=_BPE_K).collect()
+    ]
+    if len(merges) < _BPE_K:
+        # same self-diagnosing guard as v3: on an early-stopped corpus
+        # the generated k-iteration oracle empties and the gate failure
+        # would read as an engine bug
+        raise ValueError(
+            f"corpus supports only {len(merges)} < {_BPE_K} merges; "
+            "lower _BPE_K to keep the generated oracle aligned"
+        )
+    out = tokenizer_pipeline(docs, merges=merges)
     return out.select(
         "doc_id",
         F.array_join(

@@ -9,8 +9,10 @@ Semantics: documents pack in ARRIVAL order (epoch order, then
 packer does; the batch form packs in global ``id`` order. The parity
 test feeds id-ordered epochs, where the two orders coincide, and
 asserts identical rows. Packing is insert-only by nature (emitted
-chunks cannot be unpacked): retraction rows (diff <= 0) are rejected at
-the operator boundary rather than silently mis-packed.
+chunks cannot be unpacked): any non-unit multiplicity — retractions
+(diff <= 0) AND consolidated diff >= 2 rows, which would pack a
+twice-inserted document once — is rejected at the operator boundary
+rather than silently mis-packed.
 
 State is ONE long per stratum (the cumulative token count) — bounded by
 |strata|, the cheapest state shape in the engine.
@@ -50,13 +52,19 @@ def _pack_fn(budget: int):
         if len(pdf) and (pdf["n_tok"] < 0).any():
             raise ValueError("packing is insert-only; negative n_tok row seen")
         if len(pdf) and "diff" in pdf.columns and (
-            pdf["diff"].isna().any() or (pdf["diff"] <= 0).any()
+            pdf["diff"].isna().any() or (pdf["diff"] != 1).any()
         ):
-            # diff<=0 rows are retractions in this engine's delta model;
-            # emitted chunks cannot be unpacked, so reject loudly rather
-            # than packing a retraction as an insert. NaN <= 0 is False,
-            # so a NULL diff needs its own check (same trap as n_tok)
-            raise ValueError("packing is insert-only; diff <= 0 or NULL row seen")
+            # the honest contract is diff == 1 exactly: diff<=0 rows are
+            # retractions (emitted chunks cannot be unpacked) and a
+            # consolidated diff>=2 row is a MULTIPLICITY-2 document that
+            # single-row packing would silently undercount — both reject
+            # loudly. NaN != 1 is True, but keep the explicit NULL check
+            # so the error names the contract (same trap as n_tok)
+            raise ValueError(
+                "packing is insert-only and unit-multiplicity (diff == 1"
+                " required); retraction (diff <= 0), consolidated"
+                " (diff >= 2) or NULL-diff row seen"
+            )
         pdf = pdf.sort_values(["event_time", "doc_id"], kind="stable")
         lens = pdf["n_tok"].astype("int64")
         start = cum + lens.cumsum() - lens
@@ -80,8 +88,8 @@ def incremental_packing(df: DataFrame, budget: int = 512) -> DataFrame:
     one packed row per arriving document, update-mode."""
     cols = ["source", "doc_id", "n_tok", "event_time"]
     # carry the delta multiplicity through if the stream has one, so the
-    # insert-only guard can reject retraction rows (diff <= 0) instead
-    # of silently packing them as inserts
+    # unit-multiplicity guard can reject retraction (diff <= 0) and
+    # consolidated (diff >= 2) rows instead of silently mis-packing them
     if "diff" in df.columns:
         cols.append("diff")
     keyed = df.select(*cols)

@@ -75,7 +75,11 @@ def _quantiles_fn(k: int, quantiles: tuple[float, ...]):
                 continue
             pdf = pdf[pdf["id"].notna()]
             for rid, val in zip(pdf["id"], pdf["value"]):
-                h = md5_hash60_py(str(int(rid)))
+                # id arrives Spark-cast to string (matching the batch
+                # sketch's md5_hash60(cast(id as string)) input exactly)
+                # — casting to long here instead would hash '0123' as
+                # '123' and abort on non-numeric ids under ANSI
+                h = md5_hash60_py(rid)
                 if h in sample:
                     continue  # duplicate delivery of the same row id
                 sample[h] = None if pd.isna(val) else float(val)
@@ -116,7 +120,11 @@ def streaming_bottomk_quantiles(
         raise ValueError("schema is pinned to three quantile columns")
     keyed = rows.select(
         F.col(group_col).cast("string").alias("group"),
-        F.col(id_col).cast("long").alias("id"),
+        # string, NOT long: the batch twin hashes cast(id as string), so
+        # any id type the batch sketch accepts must sample identically
+        # here (a long cast would both diverge on string ids like '0123'
+        # and throw under Spark 4 ANSI on non-numeric ones)
+        F.col(id_col).cast("string").alias("id"),
         F.col(value_col).cast("double").alias("value"),
     )
     return keyed.groupBy("group").applyInPandasWithState(

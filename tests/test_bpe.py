@@ -482,3 +482,53 @@ def test_tokenizer_pipeline_without_source_column(spark):
     assert set(got) == {"d1", "d2"}
     for r in got.values():
         assert r["source"] is None and r["n_tok"] == len(r["tokens"]) > 0
+
+
+def test_registry_guards_raise_on_shallow_corpus(spark, tmp_path):
+    """Review r4d: t20 lacked v3's early-stop guard — on a corpus
+    supporting fewer merges than _BPE_K the generated k-iteration
+    oracle silently empties while Spark encodes normally, so the gate
+    failure would read as an engine bug. Both registry entries now
+    self-diagnose with a ValueError naming the misconfiguration."""
+    from diffdataflowmlpipelines_spark.plans.token_queries import (
+        t20_tokenizer_pipeline,
+        v3_bpe_encode,
+    )
+
+    spark.createDataFrame(
+        [("d0", "ab", "s0")], "doc_id string, text string, source string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    for fn in (v3_bpe_encode, t20_tokenizer_pipeline):
+        with pytest.raises(ValueError, match="supports only"):
+            fn(spark, str(tmp_path))
+
+
+def test_tokenizer_pipeline_precomputed_merges_parity(spark):
+    """tokenizer_pipeline(merges=...) — the learn-once/encode-many path
+    added so callers can see the merge count — produces exactly the
+    rows of the self-learning path."""
+    from diffdataflowmlpipelines_spark.functions.bpe import (
+        tokenizer_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("d0", "low lower lowest", "a"),
+            ("d1", "new newer newest", "b"),
+            ("d2", "", "a"),
+        ],
+        "doc_id string, text string, source string",
+    )
+    merges = [
+        (r["left"], r["right"]) for r in learn_bpe(docs, 6).collect()
+    ]
+
+    def rows(df):
+        return {
+            r["doc_id"]: (r["tokens"], r["n_tok"], r["source"])
+            for r in df.collect()
+        }
+
+    assert rows(tokenizer_pipeline(docs, merges=merges)) == rows(
+        tokenizer_pipeline(docs, n_merges=6)
+    )

@@ -126,3 +126,31 @@ def test_streaming_packing_rejects_diff_retraction_rows(spark, tmp_path):
         q.awaitTermination(300)
         if q.exception():
             raise q.exception()
+
+
+def test_streaming_packing_rejects_consolidated_multiplicity(spark, tmp_path):
+    """Review r4d: the diff guard rejected diff <= 0 but silently packed
+    a consolidated diff=2 row ONCE — a multiplicity-2 document
+    undercounted without a trace. The contract is diff == 1 exactly."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [*SCHEMA.fields, T.StructField("diff", T.LongType(), False)]
+    )
+    bad = _epochs(2, 4)[0].copy()
+    bad["diff"] = [1, 2, 1, 1]  # consolidated double-insert
+    src = EpochFileSource(spark, str(tmp_path / "src"), schema)
+    src.add_epoch(bad)
+    q = (
+        incremental_packing(src.stream(), budget=256)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="unit-multiplicity"):
+        q.awaitTermination(300)
+        if q.exception():
+            raise q.exception()

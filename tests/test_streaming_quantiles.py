@@ -40,8 +40,8 @@ def _events(seed, n=600, types=3):
     ]
 
 
-def _batch_reference(spark, rows):
-    df = spark.createDataFrame(rows, EV_SCHEMA)
+def _batch_reference(spark, rows, schema=EV_SCHEMA):
+    df = spark.createDataFrame(rows, schema)
     sk = bottomk_quantile_sketch(df, "value", "event_id", ("event_type",), k=K)
     ref = bottomk_quantiles(sk, ("event_type",), quantiles=(0.5, 0.9, 0.99))
     return {
@@ -54,9 +54,9 @@ def _pdf(rows):
     return pd.DataFrame(rows, columns=["event_type", "event_id", "value"])
 
 
-def _run(spark, tmp_path, epochs, restart_after=None):
+def _run(spark, tmp_path, epochs, restart_after=None, schema=EV_SCHEMA):
     epochs = [_pdf(ep) for ep in epochs]
-    src = EpochFileSource(spark, str(tmp_path / "src"), EV_SCHEMA)
+    src = EpochFileSource(spark, str(tmp_path / "src"), schema)
     sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["group"])
 
     def start():
@@ -133,6 +133,26 @@ def test_null_values_hold_slots_but_not_quantiles(spark, tmp_path):
     want = _batch_reference(spark, rows)
     _assert_close(got, want)
     assert got["t0"][0] == K
+
+
+def test_string_ids_sample_identically_to_batch(spark, tmp_path):
+    """Review r4d: the streaming twin cast ids to LONG, so '0123'
+    hashed as md5('123') (a silently different bottom-k sample than the
+    batch sketch's md5(cast(id as string))) and a non-numeric id
+    aborted the query under Spark 4 ANSI. Ids now flow as strings —
+    leading-zero and alphanumeric ids must match the batch sketch
+    exactly."""
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("event_id", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    rows = [("t0", f"{i:04d}", float(i * 7 % 101)) for i in range(120)]
+    rows += [("t1", f"a{i}", float(i)) for i in range(60)]
+    got = _run(spark, tmp_path, [rows[:90], rows[90:]], schema=schema)
+    _assert_close(got, _batch_reference(spark, rows, schema=schema))
 
 
 def test_py_hash_matches_spark_hash(spark):
