@@ -136,6 +136,7 @@ def minhash_signatures_rowwise(
     n_hashes: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """MinHash as a PURE PROJECTION — zero shuffle, zero state.
 
@@ -146,7 +147,8 @@ def minhash_signatures_rowwise(
     the difference between a full-corpus shuffle and a map-only scan;
     it is also what makes MinHash usable on an unbounded STREAM (a
     stateless select — see streaming/dedup.py). Bit-identical output to
-    minhash_signatures (parity-tested)."""
+    minhash_signatures (parity-tested). ``passthrough`` columns (e.g.
+    event_time for the streaming self-join) are carried alongside."""
     params = _minhash_params(n_hashes, seed)
     sh = F.array_distinct(word_shingles(F.col(tokens_col), shingle_n))
     hashes = F.transform(
@@ -157,7 +159,7 @@ def minhash_signatures_rowwise(
     # exprs with multiple references — without this the md5s are inlined
     # into every min and computed n_hashes times per row (measured 4x
     # slower than the grouped form; hoisted, rowwise wins)
-    with_h = df.select(key, hashes.alias("__hs"))
+    with_h = df.select(key, *passthrough, hashes.alias("__hs"))
     mins = [
         F.array_min(
             F.transform(
@@ -167,7 +169,7 @@ def minhash_signatures_rowwise(
         )
         for (a, b) in params
     ]
-    return with_h.select(key, F.array(*mins).alias("sig"))
+    return with_h.select(key, *passthrough, F.array(*mins).alias("sig"))
 
 
 def lsh_band_buckets(

@@ -70,32 +70,28 @@ def streaming_near_dup_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs (a, b, a_time, b_time) from the arriving
     stream; a < b. Same function body serves the batch recompute oracle
-    (streaming=False), which the parity test compares against."""
-    from diffdataflowmlpipelines_spark.functions.dedup import (
-        MERSENNE_P,
-        _minhash_params,
-        md5_hash60,
-        word_shingles,
-    )
+    (streaming=False), which the parity test compares against.
 
-    params = _minhash_params(n_hashes, seed)
-    sh = F.array_distinct(word_shingles(F.col(tokens_col), shingle_n))
-    hashes = F.transform(sh, lambda s: md5_hash60(s) % F.lit(MERSENNE_P))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hashes,
-                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P),
-                )
-            )
-            for (a, b) in params
-        ]
+    Signatures come from the SHARED rowwise projection (review r4d: an
+    earlier inline copy here skipped its md5-array hoist — CollapseProject
+    then inlined the md5s into every one of the n_hashes mins, hashing
+    each shingle n_hashes times per row on the hot streaming path, the
+    documented 4x slowdown the helper exists to avoid)."""
+    sigs = minhash_signatures_rowwise(
+        docs,
+        key,
+        tokens_col,
+        n_hashes=n_hashes,
+        shingle_n=shingle_n,
+        seed=seed,
+        passthrough=("event_time",),
     )
-    banded = docs.select(
+    banded = sigs.select(
         F.col(key),
         F.col("event_time"),
-        F.explode(lsh_band_buckets(sig, bands=bands, sig_len=n_hashes)).alias("__bb"),
+        F.explode(
+            lsh_band_buckets(F.col("sig"), bands=bands, sig_len=n_hashes)
+        ).alias("__bb"),
     ).select(
         key,
         "event_time",
@@ -154,14 +150,23 @@ def _semantic_fn(threshold: float, round_to: int):
             ids, norms, vecs = [], [], []
         kept = set(ids)
         out = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("__id")
+        # concat ALL Arrow chunks before the single global sort: a group
+        # larger than arrow.maxRecordsPerBatch arrives as several pdfs,
+        # and a per-chunk sort would make the greedy keep/drop verdicts
+        # depend on chunk boundaries (same bug class as the TWS
+        # vocabulary and features fixes — processing order must be a
+        # pure function of the batch CONTENT)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True).sort_values("__id")
+            if chunks
+            else None
+        )
+        if batch is not None:
             # the outer loop is inherently sequential (greedy epsilon
             # net: each keep changes the comparison set); the rep
             # comparison inside is one vectorized matmul per arrival
-            for rid, vec in zip(pdf["__id"], pdf["__vec"]):
+            for rid, vec in zip(batch["__id"], batch["__vec"]):
                 rid = int(rid)
                 if rid in kept:
                     # replayed delivery of a kept vector: same verdict

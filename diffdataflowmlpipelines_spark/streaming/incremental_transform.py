@@ -176,8 +176,15 @@ class IncrementalScalerPipeline:
         return self._current_meta()
 
     def _encode(self, df: DataFrame, meta: tuple) -> DataFrame:
+        """Pin the output projection to (key_cols, value_col, diff,
+        scaled): the cascade paths encode _consolidated() (which has
+        exactly these columns) while the insert-only paths encode the
+        raw batch — without the select, output epochs would carry
+        path-dependent extra columns (e.g. event_time) and
+        read_current's schema would depend on which epoch's parquet
+        footer Spark samples (review r4d)."""
         mean, var = meta
-        return df.withColumn(
+        return df.select(*self.key_cols, self.value_col, DIFF).withColumn(
             "scaled",
             (F.col(self.value_col).cast("double") - F.lit(mean)) / F.lit(var),
         )
@@ -220,6 +227,7 @@ class IncrementalScalerPipeline:
         import pandas as pd
 
         mean, var = meta
+        cols = [*self.key_cols, self.value_col, DIFF]  # pinned, see _encode
         if len(pdf) == 1:
             # scalar lane (see the multi-column twin): one-row Float64
             # Series construction dominates the single-row re-encode
@@ -230,10 +238,10 @@ class IncrementalScalerPipeline:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     rv = (np.float64(v) - np.float64(mean)) / np.float64(var)
                 r = None if pd.isna(rv) else float(rv)
-            out = pdf.copy()
+            out = pdf[cols].copy()
             out["scaled"] = pd.array([r], dtype="Float64")
             return out
-        out = pdf.copy()
+        out = pdf[cols].copy()
         out["scaled"] = (out[self.value_col].astype("Float64") - mean) / var
         return out
 
@@ -263,7 +271,16 @@ class IncrementalScalerPipeline:
                 self._replay_unfolded(epoch_id)
             elif not self.output_sink.is_committed(epoch_id):
                 self._repair_output(epoch_id)
-            return
+            else:
+                # both committed: the only same-process replay that
+                # lands here with stale driver state is a crash between
+                # the output rename and the last_meta assignment (e.g.
+                # the lineage write threw). Post-fold, last_meta ==
+                # _current_meta() invariantly, so restore it — else the
+                # NEXT epoch's fast path could encode new rows with a
+                # meta older than the committed snapshot (review r4d).
+                self.last_meta = self._current_meta()
+            return  # replay: input (and now output) committed
         if self.small_epoch_rows and len(pdf) <= self.small_epoch_rows:
             self._process_small_epoch_pdf(pdf.copy(), epoch_id)
             return
@@ -287,7 +304,7 @@ class IncrementalScalerPipeline:
                 # a single insert row IS its own net (no group to merge)
                 net = pdf
             else:
-                cols = [c for c in pdf.columns if c != DIFF]
+                cols = [*self.key_cols, self.value_col]  # pinned grain
                 # dropna=False: Spark's groupBy keeps null keys; pandas'
                 # default silently drops the whole null-bearing row
                 net = pdf.groupby(cols, as_index=False, sort=False, dropna=False)[
@@ -315,24 +332,28 @@ class IncrementalScalerPipeline:
         ep = with_diff(
             self.spark.read.parquet(self.input_sink.epoch_dir(epoch_id))
         ).persist()
-        meta = self._fold_batch(ep)
-        self._folded_epochs.add(epoch_id)
-        self.epochs = len(self.input_sink.committed_epochs())
-        insert_only = self._last_batch_insert_only
-        if meta != self.last_meta:
-            out = self._encode(self._consolidated(), meta)
-            self.full_reencodes += 1
-        elif insert_only:
-            out = self._encode(consolidate(ep), meta)
-        else:
-            keys = ep.select(*self.key_cols).dropDuplicates()
-            out = self._encode(
-                self._consolidated().join(keys, on=self.key_cols, how="left_semi"),
-                meta,
-            )
-        self.output_sink.write_batch(out, epoch_id)
-        self.last_meta = meta
-        ep.unpersist()
+        try:
+            meta = self._fold_batch(ep)
+            self._folded_epochs.add(epoch_id)
+            self.epochs = len(self.input_sink.committed_epochs())
+            insert_only = self._last_batch_insert_only
+            if meta != self.last_meta:
+                out = self._encode(self._consolidated(), meta)
+                self.full_reencodes += 1
+            elif insert_only:
+                out = self._encode(
+                    consolidate(ep, [*self.key_cols, self.value_col]), meta
+                )
+            else:
+                keys = ep.select(*self.key_cols).dropDuplicates()
+                out = self._encode(
+                    self._consolidated().join(keys, on=self.key_cols, how="left_semi"),
+                    meta,
+                )
+            self.output_sink.write_batch(out, epoch_id)
+            self.last_meta = meta
+        finally:
+            ep.unpersist()
 
     def _repair_output(self, epoch_id: int) -> None:
         """Crash-window repair: the input epoch committed AND was folded
@@ -375,7 +396,6 @@ class IncrementalScalerPipeline:
         # would let the NEXT epoch encode new rows with a different meta
         # than the rows just emitted
         self.last_meta = meta
-        self.last_meta = meta
 
     # -- foreachBatch body ----------------------------------------------------
 
@@ -385,6 +405,15 @@ class IncrementalScalerPipeline:
                 self._replay_unfolded(epoch_id)
             elif not self.output_sink.is_committed(epoch_id):
                 self._repair_output(epoch_id)
+            else:
+                # both committed: the only same-process replay that
+                # lands here with stale driver state is a crash between
+                # the output rename and the last_meta assignment (e.g.
+                # the lineage write threw). Post-fold, last_meta ==
+                # _current_meta() invariantly, so restore it — else the
+                # NEXT epoch's fast path could encode new rows with a
+                # meta older than the committed snapshot (review r4d).
+                self.last_meta = self._current_meta()
             return  # replay: input (and now output) committed
         if self.small_epoch_rows:
             rows = batch_df.limit(self.small_epoch_rows + 1).collect()
@@ -392,42 +421,46 @@ class IncrementalScalerPipeline:
                 self._process_small_epoch(rows, batch_df.schema, epoch_id)
                 return
         batch_df = with_diff(batch_df).persist()
-        self.input_sink.write_batch(batch_df, epoch_id)
-        self.epochs += 1
+        try:
+            self.input_sink.write_batch(batch_df, epoch_id)
+            self.epochs += 1
 
-        meta = self._fold_batch(batch_df)  # O(batch), one aggregate job
-        self._folded_epochs.add(epoch_id)
-        insert_only = self._last_batch_insert_only
-        if meta != self.last_meta:
-            # DD cascade: statistic changed -> every live output row is
-            # re-emitted; dead keys get their <=0 net rows as tombstones
-            # (the upsert view drops them). O(snapshot) — by design, as
-            # in the reference's full re-transform on meta change.
-            if insert_only and self.input_sink.committed_epochs() == [epoch_id]:
-                # first-ever epoch: the snapshot IS this batch — encode
-                # from the in-memory cache instead of re-scanning the
-                # parquet snapshot (saves a full input re-read at init,
-                # the reference's dominant init phase)
-                net = consolidate(batch_df)
+            meta = self._fold_batch(batch_df)  # O(batch), one aggregate job
+            self._folded_epochs.add(epoch_id)
+            insert_only = self._last_batch_insert_only
+            if meta != self.last_meta:
+                # DD cascade: statistic changed -> every live output row is
+                # re-emitted; dead keys get their <=0 net rows as tombstones
+                # (the upsert view drops them). O(snapshot) — by design, as
+                # in the reference's full re-transform on meta change.
+                if insert_only and self.input_sink.committed_epochs() == [epoch_id]:
+                    # first-ever epoch: the snapshot IS this batch — encode
+                    # from the in-memory cache instead of re-scanning the
+                    # parquet snapshot (saves a full input re-read at init,
+                    # the reference's dominant init phase)
+                    net = consolidate(batch_df, [*self.key_cols, self.value_col])
+                else:
+                    net = self._consolidated()
+                out = self._encode(net, meta)
+                self.full_reencodes += 1
+            elif insert_only:
+                # fast path: inserts of (key, value) rows only touch their
+                # own keys; their net state is the batch itself. O(batch).
+                out = self._encode(
+                    consolidate(batch_df, [*self.key_cols, self.value_col]), meta
+                )
             else:
-                net = self._consolidated()
-            out = self._encode(net, meta)
-            self.full_reencodes += 1
-        elif insert_only:
-            # fast path: inserts of (key, value) rows only touch their
-            # own keys; their net state is the batch itself. O(batch).
-            out = self._encode(consolidate(batch_df), meta)
-        else:
-            # retraction-bearing batch with unchanged statistic: the
-            # touched keys' net state needs the history. O(snapshot).
-            batch_keys = batch_df.select(*self.key_cols).dropDuplicates()
-            affected = self._consolidated().join(
-                batch_keys, on=self.key_cols, how="left_semi"
-            )
-            out = self._encode(affected, meta)
-        self.output_sink.write_batch(out, epoch_id)
-        self.last_meta = meta
-        batch_df.unpersist()
+                # retraction-bearing batch with unchanged statistic: the
+                # touched keys' net state needs the history. O(snapshot).
+                batch_keys = batch_df.select(*self.key_cols).dropDuplicates()
+                affected = self._consolidated().join(
+                    batch_keys, on=self.key_cols, how="left_semi"
+                )
+                out = self._encode(affected, meta)
+            self.output_sink.write_batch(out, epoch_id)
+            self.last_meta = meta
+        finally:
+            batch_df.unpersist()
 
     def foreach_batch(self):
         return lambda df, eid: self.process_epoch(df, eid)
@@ -649,7 +682,16 @@ class IncrementalMultiScalerPipeline:
                 self._replay_unfolded(epoch_id)
             elif not self.output_sink.is_committed(epoch_id):
                 self._repair_output(epoch_id)
-            return
+            else:
+                # both committed: the only same-process replay that
+                # lands here with stale driver state is a crash between
+                # the output rename and the last_meta assignment (e.g.
+                # the lineage write threw). Post-fold, last_meta ==
+                # _current_meta() invariantly, so restore it — else the
+                # NEXT epoch's fast path could encode new rows with a
+                # meta older than the committed snapshot (review r4d).
+                self.last_meta = self._current_meta()
+            return  # replay: input (and now output) committed
         if self.small_epoch_rows and len(pdf) <= self.small_epoch_rows:
             self._process_small_epoch_pdf(pdf.copy(), epoch_id)
             return
@@ -673,7 +715,7 @@ class IncrementalMultiScalerPipeline:
                 # a single insert row IS its own net (see single twin)
                 net = pdf
             else:
-                cols = [c for c in pdf.columns if c != DIFF]
+                cols = [*self.key_cols, *self.value_cols]  # pinned grain
                 # dropna=False: see single-column twin
                 net = pdf.groupby(cols, as_index=False, sort=False, dropna=False)[
                     DIFF
@@ -696,24 +738,28 @@ class IncrementalMultiScalerPipeline:
         ep = with_diff(
             self.spark.read.parquet(self.input_sink.epoch_dir(epoch_id))
         ).persist()
-        meta = self._fold_batch(ep)
-        self._folded_epochs.add(epoch_id)
-        self.epochs = len(self.input_sink.committed_epochs())
-        insert_only = self._last_batch_insert_only
-        if meta != self.last_meta:
-            out = self._encode(self._consolidated(), meta)
-            self.full_reencodes += 1
-        elif insert_only:
-            out = self._encode(consolidate(ep), meta)
-        else:
-            keys = ep.select(*self.key_cols).dropDuplicates()
-            out = self._encode(
-                self._consolidated().join(keys, on=self.key_cols, how="left_semi"),
-                meta,
-            )
-        self.output_sink.write_batch(out, epoch_id)
-        self.last_meta = meta
-        ep.unpersist()
+        try:
+            meta = self._fold_batch(ep)
+            self._folded_epochs.add(epoch_id)
+            self.epochs = len(self.input_sink.committed_epochs())
+            insert_only = self._last_batch_insert_only
+            if meta != self.last_meta:
+                out = self._encode(self._consolidated(), meta)
+                self.full_reencodes += 1
+            elif insert_only:
+                out = self._encode(
+                    consolidate(ep, [*self.key_cols, *self.value_cols]), meta
+                )
+            else:
+                keys = ep.select(*self.key_cols).dropDuplicates()
+                out = self._encode(
+                    self._consolidated().join(keys, on=self.key_cols, how="left_semi"),
+                    meta,
+                )
+            self.output_sink.write_batch(out, epoch_id)
+            self.last_meta = meta
+        finally:
+            ep.unpersist()
 
     def _repair_output(self, epoch_id: int) -> None:
         """See the single-column twin: input committed AND folded, output
@@ -752,38 +798,53 @@ class IncrementalMultiScalerPipeline:
                 self._replay_unfolded(epoch_id)
             elif not self.output_sink.is_committed(epoch_id):
                 self._repair_output(epoch_id)
-            return
+            else:
+                # both committed: the only same-process replay that
+                # lands here with stale driver state is a crash between
+                # the output rename and the last_meta assignment (e.g.
+                # the lineage write threw). Post-fold, last_meta ==
+                # _current_meta() invariantly, so restore it — else the
+                # NEXT epoch's fast path could encode new rows with a
+                # meta older than the committed snapshot (review r4d).
+                self.last_meta = self._current_meta()
+            return  # replay: input (and now output) committed
         if self.small_epoch_rows:
             rows = batch_df.limit(self.small_epoch_rows + 1).collect()
             if len(rows) <= self.small_epoch_rows:
                 self._process_small_epoch(rows, batch_df.schema, epoch_id)
                 return
         batch_df = with_diff(batch_df).persist()
-        self.input_sink.write_batch(batch_df, epoch_id)
-        self.epochs += 1
+        try:
+            self.input_sink.write_batch(batch_df, epoch_id)
+            self.epochs += 1
 
-        meta = self._fold_batch(batch_df)
-        self._folded_epochs.add(epoch_id)
-        insert_only = self._last_batch_insert_only
-        if meta != self.last_meta:
-            if insert_only and self.input_sink.committed_epochs() == [epoch_id]:
-                # first-ever epoch: snapshot == batch (see single-column twin)
-                net = consolidate(batch_df)
+            meta = self._fold_batch(batch_df)
+            self._folded_epochs.add(epoch_id)
+            insert_only = self._last_batch_insert_only
+            if meta != self.last_meta:
+                if insert_only and self.input_sink.committed_epochs() == [epoch_id]:
+                    # first-ever epoch: snapshot == batch (see single-column twin)
+                    net = consolidate(
+                        batch_df, [*self.key_cols, *self.value_cols]
+                    )
+                else:
+                    net = self._consolidated()
+                out = self._encode(net, meta)
+                self.full_reencodes += 1
+            elif insert_only:
+                out = self._encode(
+                    consolidate(batch_df, [*self.key_cols, *self.value_cols]), meta
+                )
             else:
-                net = self._consolidated()
-            out = self._encode(net, meta)
-            self.full_reencodes += 1
-        elif insert_only:
-            out = self._encode(consolidate(batch_df), meta)
-        else:
-            batch_keys = batch_df.select(*self.key_cols).dropDuplicates()
-            affected = self._consolidated().join(
-                batch_keys, on=self.key_cols, how="left_semi"
-            )
-            out = self._encode(affected, meta)
-        self.output_sink.write_batch(out, epoch_id)
-        self.last_meta = meta
-        batch_df.unpersist()
+                batch_keys = batch_df.select(*self.key_cols).dropDuplicates()
+                affected = self._consolidated().join(
+                    batch_keys, on=self.key_cols, how="left_semi"
+                )
+                out = self._encode(affected, meta)
+            self.output_sink.write_batch(out, epoch_id)
+            self.last_meta = meta
+        finally:
+            batch_df.unpersist()
 
     def foreach_batch(self):
         return lambda df, eid: self.process_epoch(df, eid)

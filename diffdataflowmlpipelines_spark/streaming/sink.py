@@ -87,16 +87,22 @@ class ExactlyOnceParquetSink:
         )
         part_counts = None
         if self.lineage_mode == "partitions":
-            # per-partition lineage before the write (single pass, cached)
+            # per-partition lineage before the write (single pass,
+            # cached). try/finally: a failed staging write must not
+            # leak the cached blocks for the session lifetime (the
+            # persist-leak class CLAUDE.md warns about)
             df = df.persist()
-            part_counts = (
-                df.groupBy(F.spark_partition_id().alias("partition"))
-                .count()
-                .collect()
-            )
-        df.write.mode("overwrite").parquet(staging)
-        if part_counts is not None:
-            df.unpersist()
+            try:
+                part_counts = (
+                    df.groupBy(F.spark_partition_id().alias("partition"))
+                    .count()
+                    .collect()
+                )
+                df.write.mode("overwrite").parquet(staging)
+            finally:
+                df.unpersist()
+        else:
+            df.write.mode("overwrite").parquet(staging)
         try:
             os.rename(staging, self.epoch_dir(epoch_id))  # atomic commit
         except OSError:

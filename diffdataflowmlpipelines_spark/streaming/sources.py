@@ -42,7 +42,13 @@ def write_epoch_files(
     for i in range(n_epochs):
         lo, hi = (n * i) // n_epochs, (n * (i + 1)) // n_epochs
         path = os.path.join(directory, f"epoch-{i:05d}.parquet")
-        _to_parquet(pdf.iloc[lo:hi], path)
+        # same hidden-tmp + atomic-rename protocol as add_epoch: a
+        # running file-stream source on this directory lists files
+        # continuously and would record (and torn-read) a half-written
+        # parquet (review r4d)
+        tmp = os.path.join(directory, f".epoch-{i:05d}.parquet.tmp")
+        _to_parquet(pdf.iloc[lo:hi], tmp)
+        os.rename(tmp, path)
         paths.append(path)
     return paths
 

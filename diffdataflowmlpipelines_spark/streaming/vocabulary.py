@@ -207,7 +207,12 @@ def incremental_vocabulary(
     keyed = df.filter(
         F.col(token_col).isNotNull() & F.col("diff").isNotNull()
     ).select(
-        F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_shards))
+        # hash the STRING-cast token: the stored key below is the string
+        # cast, and the driver-local twin routes by XXH64(str(token)) —
+        # hashing the raw typed column would shard a LongType token
+        # differently than its stored string, splitting one token across
+        # two ShardDicts when paths mix (review r4d)
+        F.pmod(F.xxhash64(F.col(token_col).cast("string")), F.lit(n_shards))
         .cast("int")
         .alias("shard"),
         F.col(token_col).cast("string").alias("token"),
@@ -275,10 +280,13 @@ class DriverVocabularyPipeline:
     # -- plumbing -------------------------------------------------------------
 
     def _keyed(self, batch_df: DataFrame) -> DataFrame:
+        # string-cast before hashing: must route identically to
+        # _route_pdf's XXH64(str(token)) for any token type (see
+        # incremental_vocabulary)
         return batch_df.filter(
             F.col(self.token_col).isNotNull() & F.col("diff").isNotNull()
         ).select(
-            F.pmod(F.xxhash64(F.col(self.token_col)), F.lit(self.n_shards))
+            F.pmod(F.xxhash64(F.col(self.token_col).cast("string")), F.lit(self.n_shards))
             .cast("int")
             .alias("shard"),
             F.col(self.token_col).cast("string").alias("token"),

@@ -213,7 +213,7 @@ def incremental_vocabulary_tws(
     keyed = df.filter(
         F.col(token_col).isNotNull() & F.col("diff").isNotNull()
     ).select(
-        F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        F.pmod(F.xxhash64(F.col(token_col).cast("string")), F.lit(n_shards)).cast("int").alias("shard"),
         F.col(token_col).cast("string").alias("token"),
         F.col("diff").cast("long").alias("diff"),
         F.col("event_time"),

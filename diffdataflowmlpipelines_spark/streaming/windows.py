@@ -106,7 +106,11 @@ def session_token_activity(
     Built-in ``session_window`` merges sessions in state but cannot
     retract an already-merged session (SURVEY.md §7.3), so sessionization
     consumes only insertions; retraction-bearing pipelines consolidate
-    BEFORE sessionizing (diff > 0 net rows).
+    BEFORE sessionizing (diff > 0 net rows). Counts are DIFF-WEIGHTED:
+    a consolidated net row with diff=2 is a twice-inserted event, so it
+    contributes 2 to n_rows and 2*n_tok to n_tokens (plain count(*)
+    would undercount exactly the consolidated inputs the docstring
+    tells callers to feed; review r4d).
     """
     df = with_diff(df).filter(F.col(DIFF) > 0)
     if streaming:
@@ -114,8 +118,8 @@ def session_token_activity(
     return (
         df.groupBy(F.session_window("event_time", gap).alias("w"), "doc_id", "source")
         .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(DIFF).cast("long").alias("n_rows"),
+            F.sum(F.col("n_tok") * F.col(DIFF)).cast("long").alias("n_tokens"),
         )
         .select(
             "doc_id",

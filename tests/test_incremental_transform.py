@@ -405,3 +405,42 @@ def test_process_epoch_local_routes_large_delta_distributed(spark, tmp_path):
     pipe.process_epoch_local(big, 0)
     assert pipe.input_sink.is_committed(0) and pipe.output_sink.is_committed(0)
     assert pipe._n == 50
+
+
+def test_output_epochs_have_pinned_schema(spark, tmp_path):
+    """Review r4d: insert-only epochs wrote the raw batch columns (incl.
+    event_time) while cascade epochs wrote _consolidated()'s — with
+    plain spark.read.parquet (no mergeSchema) the result schema then
+    depended on which epoch's footer Spark sampled. Every output epoch
+    now carries exactly (key, value, diff, scaled)."""
+    from diffdataflowmlpipelines_spark.operators.collection import DIFF
+
+    epochs = [
+        ep(0, [(i, 100 + i) for i in range(40)]),   # insert-only, first
+        ep(1, [(100, 57.5)]),                       # small-epoch local lane
+        ep(2, [(i, 500 + 7 * i) for i in range(30)]),  # cascade (meta moves)
+    ]
+    pipe = run_epochs(spark, tmp_path, epochs, round_to=(-2, 0))
+    assert pipe.full_reencodes >= 1  # the cascade epoch really cascaded
+    want = {"row_id", "x", DIFF, "scaled"}
+    for e in pipe.output_sink.committed_epochs():
+        got = set(spark.read.parquet(pipe.output_sink.epoch_dir(e)).columns)
+        assert got == want, (e, got)
+
+
+def test_replay_restores_stale_last_meta(spark, tmp_path):
+    """Review r4d: a crash between the output rename and the last_meta
+    assignment left last_meta stale on a both-committed replay; the
+    replay path now restores it from the statistic (post-fold,
+    last_meta == _current_meta() invariantly)."""
+    pipe = IncrementalScalerPipeline(
+        spark, str(tmp_path / "p"), ["row_id"], "x", round_to=(-2, 0),
+        small_epoch_rows=0,
+    )
+    e0 = ep(0, [(i, 100 + i) for i in range(40)])
+    pipe.process_epoch(spark.createDataFrame(e0, SCHEMA), 0)
+    good = pipe.last_meta
+    assert good == pipe._current_meta()
+    pipe.last_meta = ("stale", "stale")  # simulate the crash window
+    pipe.process_epoch(spark.createDataFrame(e0, SCHEMA), 0)  # replay
+    assert pipe.last_meta == good

@@ -397,3 +397,50 @@ def test_streaming_exact_dedup_parity_and_min_id_update(spark, tmp_path):
     # the late-arriving smaller id won deterministically
     alpha = [v for v in got.values() if v[1] == 2 and v[0] == "a0"]
     assert len(alpha) == 1
+
+
+def test_streaming_semantic_dedup_chunk_boundary_order(spark, tmp_path):
+    """Review r4d: _semantic_fn sorted each Arrow CHUNK separately, so a
+    group bigger than arrow.maxRecordsPerBatch delivered as several
+    chunks made the greedy keep/drop verdicts depend on chunk
+    boundaries. The batch is now concatenated and sorted ONCE — a
+    reverse-order delivery cut into 2-row chunks must match the batch
+    twin exactly."""
+    import pandas as pd
+
+    from diffdataflowmlpipelines_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    # three mutually-dissimilar directions in cell 0 (cos ~0.6/0.36
+    # pairwise, all nearest centroid 0), each with one near-copy;
+    # chain-free, so batch lower-id-wins == online greedy in id order
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.6, 0.0, 0.8, 0.0]),
+        (2, [0.6, 0.0, 0.0, 0.8]),
+        (3, [1.0, 0.01, 0.0, 0.0]),   # dup of 0
+        (4, [0.6, 0.01, 0.8, 0.0]),   # dup of 1
+        (5, [0.6, 0.01, 0.0, 0.8]),   # dup of 2
+    ]
+    pdf = pd.DataFrame(rows[::-1], columns=["vec_id", "embedding"])
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        # ONE epoch: the whole reversed group arrives as 3 chunks
+        got = _run_semantic_stream(spark, tmp_path, pdf, 1, "chunks")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.9, centroids=cents
+        ).collect()
+    }
+    assert got == want
+    assert [got[i][1] for i in range(6)] == [1, 1, 1, 0, 0, 0]

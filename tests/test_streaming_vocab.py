@@ -423,3 +423,48 @@ def test_driver_vocabulary_same_process_replay_before_apply(spark, tmp_path):
     for s in fresh.shards:
         assert pipe.shards[s].val_to_index == fresh.shards[s].val_to_index
         assert pipe.shards[s].val_to_count == fresh.shards[s].val_to_count
+
+
+def test_driver_vocab_long_tokens_route_identically(spark, tmp_path):
+    """Review r4d: the Spark path sharded by xxhash64 of the RAW typed
+    column while the driver-local path sharded by XXH64(str(token)) —
+    a LongType token landed in different ShardDicts depending on the
+    path, corrupting the vocabulary under mixed usage. Both now hash
+    the string cast."""
+    import pandas as pd
+
+    from diffdataflowmlpipelines_spark.streaming.vocabulary import (
+        DriverVocabularyPipeline,
+    )
+
+    long_schema = T.StructType(
+        [
+            T.StructField("token", T.LongType(), True),
+            T.StructField("diff", T.LongType(), True),
+            T.StructField("event_time", T.TimestampType(), True),
+        ]
+    )
+    rows = pd.DataFrame(
+        {
+            "token": pd.array([42, 7, 123456789, 42, 9], dtype="Int64"),
+            "diff": [1, 1, 1, 1, 1],
+            "event_time": [datetime(2024, 1, 1)] * 5,
+        }
+    )
+    pa = DriverVocabularyPipeline(spark, str(tmp_path / "a"), n_shards=4)
+    pa.process_epoch(spark.createDataFrame(rows, long_schema), 0)
+    pb = DriverVocabularyPipeline(spark, str(tmp_path / "b"), n_shards=4)
+    local = rows.copy()
+    local["event_time"] = pd.to_datetime(local["event_time"]).dt.tz_localize(
+        "UTC"
+    )
+    pb.process_epoch_local(local, 0)
+
+    def vocab(p):
+        return {
+            r["token"]: (r["shard"], r["idx"])
+            for r in p.current_vocabulary().filter(F.col("idx") >= 0).collect()
+        }
+
+    va, vb = vocab(pa), vocab(pb)
+    assert va == vb and set(va) == {"42", "7", "123456789", "9"}

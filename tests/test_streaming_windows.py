@@ -239,3 +239,23 @@ def test_sink_idempotent_replay(spark, tmp_path):
     sink.write_batch(df2, 0)  # replay of epoch 0 with different data: dropped
     got = sink.read_current(spark).toPandas()
     assert got.to_dict("records") == [{"k": "a", "v": 1}]
+
+
+def test_session_counts_are_diff_weighted(spark):
+    """Review r4d: count(*)/sum(n_tok) undercounted consolidated net
+    rows — a diff=2 row is a twice-inserted event and must contribute
+    2 rows / 2*n_tok (the docstring tells callers to consolidate before
+    sessionizing, so diff >= 2 inputs are the expected shape)."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "s1", datetime(2024, 1, 1, 0, 0, 0), 5, 2),
+            ("d1", "s1", datetime(2024, 1, 1, 0, 0, 5), 3, 1),
+        ],
+        "doc_id string, source string, event_time timestamp,"
+        " n_tok int, diff long",
+    )
+    row = session_token_activity(df, streaming=False).head()
+    assert row["n_rows"] == 3
+    assert row["n_tokens"] == 13
