@@ -270,7 +270,12 @@ def bench_join(spark, tok_dir: str, lab_dir: str, n_seq: int, ckpt: str) -> dict
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # a timed-out query keeps running: partial recentProgress,
+        # contention with the next rep, and the workdir cleanup
+        # would rmtree files under a LIVE query -> fail loudly
+        q.stop()
+        raise RuntimeError("streaming bench rep timed out after 600s")
     dt = time.time() - t0
     return {
         "sec": round(dt, 2),
@@ -320,7 +325,12 @@ def bench_streaming(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            # a timed-out query keeps running: partial recentProgress,
+            # contention with the next rep, and the workdir cleanup
+            # would rmtree files under a LIVE query -> fail loudly
+            q.stop()
+            raise RuntimeError("streaming bench rep timed out after 600s")
         agg_walls.append(round(time.time() - t0, 2))
         agg_rates.append(_sustained(q))
     dt = statistics.median(agg_walls)
@@ -465,7 +475,11 @@ def main() -> None:
     times["streaming_join"] = stream_stats["stream_join_sec"]
     total += stream_stats["windowed_agg_sec"] + stream_stats["stream_join_sec"]
 
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    tail = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(tail)
+    except ValueError:
+        sf = tail  # non-standard dir name: report verbatim, never crash
     print(
         json.dumps(
             {
@@ -474,7 +488,7 @@ def main() -> None:
                 "value": round(total, 2),
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf),
+                "sf": sf,
                 "cpus": CPUS,
                 "stream_rows": STREAM_ROWS,
                 "throughput": {

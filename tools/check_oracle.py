@@ -68,6 +68,13 @@ def main(only: list[str]) -> int:
 
     failures = 0
     names = only or list(queries)
+    unknown = [n for n in names if n not in queries]
+    for n in unknown:
+        # a typo'd CLI name must show as a FAIL row (and not abort the
+        # remaining valid names with a bare KeyError)
+        print(f"FAIL  {n}: unknown query name")
+    failures += len(unknown)
+    names = [n for n in names if n in queries]
     for name in names:
         fn = queries[name]
         t0 = time.time()

@@ -187,7 +187,7 @@ def main(only: list[str]) -> int:
         ) as f:
             f.write("\n".join(lines))
     spark.stop()
-    return 0
+    return 1 if bad else 0  # let scripted runs gate on plan regressions
 
 
 if __name__ == "__main__":

@@ -51,7 +51,9 @@ def sustained(progress: list[dict]) -> float:
         if p["numInputRows"] > 0
     ]
     rates = rates[1:] if len(rates) > 1 else rates  # drop cold batch
-    return round(statistics.median(rates), 1)
+    # empty-guard like bench._sustained: a run with no progressed batch
+    # must report 0.0, not throw away the whole measurement
+    return round(statistics.median(rates), 1) if rates else 0.0
 
 
 def main() -> None:
@@ -102,7 +104,9 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(1800)
+        if not q.awaitTermination(1800):
+            q.stop()
+            raise RuntimeError("streaming query timed out after 1800s")
         out[f"{tag}_wall_sec"] = round(time.time() - t0, 2)
         out[f"{tag}_rows_per_s"] = sustained(
             [json.loads(p.json) for p in q.recentProgress]

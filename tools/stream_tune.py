@@ -35,7 +35,9 @@ q = (tumbling_token_frequency(stream, window="60 seconds")
      .writeStream.foreachBatch(lambda df, e: df.write.format("noop").mode("overwrite").save())
      .outputMode("update").option("checkpointLocation", ck)
      .trigger(availableNow=True).start())
-q.awaitTermination(1200)
+if not q.awaitTermination(1200):
+    q.stop()
+    raise RuntimeError("streaming query timed out after 1200s")
 print("TUNE " + json.dumps({"cpus": cpus, "provider": provider,
                             "src": os.path.basename(src),
                             "sec": round(time.time() - t0, 2)}))

@@ -73,7 +73,9 @@ def main(workdir: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming query timed out after 600s")
 
     got = sink.read_current(spark)
     batch = spark.createDataFrame(pdf, TOKENS_STREAM_SCHEMA)

@@ -478,6 +478,10 @@ def main() -> None:
     from diffdataflowmlpipelines_spark.session import get_spark
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "scaler"
+    if mode not in ("scaler", "multi", "dict", "all"):
+        # validate BEFORE the SparkSession: a typo'd mode used to spin
+        # up Spark, run nothing, and print '{}' with exit 0
+        raise SystemExit(f"unknown mode {mode!r}: use scaler|multi|dict|all")
     spark = get_spark(app_name="update-latency")
     try:
         out = {}
