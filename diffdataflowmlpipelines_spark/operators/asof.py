@@ -81,7 +81,16 @@ def asof_join(
 
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t"), F.col("__side"))
+        # the payload struct is the tie-break: several right rows
+        # sharing (keys, right_time) would otherwise leave last() to
+        # pick by shuffle order — nondeterministic across runs (review
+        # r4d). Struct comparison is field-wise (__asof_src_time is
+        # equal within a tie, then value_cols in declaration order), so
+        # the greatest payload wins deterministically. Left rows carry a
+        # NULL payload and are already separated by __side. (Map-typed
+        # value_cols are not orderable in Spark and would need a
+        # caller-side serialization.)
+        .orderBy(F.col("__t"), F.col("__side"), F.col("__asof_payload"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("__asof_payload", ignorenulls=True).over(w)

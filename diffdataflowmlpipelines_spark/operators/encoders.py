@@ -125,9 +125,22 @@ class StandardScaler(ColumnEncoder):
         return self
 
     def transform(self, df, col, out):
+        x = F.col(col).cast("double")
+        if self.var_ == 0.0:
+            # constant column, or round_to rounded the variance to 0:
+            # Spark 4 ANSI `/` THROWS on 0.0 (verified — doubles too,
+            # not just integrals), but the reference's f64 division
+            # yields IEEE +/-inf (NaN at x == mean). var_ is a plan-time
+            # python float, so emit the IEEE result branchlessly instead
+            # of crashing mid-query (review r4d); NULL inputs stay NULL.
+            ieee = (
+                F.when(x > F.lit(self.mean_), F.lit(float("inf")))
+                .when(x < F.lit(self.mean_), F.lit(float("-inf")))
+                .otherwise(F.lit(float("nan")))
+            )
+            return df.withColumn(out, F.when(x.isNotNull(), ieee))
         return df.withColumn(
-            out,
-            (F.col(col).cast("double") - F.lit(self.mean_)) / F.lit(self.var_),
+            out, (x - F.lit(self.mean_)) / F.lit(self.var_)
         )
 
 
@@ -155,11 +168,15 @@ class MinMaxScaler(ColumnEncoder):
 
     def transform(self, df, col, out):
         # constant column (range 0): map to 0.0 like sklearn instead of
-        # an ANSI DIVIDE_BY_ZERO crash / NaN features
-        scaled = F.try_divide(
-            F.col(col).cast("double") - F.lit(self.min_), F.lit(self.range_)
+        # an ANSI DIVIDE_BY_ZERO crash / NaN features — gated on the
+        # input being non-null: a bare coalesce also swallowed NULL
+        # inputs into 0.0 (the column MINIMUM), while StandardScaler and
+        # the DuckDB oracle propagate NULL (review r4d)
+        x = F.col(col).cast("double")
+        scaled = F.try_divide(x - F.lit(self.min_), F.lit(self.range_))
+        return df.withColumn(
+            out, F.when(x.isNotNull(), F.coalesce(scaled, F.lit(0.0)))
         )
-        return df.withColumn(out, F.coalesce(scaled, F.lit(0.0)))
 
 
 class KBinsDiscretizer(ColumnEncoder):
@@ -219,7 +236,10 @@ class KBinsDiscretizer(ColumnEncoder):
         if self.strategy == "uniform":
             # constant column: everything lands in bin 0, matching the
             # quantile strategy's collapsed-edges behavior (ADVICE r2)
-            # rather than NaN/null bins from a 0/0 division
+            # rather than NaN/null bins from a 0/0 division. NULL-gated
+            # like MinMaxScaler: a NULL input propagates NULL (the
+            # quantile strategy already does — review r4d), it does not
+            # become bin 0
             raw = F.floor(
                 F.coalesce(
                     F.try_divide(x - F.lit(self.min_), F.lit(self.range_)),
@@ -228,7 +248,9 @@ class KBinsDiscretizer(ColumnEncoder):
                 * F.lit(self.k)
             )
             clamped = F.when(raw == self.k, F.lit(self.k - 1)).otherwise(raw)
-            return df.withColumn(out, clamped.cast("double"))
+            return df.withColumn(
+                out, F.when(x.isNotNull(), clamped.cast("double"))
+            )
         b = None
         for e in self.edges_:
             term = (x >= F.lit(e)).cast("int")
@@ -283,6 +305,13 @@ def fit_dictionary(
     if order == "sorted":
         keep, sort_cols = [F.col(col)], [col]
     elif order == "first_seen":
+        if "__row_order" not in df.columns:
+            raise ValueError(
+                "order='first_seen' needs a __row_order column carrying "
+                "arrival order (add one with monotonically_increasing_id "
+                "or an explicit sequence before fit) — without it the "
+                "'first seen' ordering is undefined"
+            )
         alive_cols = df.groupBy(col).agg(
             F.sum(DIFF).alias(DIFF), F.min("__row_order").alias("__row_order")
         )

@@ -25,10 +25,13 @@ def salted_sum_agg(
 ) -> DataFrame:
     """groupBy(keys).agg(sum-like exprs) with a salt pre-stage.
 
-    ``sums`` maps output column name -> additive aggregate expression
-    (anything where agg(whole) == agg of per-salt aggs: sum, count,
-    min, max). Stage 1 groups on (keys + salt), stage 2 re-aggregates
-    the partials; the second shuffle moves only |keys| x n_salts rows.
+    ``sums`` maps output column name -> ADDITIVE aggregate expression —
+    sum or count ONLY: stage 2 re-merges every partial with F.sum, so a
+    min/max partial would be summed across salts (up to n_salts x the
+    true extremum). Use :func:`salted_minmax_agg` for order statistics
+    (review r4d: the old docstring invited exactly that misuse).
+    Stage 1 groups on (keys + salt), stage 2 re-aggregates the
+    partials; the second shuffle moves only |keys| x n_salts rows.
     """
     salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)))
     stage1 = salted.groupBy(*keys, "__salt").agg(
@@ -78,10 +81,21 @@ def detect_hot_keys(
     - its count >= ``skew_factor`` x the mean per-key count (relative
       skew — a uniform key space yields no hot keys no matter the share).
 
-    One aggregate job: groupBy(key).count + a count-distinct, both
-    map-side combined. Returns at most ``max_keys`` hottest keys.
+    One scan of ``df``: the per-key counts are pinned (localCheckpoint)
+    because both the stats row and the cutoff filter consume them —
+    unpinned, the groupBy re-scanned the input twice (review r4d).
+    NULL keys are excluded up front: ``F.col(key).isin(hot_keys)``
+    downstream can never match NULL (SQL three-valued logic), so
+    returning one would silently drop it from salting anyway — a hot
+    NULL key needs a coalesce-to-sentinel before salting.
+    Returns at most ``max_keys`` hottest keys.
     """
-    counts = df.groupBy(key_col).agg(F.count("*").alias("__c"))
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
     stats = counts.agg(
         F.sum("__c").alias("__n"), F.count("*").alias("__k")
     ).first()
@@ -126,6 +140,17 @@ def salted_broadcast_join(
     random-per-row salt (layout-dependent but spread-guaranteed; under
     task retry a row may land on a different salt, which is harmless
     for inner/left joins against a fully replicated small side)."""
+    if how not in (
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti",
+    ):
+        # the small side is REPLICATED across n_salts: any
+        # right-preserving join (right/full) would emit each unmatched
+        # small row once per salt replica (review r4d)
+        raise ValueError(
+            f"salted_broadcast_join supports big-side-preserving joins "
+            f"only (inner/left/left_semi/left_anti), got {how!r}"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     small_rep = small.select("*", salts)
     if salt_cols is None:

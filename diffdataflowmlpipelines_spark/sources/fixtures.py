@@ -105,7 +105,14 @@ def gen_tokens_pdf(
         }
     )
 
-    # retractions: re-emit a seeded subset later with diff = -1
+    # retractions: re-emit a seeded subset later with diff = -1.
+    # Appended at the END (arrival after the insert, by construction) —
+    # NOT re-sorted by event_time: a global sort here erased the late
+    # rows' out-of-orderness, making every watermark-lateness test over
+    # this fixture vacuously in-order (review r4d). Row order IS arrival
+    # order; keep it with write_epoch_files(..., sort_col=None) — the
+    # writer's default event-time sort deliberately produces the
+    # in-order variant.
     n_retract = int(round(n_rows * retract_frac))
     if n_retract:
         idx = rng.choice(n_rows, size=n_retract, replace=False)
@@ -113,7 +120,6 @@ def gen_tokens_pdf(
         retr["event_time"] = retr["event_time"] + timedelta(seconds=late_max_s / 2)
         retr["diff"] = -1
         pdf = pd.concat([pdf, retr], ignore_index=True)
-        pdf = pdf.sort_values("event_time", kind="stable").reset_index(drop=True)
     return pdf
 
 

@@ -42,10 +42,13 @@ class ParquetTableIO(TableIO):
         return spark.read.parquet(self.path(table))
 
     def read_stream(self, spark, table, schema, max_files_per_trigger: int = 1):
+        # same location as read(): batch and stream reads of one table
+        # name must see the same files (this watched f"{root}/{table}"
+        # while read() used path() — review r4d)
         return (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(f"{self.root}/{table}")
+            .parquet(self.path(table))
         )
 
     def exactly_once_sink(self, table: str, key_cols: list[str]) -> ExactlyOnceParquetSink:
