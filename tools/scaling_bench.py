@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import subprocess
 import sys
 import tempfile
 
@@ -36,28 +35,9 @@ WORKLOADS = os.environ.get(
 
 
 def run(cpus: int, tok: str, lab: str, provider: str) -> dict:
-    env = dict(os.environ, PYTHONPATH=REPO)
-    p = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(HERE, "scaling_one.py"),
-            str(cpus),
-            tok,
-            lab,
-            provider,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=3000,
-        env=env,
-        cwd=REPO,
-    )
-    for line in p.stdout.splitlines():
-        if line.startswith("SCALING_RESULT "):
-            return json.loads(line[len("SCALING_RESULT "):])
-    raise RuntimeError(
-        f"no result cpus={cpus} provider={provider}:\n{p.stdout[-1500:]}\n{p.stderr[-1500:]}"
-    )
+    from scaling_subproc import run_scaling_one
+
+    return run_scaling_one(cpus, tok, lab, provider)
 
 
 def main() -> None:

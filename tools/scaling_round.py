@@ -23,7 +23,6 @@ import json
 import multiprocessing as mp
 import os
 import shutil
-import subprocess
 import sys
 import tempfile
 import time
@@ -60,19 +59,11 @@ def spin_rate(procs: int, iters: int = 40_000_000) -> float:
 
 
 def run_level(cpus: int, tok: str, lab: str) -> dict:
-    env = dict(os.environ, PYTHONPATH=REPO, SCALE_WORKLOADS=WORKLOADS)
-    p = subprocess.run(
-        [sys.executable, os.path.join(HERE, "scaling_one.py"), str(cpus), tok, lab, PROVIDER],
-        capture_output=True,
-        text=True,
-        timeout=3000,
-        env=env,
-        cwd=REPO,
+    from scaling_subproc import run_scaling_one
+
+    return run_scaling_one(
+        cpus, tok, lab, PROVIDER, env_extra={"SCALE_WORKLOADS": WORKLOADS}
     )
-    for line in p.stdout.splitlines():
-        if line.startswith("SCALING_RESULT "):
-            return json.loads(line[len("SCALING_RESULT "):])
-    raise RuntimeError(f"no result cpus={cpus}:\n{p.stdout[-1500:]}\n{p.stderr[-1500:]}")
 
 
 def main() -> None:

@@ -30,7 +30,6 @@ import json
 import os
 import shutil
 import statistics
-import subprocess
 import sys
 import tempfile
 
@@ -49,26 +48,18 @@ HOT_KEY = "doc-hot-0"
 
 
 def run_one(workload: str, tok: str, lab: str) -> dict:
-    env = dict(
-        os.environ,
-        PYTHONPATH=REPO,
-        SCALE_WORKLOADS=workload,
-        SCALE_HOT_KEYS=HOT_KEY,
-        SCALE_SALTS=str(SALTS),
-    )
-    p = subprocess.run(
-        [sys.executable, os.path.join(HERE, "scaling_one.py"), str(CPUS), tok, lab, PROVIDER],
-        capture_output=True,
-        text=True,
-        timeout=3000,
-        env=env,
-        cwd=REPO,
-    )
-    for line in p.stdout.splitlines():
-        if line.startswith("SCALING_RESULT "):
-            return json.loads(line[len("SCALING_RESULT "):])
-    raise RuntimeError(
-        f"no result for {workload}:\n{p.stdout[-1500:]}\n{p.stderr[-1500:]}"
+    from scaling_subproc import run_scaling_one
+
+    return run_scaling_one(
+        CPUS,
+        tok,
+        lab,
+        PROVIDER,
+        env_extra={
+            "SCALE_WORKLOADS": workload,
+            "SCALE_HOT_KEYS": HOT_KEY,
+            "SCALE_SALTS": str(SALTS),
+        },
     )
 
 
