@@ -61,9 +61,14 @@ def initial_symbols(word: Column | str) -> Column:
     Split on the zero-width boundary strictly BETWEEN characters
     ('(?!^)(?=.)': not at start, one char must follow — a bare '(?!^)'
     also matches at end-of-string and emits a trailing empty symbol
-    under Spark's limit=-1 split)."""
+    under Spark's limit=-1 split). DOTALL ('(?s)') is required: Java's
+    default '.' excludes Unicode line terminators (U+0085, U+2028,
+    U+2029), which SURVIVE tokenize's ASCII-only \\s+ split — without
+    it Spark would fuse a multi-char symbol around them while the
+    python twin (list(w)) and the DuckDB oracle split per codepoint
+    (advice r4)."""
     c = F.col(word) if isinstance(word, str) else word
-    return F.concat(F.split(c, r"(?!^)(?=.)"), F.array(F.lit(EOW)))
+    return F.concat(F.split(c, r"(?s)(?!^)(?=.)"), F.array(F.lit(EOW)))
 
 
 def _pair_structs(syms: Column) -> Column:

@@ -133,8 +133,12 @@ class StandardScaler(ColumnEncoder):
             # yields IEEE +/-inf (NaN at x == mean). var_ is a plan-time
             # python float, so emit the IEEE result branchlessly instead
             # of crashing mid-query (review r4d); NULL inputs stay NULL.
+            # NaN first: Spark orders NaN greater than every double, so
+            # an unguarded `x > mean` would map NaN -> +inf, while IEEE
+            # (NaN - mean)/0.0 is NaN (advice r4).
             ieee = (
-                F.when(x > F.lit(self.mean_), F.lit(float("inf")))
+                F.when(F.isnan(x), F.lit(float("nan")))
+                .when(x > F.lit(self.mean_), F.lit(float("inf")))
                 .when(x < F.lit(self.mean_), F.lit(float("-inf")))
                 .otherwise(F.lit(float("nan")))
             )

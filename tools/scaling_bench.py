@@ -35,6 +35,8 @@ WORKLOADS = os.environ.get(
 
 
 def run(cpus: int, tok: str, lab: str, provider: str) -> dict:
+    if HERE not in sys.path:  # robust under python -m / pytest collection
+        sys.path.insert(0, HERE)
     from scaling_subproc import run_scaling_one
 
     return run_scaling_one(cpus, tok, lab, provider)

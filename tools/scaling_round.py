@@ -59,6 +59,8 @@ def spin_rate(procs: int, iters: int = 40_000_000) -> float:
 
 
 def run_level(cpus: int, tok: str, lab: str) -> dict:
+    if HERE not in sys.path:  # robust under python -m / pytest collection
+        sys.path.insert(0, HERE)
     from scaling_subproc import run_scaling_one
 
     return run_scaling_one(

@@ -48,6 +48,8 @@ HOT_KEY = "doc-hot-0"
 
 
 def run_one(workload: str, tok: str, lab: str) -> dict:
+    if HERE not in sys.path:  # robust under python -m / pytest collection
+        sys.path.insert(0, HERE)
     from scaling_subproc import run_scaling_one
 
     return run_scaling_one(
