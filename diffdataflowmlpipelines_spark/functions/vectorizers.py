@@ -17,6 +17,26 @@ from diffdataflowmlpipelines_spark.operators.encoders import (
     overprovisioned_len,
 )
 
+# The dense classes below materialize a |V|-length statistic on the
+# driver and a |V|-length array PER ROW — a bounded-vocab convenience by
+# contract, never the 100 TB path (that is token_counts / tfidf_pairs +
+# the sharded fit_dictionary, which shuffle only pairs that exist).
+# Guarded so the contract fails loudly instead of OOMing the driver.
+DENSE_VOCAB_CAP = 65536
+
+
+def _check_dense_cap(n: int, cap: int | None, what: str, alt: str) -> None:
+    if cap is not None and n > cap:
+        raise ValueError(
+            f"{what}: dictionary/statistic has {n} entries, over the "
+            f"dense-path cap of {cap}. The dense vector form is a "
+            f"bounded-vocab convenience (it collects a |V|-length fit "
+            f"statistic and emits |V|-length arrays per row); for large "
+            f"vocabularies use the exploded-pair scale path: {alt}. "
+            f"Raise the cap explicitly (max_vocab=) only if the driver "
+            f"and per-row memory budget allow it."
+        )
+
 
 def token_counts(df: DataFrame, key: str, tokens_col: str) -> DataFrame:
     """(key, token, tf) pairs — CountVectorizer's statistic in exploded
@@ -79,9 +99,15 @@ class CountVectorizer:
     reference keys by row_id).
     """
 
-    def __init__(self, binary: bool = False, order: str = "sorted"):
+    def __init__(
+        self,
+        binary: bool = False,
+        order: str = "sorted",
+        max_vocab: int | None = DENSE_VOCAB_CAP,
+    ):
         self.binary = binary
         self.order = order
+        self.max_vocab = max_vocab
         self.vocab_: DataFrame | None = None
         self.vec_len_: int | None = None
 
@@ -91,6 +117,12 @@ class CountVectorizer:
         )
         self.vocab_ = fit_dictionary(ex, "token", self.order)
         n = self.vocab_.count()
+        _check_dense_cap(
+            int(n),
+            self.max_vocab,
+            "CountVectorizer.fit",
+            "token_counts(df, key, tokens_col) + fit_dictionary",
+        )
         self.vec_len_ = overprovisioned_len(max(int(n), 1))
         return self
 
@@ -134,9 +166,16 @@ class TfidfTransformer:
     reference bit-for-bit.
     """
 
-    def __init__(self, *, invert_presence: bool = False, round_to: int | None = None):
+    def __init__(
+        self,
+        *,
+        invert_presence: bool = False,
+        round_to: int | None = None,
+        max_vocab: int | None = DENSE_VOCAB_CAP,
+    ):
         self.invert_presence = invert_presence
         self.round_to = round_to
+        self.max_vocab = max_vocab
         self.df_: DataFrame | None = None  # (pos, __df, __n)
 
     def fit(self, df: DataFrame, vec_col: str) -> "TfidfTransformer":
@@ -153,8 +192,18 @@ class TfidfTransformer:
         )
         # COLLECT the fit statistic (vec_len rows — the repo's fit-time
         # convention): an uncollected df_ re-executes the whole
-        # posexplode+aggregate upstream subplan on every transform action
-        rows = per_pos.collect()
+        # posexplode+aggregate upstream subplan on every transform
+        # action. The limit(cap+1) bounds the collect itself, so an
+        # over-cap vector length raises instead of OOMing the driver.
+        cap = self.max_vocab
+        rows = (per_pos.limit(cap + 1) if cap is not None else per_pos).collect()
+        if cap is not None and len(rows) > cap:
+            _check_dense_cap(
+                len(rows),
+                cap,
+                "TfidfTransformer.fit",
+                "tfidf_pairs(df, key, tokens_col)",
+            )
         self.df_ = df.sparkSession.createDataFrame(
             [(int(r["__pos"]), int(r["__df"]), int(r["__n"])) for r in rows],
             "__pos int, __df bigint, __n bigint",

@@ -458,7 +458,9 @@ def _doc_tokens_mq(spark, sf_dir):
 # --- a3: ordered-statistic aggregate (exact grouped median/p90) ----------------
 # SURVEY §2.3: the reference has "no sort-based agg"; a complete engine
 # needs ordered statistics. Exact percentile here (linear interpolation,
-# matching DuckDB quantile_cont); at 100 TB swap percentile_approx.
+# matching DuckDB quantile_cont); the 100 TB swap is
+# grouped_percentiles(mode="approx") — Greenwald-Khanna bounded-state
+# sketch, accuracy-tested against exact in tests/test_round5_scale_paths.py.
 
 @q(
     "a3_grouped_percentiles",
@@ -471,11 +473,17 @@ def _doc_tokens_mq(spark, sf_dir):
     """,
 )
 def a3_grouped_percentiles(spark, sf_dir):
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        grouped_percentiles,
+    )
+
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
-        F.count("*").cast("long").alias("n"),
+    return grouped_percentiles(
+        ev,
+        "event_type",
+        "value",
+        [(0.5, "median_value"), (0.9, "p90_value")],
+        mode="exact",
     )
 
 
