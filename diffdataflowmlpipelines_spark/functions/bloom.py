@@ -98,24 +98,93 @@ def build_bloom_words(
     return words
 
 
-def bloom_member(c: Column, words: list[int], *, n_bits: int, k: int = 4) -> Column:
-    """Zero-shuffle membership probe: true iff all k bits are set. The
-    packed words ride along as a single array<long> literal; the k
-    probes run entirely JVM-side (sequence → forall → getbit), so a
-    100 TB corpus scan stays a map-only projection with whole-stage
-    codegen."""
-    if len(words) * WORD_BITS != n_bits:
-        raise ValueError(
-            f"words length {len(words)} does not match n_bits {n_bits}"
-        )
-    arr = F.lit([int(w) for w in words])
+def _member_expr(c: Column, arr: Column, n_bits: int, k: int) -> Column:
+    """True iff all k probe bits are set in ``arr`` (array<long> of
+    packed words) — pure JVM expression (sequence → forall → getbit),
+    shared by the literal and broadcast carriers."""
     h1, h2 = _h1_h2(c, n_bits)
+
     def bit_set(i: Column) -> Column:
         p = _position(h1, h2, i, n_bits)
         word = F.element_at(arr, (p / WORD_BITS).cast("int") + 1)
         return F.getbit(word, (p % WORD_BITS).cast("int")) == 1
 
     return F.forall(F.sequence(F.lit(0), F.lit(k - 1)), bit_set)
+
+
+def _check_words(words: list[int], n_bits: int) -> None:
+    if len(words) * WORD_BITS != n_bits:
+        raise ValueError(
+            f"words length {len(words)} does not match n_bits {n_bits}"
+        )
+
+
+def bloom_member(c: Column, words: list[int], *, n_bits: int, k: int = 4) -> Column:
+    """Zero-shuffle membership probe: true iff all k bits are set. The
+    packed words ride along as a single array<long> literal; the k
+    probes run entirely JVM-side (sequence → forall → getbit), so a
+    100 TB corpus scan stays a map-only projection with whole-stage
+    codegen.
+
+    LITERAL-CARRIER ONLY: a plan literal is re-serialized into every
+    task binary and inflates the plan/codegen source, so callers above
+    ``BLOOM_LITERAL_MAX_BYTES`` must use ``with_bloom_member`` (the
+    DataFrame-level API with the broadcast carrier) — enforced here so
+    the hazard cannot be reintroduced silently (verdict r4 #3)."""
+    _check_words(words, n_bits)
+    if len(words) * 8 > BLOOM_LITERAL_MAX_BYTES:
+        raise ValueError(
+            f"bloom_member: {len(words) * 8} bytes of packed words "
+            f"exceeds the plan-literal cap ({BLOOM_LITERAL_MAX_BYTES}); "
+            f"use with_bloom_member(df, ...) which ships the array via "
+            f"a one-row broadcast instead of a per-task plan literal"
+        )
+    return _member_expr(c, F.lit([int(w) for w in words]), n_bits, k)
+
+
+# Above this many bytes of packed words the filter stops riding as a
+# plan literal (re-serialized per task, codegen-source blowup) and ships
+# once per executor via a one-row broadcast-join side instead.
+BLOOM_LITERAL_MAX_BYTES = 1 << 20
+
+
+def with_bloom_member(
+    df: DataFrame,
+    c: Column | str,
+    words: list[int],
+    out: str,
+    *,
+    n_bits: int,
+    k: int = 4,
+) -> DataFrame:
+    """``df`` plus boolean column ``out`` = Bloom membership of ``c`` —
+    the size-aware carrier switch (verdict r4 #3):
+
+    * small filters (≤ BLOOM_LITERAL_MAX_BYTES packed): the array<long>
+      literal form — zero extra operators, widest codegen span;
+    * large filters (the docstring's own 2^26-bit case is 16 MB): the
+      words become a ONE-ROW DataFrame joined with an explicit
+      ``F.broadcast`` hint — Spark's torrent broadcast ships the array
+      once per EXECUTOR (not once per task binary), the plan carries
+      only a scan of the 1-row relation, and the probe expression is
+      the same JVM getbit fold over the joined column. This is the
+      c9-style 1-row scalar BroadcastNestedLoopJoin shape, not a real
+      join fan-out.
+
+    Probe semantics are identical on both paths (shared _member_expr).
+    """
+    _check_words(words, n_bits)
+    col = F.col(c) if isinstance(c, str) else c
+    if len(words) * 8 <= BLOOM_LITERAL_MAX_BYTES:
+        return df.withColumn(out, bloom_member(col, words, n_bits=n_bits, k=k))
+    wdf = df.sparkSession.createDataFrame(
+        [([int(w) for w in words],)], "__bloom_words array<bigint>"
+    )
+    return (
+        df.join(F.broadcast(wdf), how="cross")
+        .withColumn(out, _member_expr(col, F.col("__bloom_words"), n_bits, k))
+        .drop("__bloom_words")
+    )
 
 
 def bloom_contamination(
@@ -148,8 +217,12 @@ def bloom_contamination(
     words = build_bloom_words(
         grams(bench).select("__g").distinct(), "__g", n_bits=n_bits, k=k
     )
-    hit = bloom_member(F.col("__g"), words, n_bits=n_bits, k=k).cast("int")
-    return grams(docs).select(F.col(id_col), hit.alias("__hit")).groupBy(
+    probed = with_bloom_member(
+        grams(docs), F.col("__g"), words, "__b", n_bits=n_bits, k=k
+    )
+    return probed.select(
+        F.col(id_col), F.col("__b").cast("int").alias("__hit")
+    ).groupBy(
         id_col
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_ngrams"),

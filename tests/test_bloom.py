@@ -109,3 +109,52 @@ def test_parameter_validation(spark):
         build_bloom_words(df, "v", n_bits=64, k=0)
     with pytest.raises(ValueError, match="does not match"):
         bloom_member(F.col("v"), [0] * 3, n_bits=64, k=4)
+
+
+def test_with_bloom_member_paths_agree_and_literal_cap_enforced(spark, monkeypatch):
+    import diffdataflowmlpipelines_spark.functions.bloom as bloom_mod
+    from diffdataflowmlpipelines_spark.functions.bloom import with_bloom_member
+
+    members = [f"in-{i}" for i in range(200)]
+    words = _py_words(members, N_BITS, K)
+    df = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(200)] + [(f"out-{i}",) for i in range(200)],
+        ["v"],
+    )
+    lit_rows = {
+        r["v"]: r["m"]
+        for r in with_bloom_member(df, "v", words, "m", n_bits=N_BITS, k=K).collect()
+    }
+    # force the broadcast carrier on the same tiny filter
+    monkeypatch.setattr(bloom_mod, "BLOOM_LITERAL_MAX_BYTES", 0)
+    bc = with_bloom_member(df, "v", words, "m", n_bits=N_BITS, k=K)
+    assert "__bloom_words" not in bc.columns
+    bc_rows = {r["v"]: r["m"] for r in bc.collect()}
+    assert lit_rows == bc_rows  # identical probe semantics on both carriers
+    # the Column-level literal API refuses over-cap filters outright
+    with pytest.raises(ValueError, match="with_bloom_member"):
+        bloom_member(F.col("v"), words, n_bits=N_BITS, k=K)
+
+
+def test_broadcast_carrier_round_trip_2e26_bits(spark):
+    # The docstring's own hazard case: 2^26 bits = 16 MB packed — must
+    # take the broadcast path, probe correctly, and leave the plan free
+    # of a multi-MB literal.
+    from diffdataflowmlpipelines_spark.functions.bloom import with_bloom_member
+
+    n_bits = 1 << 26
+    members = [f"big-{i}" for i in range(300)]
+    words = _py_words(members, n_bits, K)
+    assert len(words) * 8 == (1 << 24)  # 16 MiB of int64 words > 1 MiB cap
+    df = spark.createDataFrame(
+        [(v, True) for v in members]
+        + [(f"no-{i}", False) for i in range(300)],
+        ["v", "is_member"],
+    )
+    out = with_bloom_member(df, "v", words, "m", n_bits=n_bits, k=K)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 200_000  # no 16 MB literal inlined in the plan
+    got = out.collect()
+    assert all(r["m"] for r in got if r["is_member"])  # no false negatives
+    fps = sum(1 for r in got if not r["is_member"] and r["m"])
+    assert fps == 0  # m/n so large the fp probability is ~0
