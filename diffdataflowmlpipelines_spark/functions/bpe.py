@@ -171,7 +171,40 @@ def learn_bpe(
     table (rank, left, right, merged, pair_count) in learned order —
     deterministic: ties in pair_count break on (left, right) ascending.
     Stops early if no adjacent pair remains (fully merged vocabulary).
+
+    Scale shape (verdict r4 #1): the DISTRIBUTED part of BPE is the
+    word-frequency table (ONE corpus-wide shuffle) and the encode join
+    — never the argmax loop. The frequency table is vocab-sized
+    (millions of rows at 100 TB, the same bounded fit-statistic class
+    every encoder collects), so it is collected ONCE and all merges are
+    learned driver-side with an incremental pair-count heap
+    (``learn_bpe_incremental`` — Sennrich's algorithm with per-merge
+    work proportional to the words actually containing the merged
+    pair). The old one-Spark-job-per-merge loop is kept as
+    ``learn_bpe_spark_iterative`` purely as the distributed-parity /
+    oracle twin: at a production vocabulary (32k–50k merges) it is tens
+    of thousands of driver-coordinated jobs + checkpoint
+    materializations; the driver-side learner does 1024 merges on the
+    sf0.1 corpus in seconds (SCALING.md "BPE learn").
     """
+    spark = docs.sparkSession
+    wf_rows = word_frequencies(docs, text_col).collect()
+    merges = learn_bpe_incremental(
+        {r["word"]: int(r["freq"]) for r in wf_rows}, n_merges
+    )
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def learn_bpe_spark_iterative(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """The per-merge Spark loop: one vocab-frame aggregation + 1-row
+    argmax collect + localCheckpoint per merge. Retained ONLY as the
+    distributed parity/oracle twin of ``learn_bpe`` (their outputs are
+    pinned identical in tests/test_bpe.py) — the per-merge job +
+    checkpoint overhead cannot survive a real vocabulary size; the
+    engine path collects the bounded word-frequency table once and
+    learns driver-side instead."""
     spark = docs.sparkSession
     wf = (
         word_frequencies(docs, text_col)
@@ -194,6 +227,88 @@ def learn_bpe(
             "freq", merge_pair(F.col("symbols"), l, r).alias("symbols")
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def learn_bpe_incremental(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Incremental-heap BPE learner over a collected word-frequency
+    table — the driver-side engine path behind ``learn_bpe``. Same
+    determinism contract as every other form (argmax pair_count, ties
+    on (left, right) ascending) and bit-identical output to
+    ``learn_bpe_local`` / ``learn_bpe_spark_iterative``.
+
+    Algorithm (Sennrich et al. 2016, the standard fast implementation):
+    a lazy max-heap over pair counts plus a pair -> containing-words
+    index. Every count CHANGE pushes a fresh heap entry, so the current
+    count of every live pair is always present in the heap and the
+    first entry that validates against the counts dict is the true
+    argmax (stale entries are discarded on pop). Pushing on increases
+    matters: symbol-string aliasing (a merge can DERIVE a symbol equal
+    to an existing one, see the EOW note above) means an existing
+    pair's count can go UP, not just down. Per merge the work is
+    proportional to the total length of words containing the merged
+    pair — not to the vocabulary — so 32k merges are tractable where
+    the full-rescan twin (``learn_bpe_local``) is O(n_merges · vocab).
+    """
+    import heapq
+
+    words: list[list] = []  # [symbols, freq]
+    pair_cnt: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, str, str]] = []
+
+    def upd(pair: tuple[str, str], delta: int) -> None:
+        c = pair_cnt.get(pair, 0) + delta
+        if c > 0:
+            pair_cnt[pair] = c
+            heapq.heappush(heap, (-c, pair[0], pair[1]))
+        else:
+            pair_cnt.pop(pair, None)
+
+    for w, f in word_freqs.items():
+        idx = len(words)
+        syms = list(w) + [EOW]
+        words.append([syms, int(f)])
+        for a, b in zip(syms, syms[1:]):
+            pair_cnt[(a, b)] = pair_cnt.get((a, b), 0) + int(f)
+            pair_words.setdefault((a, b), set()).add(idx)
+    for (a, b), c in pair_cnt.items():
+        heapq.heappush(heap, (-c, a, b))
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            negc, l, r = heapq.heappop(heap)
+            if pair_cnt.get((l, r)) == -negc:
+                best = (l, r, -negc)
+                break
+        if best is None:
+            break
+        l, r, c = best
+        merges.append((rank, l, r, l + r, c))
+        # apply only to words that (may) contain the pair; the index can
+        # hold stale members — a word re-segmented by an earlier merge —
+        # so re-check before touching counts
+        for idx in sorted(pair_words.pop((l, r), ())):
+            syms, f = words[idx]
+            if not any(
+                syms[i] == l and syms[i + 1] == r for i in range(len(syms) - 1)
+            ):
+                continue
+            for a, b in zip(syms, syms[1:]):
+                upd((a, b), -f)
+            new = merge_local(syms, l, r)
+            words[idx][0] = new
+            for a, b in zip(new, new[1:]):
+                upd((a, b), f)
+                pair_words.setdefault((a, b), set()).add(idx)
+        # (l, r) drains to exactly 0 through the +/- deltas: greedy
+        # leftmost merging leaves no (l, r) adjacency in any processed
+        # word, and no other word changed — no defensive pop, so the
+        # parity tests would catch any bookkeeping drift
+    return merges
 
 
 def apply_merges(syms: Column, merges: list[tuple[str, str]]) -> Column:

@@ -532,3 +532,62 @@ def test_tokenizer_pipeline_precomputed_merges_parity(spark):
     assert rows(tokenizer_pipeline(docs, merges=merges)) == rows(
         tokenizer_pipeline(docs, n_merges=6)
     )
+
+
+# --- incremental driver-side learner (the engine path, verdict r4 #1) ----
+
+
+def test_incremental_matches_full_rescan_on_random_corpora():
+    from diffdataflowmlpipelines_spark.functions.bpe import (
+        learn_bpe_incremental,
+    )
+
+    for seed in (7, 99, 2024, 31337):
+        rng = random.Random(seed)
+        words = set()
+        while len(words) < 120:
+            n = rng.randint(1, 10)
+            words.add("".join(rng.choice("abcd") for _ in range(n)))
+        wf = {w: rng.randint(1, 20) for w in sorted(words)}
+        # deep merge count: drives well into derived-symbol aliasing
+        # territory (counts that INCREASE after first being pushed)
+        assert learn_bpe_incremental(wf, 300) == learn_bpe_local(wf, 300), seed
+
+
+def test_incremental_aliasing_count_increase_parity():
+    from diffdataflowmlpipelines_spark.functions.bpe import (
+        learn_bpe_incremental,
+    )
+
+    # 'ab' is derived at different ranks in different words, so pairs
+    # involving the derived symbol gain count AFTER their first heap
+    # push — the lazy-heap case that requires push-on-increase.
+    wf = {"abc": 9, "zabc": 4, "aabc": 3, "abq": 2, "ab": 1}
+    assert learn_bpe_incremental(wf, 50) == learn_bpe_local(wf, 50)
+
+
+def test_learn_bpe_equals_spark_iterative_twin(spark):
+    from diffdataflowmlpipelines_spark.functions.bpe import (
+        learn_bpe_spark_iterative,
+    )
+
+    rng = random.Random(555)
+    words = set()
+    while len(words) < 30:
+        n = rng.randint(1, 7)
+        words.add("".join(rng.choice("abc") for _ in range(n)))
+    wf = {w: rng.randint(1, 9) for w in sorted(words)}
+    docs = _docs_from_freqs(spark, wf)
+    fast = [tuple(r) for r in learn_bpe(docs, 15).collect()]
+    slow = [tuple(r) for r in learn_bpe_spark_iterative(docs, 15).collect()]
+    assert fast == slow
+
+
+def test_incremental_early_stop_and_empty():
+    from diffdataflowmlpipelines_spark.functions.bpe import (
+        learn_bpe_incremental,
+    )
+
+    assert learn_bpe_incremental({}, 5) == []
+    got = learn_bpe_incremental({"a": 3}, 5)
+    assert got == [(0, "a", EOW, "a" + EOW, 3)]
