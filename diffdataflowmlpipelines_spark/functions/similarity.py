@@ -385,6 +385,54 @@ def cluster_profile(
     )
 
 
+def _subsplit_hot_cells(
+    assigned: DataFrame,
+    *,
+    max_cell: int,
+    seed: int,
+    max_planes: int,
+) -> DataFrame:
+    """Second-level hyperplane split of over-cap cells (the semantic_
+    dedup ``max_cell`` mechanism). Input is the checkpointed
+    ``_nearest_assign`` frame (__id, __vec, __vn, cluster_id, __cos);
+    output adds ``__sub``: 0 for cells within the cap, else the
+    low ``ceil(log2(|cell| / max_cell))`` bits (≤ max_planes) of the
+    row's sign signature against ``max_planes`` seeded hyperplanes —
+    one shared plane matrix, per-cell mask width, so expected sub-cell
+    size ≈ max_cell and identical directions always share a sub-cell.
+
+    Cost: one tiny count aggregate (≤ n_centroids rows, broadcast
+    back) + a map-only signature projection; re-checkpointed because
+    three branches consume it (same rule as the assignment itself)."""
+    if max_cell < 1:
+        raise ValueError(f"max_cell must be >= 1, got {max_cell}")
+    counts = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__cn")
+    )
+    dim = len(assigned.select("__vec").first()["__vec"])
+    planes = hyperplanes(dim, max_planes, seed)
+    n_bits = F.least(
+        F.greatest(
+            F.ceil(F.log2(F.col("__cn") / F.lit(float(max_cell)))),
+            F.lit(0),
+        ),
+        F.lit(max_planes),
+    ).cast("int")
+    # sig & (2^n_bits - 1) == pmod(sig, 2^n_bits) for the non-negative
+    # signature; pow stays exact (n_bits <= 16 << 53 double mantissa)
+    # and unlike shiftleft accepts a per-row column for the width
+    pow2 = F.pow(F.lit(2.0), n_bits).cast("long")
+    sub = F.when(F.col("__cn") <= max_cell, F.lit(0)).otherwise(
+        F.pmod(sign_signature(F.col("__vec"), planes), pow2)
+    )
+    return (
+        assigned.join(F.broadcast(counts), "cluster_id")
+        .withColumn("__sub", sub.cast("long"))
+        .drop("__cn")
+        .localCheckpoint(eager=True)
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     key: str,
@@ -394,6 +442,9 @@ def semantic_dedup(
     n_centroids: int = 8,
     centroids: DataFrame | None = None,
     round_to: int = 9,
+    max_cell: int | None = None,
+    subsplit_seed: int = 42,
+    max_subsplit_planes: int = 16,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then deduplicate WITHIN each centroid cell by
@@ -414,9 +465,25 @@ def semantic_dedup(
     per-cell self-join — Sigma |cell|^2 work, NEVER all-pairs. The
     ``n_centroids`` knob bounds cell size exactly as in the paper
     (50k cells over 5B embeddings); pass ``kmeans_centroids(...)`` for
-    refined cells. Cells are skewed by construction — AQE skew-join
-    handles the hot cell, or raise ``n_centroids``. Beyond-reference
-    operator (the reference has no vector ops at all).
+    refined cells.
+
+    Hot-cell cap (verdict r4 #2): near-duplicate mass piles into ONE
+    cell, so Sigma|cell|^2 degenerates to all-pairs locally. With
+    ``max_cell`` set, cells larger than it are sub-split by a
+    second-level random-hyperplane signature (the d7 banding idea
+    applied within cells): a cell of size c gets
+    ``ceil(log2(c / max_cell))`` sign bits (≤ ``max_subsplit_planes``),
+    so expected sub-cell size ≈ max_cell for angularly-spread mass, and
+    pairs are compared only within (cell, sub-signature). Contract
+    change when capped: pairs that straddle sub-cells are MISSED —
+    per-bit collision probability for vectors at angle θ is 1 − θ/π
+    (≈ 1 for the near-identical pairs dedup targets; exactly 1 for
+    identical directions), so recall concentrates on true duplicates.
+    Degenerate mass with IDENTICAL rounded vectors never splits (equal
+    signatures by construction) — collapse those first with the exact
+    d1 hash-dedup pass. ``max_cell=None`` (default) keeps the exact
+    within-cell semantics bit-for-bit (the d10 oracle shape).
+    Beyond-reference operator (the reference has no vector ops at all).
     """
     assigned = _nearest_assign(
         corpus,
@@ -433,20 +500,30 @@ def semantic_dedup(
     # of defect from VERDICT r3). localCheckpoint, not persist — same
     # discipline as minhash_lsh_candidates (dedup.py).
     assigned = assigned.localCheckpoint(eager=True)
+    if max_cell is not None:
+        assigned = _subsplit_hot_cells(
+            assigned,
+            max_cell=max_cell,
+            seed=subsplit_seed,
+            max_planes=max_subsplit_planes,
+        )
+        pair_keys = ["cluster_id", "__sub"]
+    else:
+        pair_keys = ["cluster_id"]
     hi = assigned.select(
         F.col("__id").alias("__hi"),
         F.col("__vec").alias("__va"),
         F.col("__vn").alias("__na"),
-        "cluster_id",
+        *pair_keys,
     )
     lo = assigned.select(
         F.col("__id").alias("__lo"),
         F.col("__vec").alias("__vb"),
         F.col("__vn").alias("__nb"),
-        "cluster_id",
+        *pair_keys,
     )
     dropped = (
-        hi.join(lo, "cluster_id")
+        hi.join(lo, pair_keys)
         .filter(F.col("__hi") > F.col("__lo"))
         .filter(
             F.round(

