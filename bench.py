@@ -244,13 +244,23 @@ def prepare_stream_inputs(workdir: str) -> tuple[str, str, int]:
 
 def bench_join(spark, tok_dir: str, lab_dir: str, n_seq: int, ckpt: str) -> dict:
     """Stateful stream-stream join on (doc_id, source): wall-clock +
-    sustained per-batch rate."""
+    sustained per-batch rate.
+
+    State partition count is set per-query (binds at checkpoint
+    creation): tools/join_tune.py measured the HDFS provider's
+    per-partition commit/maintenance cost dominating this join on one
+    box — 8 state partitions sustain >2x the 32-partition rate on
+    identical input (SCALING.md round-5 matrix). Local-mode tuning
+    only; on a real cluster state partitions scale with executors
+    (override via SPARK_GRAFT_JOIN_PARTS)."""
     from diffdataflowmlpipelines_spark.sources.fixtures import (
         LABELS_SCHEMA,
         TOKENS_STREAM_SCHEMA,
     )
     from diffdataflowmlpipelines_spark.streaming.join import label_join
 
+    join_parts = os.environ.get("SPARK_GRAFT_JOIN_PARTS", "8")
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     tok_s = (
         spark.readStream.schema(TOKENS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -263,19 +273,23 @@ def bench_join(spark, tok_dir: str, lab_dir: str, n_seq: int, ckpt: str) -> dict
     )
     j = label_join(tok_s, lab_s)
     t0 = time.time()
-    q = (
-        j.writeStream.foreachBatch(lambda df, eid: run_noop(df))
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # a timed-out query keeps running: partial recentProgress,
-        # contention with the next rep, and the workdir cleanup
-        # would rmtree files under a LIVE query -> fail loudly
-        q.stop()
-        raise RuntimeError("streaming bench rep timed out after 600s")
+    spark.conf.set("spark.sql.shuffle.partitions", join_parts)
+    try:
+        q = (
+            j.writeStream.foreachBatch(lambda df, eid: run_noop(df))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            # a timed-out query keeps running: partial recentProgress,
+            # contention with the next rep, and the workdir cleanup
+            # would rmtree files under a LIVE query -> fail loudly
+            q.stop()
+            raise RuntimeError("streaming bench rep timed out after 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     dt = time.time() - t0
     return {
         "sec": round(dt, 2),

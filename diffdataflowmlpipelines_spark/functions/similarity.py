@@ -409,7 +409,10 @@ def _subsplit_hot_cells(
     counts = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("__cn")
     )
-    dim = len(assigned.select("__vec").first()["__vec"])
+    probe = assigned.select("__vec").first()
+    if probe is None:  # empty corpus: nothing to split
+        return assigned.withColumn("__sub", F.lit(0).cast("long"))
+    dim = len(probe["__vec"])
     planes = hyperplanes(dim, max_planes, seed)
     n_bits = F.least(
         F.greatest(

@@ -425,3 +425,19 @@ def test_semantic_dedup_hot_cell_subsplit(spark):
     # cell size (spread directions split; only true duplicates collide)
     assert by_cell[0]["mx"] < 150
     assert by_cell[0]["p2"] < 404 * 404 / 4
+
+
+def test_semantic_dedup_empty_corpus_with_cap(spark):
+    """An empty corpus with max_cell set must return empty, not crash:
+    _subsplit_hot_cells probes one row for the embedding dimension and
+    first() is None on an empty frame."""
+    from diffdataflowmlpipelines_spark.functions.similarity import semantic_dedup
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.9, centroids=cents, max_cell=8
+    )
+    assert out.count() == 0
