@@ -247,19 +247,24 @@ def bench_join(spark, tok_dir: str, lab_dir: str, n_seq: int, ckpt: str) -> dict
     sustained per-batch rate.
 
     State partition count is set per-query (binds at checkpoint
-    creation): tools/join_tune.py measured the HDFS provider's
-    per-partition commit/maintenance cost dominating this join on one
-    box — 8 state partitions sustain >2x the 32-partition rate on
-    identical input (SCALING.md round-5 matrix). Local-mode tuning
-    only; on a real cluster state partitions scale with executors
-    (override via SPARK_GRAFT_JOIN_PARTS)."""
+    creation) via recommended_state_partitions — the measured cost
+    model from tools/join_tune.py (SCALING.md round-5 matrices: HDFS
+    provider per-partition commit cost vs update parallelism crosses
+    over at ~20k rows/partition/batch; at this bench's 200k rows/batch
+    that yields 8, which sustained 2.4x the 32-partition rate).
+    Override via SPARK_GRAFT_JOIN_PARTS."""
     from diffdataflowmlpipelines_spark.sources.fixtures import (
         LABELS_SCHEMA,
         TOKENS_STREAM_SCHEMA,
     )
-    from diffdataflowmlpipelines_spark.streaming.join import label_join
+    from diffdataflowmlpipelines_spark.streaming.join import (
+        label_join,
+        recommended_state_partitions,
+    )
 
-    join_parts = os.environ.get("SPARK_GRAFT_JOIN_PARTS", "8")
+    join_parts = os.environ.get("SPARK_GRAFT_JOIN_PARTS") or str(
+        recommended_state_partitions(n_seq // 3, max_parallelism=CPUS)
+    )
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     tok_s = (
         spark.readStream.schema(TOKENS_STREAM_SCHEMA)
