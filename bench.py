@@ -262,8 +262,13 @@ def bench_join(spark, tok_dir: str, lab_dir: str, n_seq: int, ckpt: str) -> dict
         recommended_state_partitions,
     )
 
+    # max_parallelism from the SESSION, not the CPUS global: the
+    # BENCH_SCALING low-cores rep runs this on a local[CPUS//4] session
+    # whose task slots are a quarter of the machine (review r5)
     join_parts = os.environ.get("SPARK_GRAFT_JOIN_PARTS") or str(
-        recommended_state_partitions(n_seq // 3, max_parallelism=CPUS)
+        recommended_state_partitions(
+            n_seq // 3, max_parallelism=spark.sparkContext.defaultParallelism
+        )
     )
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     tok_s = (

@@ -58,17 +58,22 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def initial_symbols(word: Column | str) -> Column:
     """Character symbols plus the EOW terminal: 'low' -> [l, o, w, </w>].
-    Split on the zero-width boundary strictly BETWEEN characters
-    ('(?!^)(?=.)': not at start, one char must follow — a bare '(?!^)'
-    also matches at end-of-string and emits a trailing empty symbol
-    under Spark's limit=-1 split). DOTALL ('(?s)') is required: Java's
-    default '.' excludes Unicode line terminators (U+0085, U+2028,
-    U+2029), which SURVIVE tokenize's ASCII-only \\s+ split — without
-    it Spark would fuse a multi-char symbol around them while the
-    python twin (list(w)) and the DuckDB oracle split per codepoint
-    (advice r4)."""
+
+    Split per CODEPOINT with the empty pattern: ``F.split(c, "")``
+    emits one element per Unicode codepoint — verified to keep
+    supplementary characters (UTF-16 surrogate pairs, e.g. emoji)
+    whole and to isolate Unicode line terminators (U+0085, U+2028,
+    U+2029, which survive tokenize's ASCII-only \\s+ split). Every
+    zero-width-regex variant tried ('(?!^)(?=.)' with or without
+    DOTALL/lookbehind guards) splits BETWEEN the surrogate halves of a
+    non-BMP character under Java's code-unit match positions, which
+    diverges from the python twin (``list(w)``, codepoints) and the
+    DuckDB oracle (``string_split(word, '')``, codepoints — combining
+    marks stay separate codepoints on both engines, verified): learned
+    merges over astral symbols would then never match at encode time
+    (round-5 review finding)."""
     c = F.col(word) if isinstance(word, str) else word
-    return F.concat(F.split(c, r"(?s)(?!^)(?=.)"), F.array(F.lit(EOW)))
+    return F.concat(F.split(c, ""), F.array(F.lit(EOW)))
 
 
 def _pair_structs(syms: Column) -> Column:

@@ -283,12 +283,17 @@ def _nearest_assign(
     centroids: DataFrame | None,
     round_to: int,
     what: str,
+    return_dim: bool = False,
 ) -> DataFrame:
     """Shared literal-centroid nearest-cell assignment (the ivf_topk
     discipline: cosine, ties to the LOWER centroid id). Returns
     ``(__id, __vec, __vn, cluster_id, __cos)`` — a shuffle-free
     map-only projection: the C x dim centroid matrix is a collected
-    literal array, so no join and no exchange reaches the plan."""
+    literal array, so no join and no exchange reaches the plan.
+    ``return_dim=True`` returns ``(frame, dim)`` — the embedding
+    dimension is already known here from the collected centroids (and
+    enforced on the corpus by ``_check_dim``), so downstream consumers
+    like the hot-cell sub-split never need another probe action."""
     corpus = _nonzero(corpus, vec_col)
     if centroids is None:
         if corpus.isStreaming:
@@ -337,13 +342,14 @@ def _nearest_assign(
         ),
     )
     best = F.array_max(sims)
-    return base.select(
+    out = base.select(
         "__id",
         "__vec",
         "__vn",
         (-best.getField("negcid")).cast("long").alias("cluster_id"),
         best.getField("sim").alias("__cos"),
     )
+    return (out, cdim) if return_dim else out
 
 
 def cluster_profile(
@@ -391,6 +397,7 @@ def _subsplit_hot_cells(
     max_cell: int,
     seed: int,
     max_planes: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Second-level hyperplane split of over-cap cells (the semantic_
     dedup ``max_cell`` mechanism). Input is the checkpointed
@@ -409,10 +416,14 @@ def _subsplit_hot_cells(
     counts = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("__cn")
     )
-    probe = assigned.select("__vec").first()
-    if probe is None:  # empty corpus: nothing to split
-        return assigned.withColumn("__sub", F.lit(0).cast("long"))
-    dim = len(probe["__vec"])
+    if dim is None:
+        # fallback probe for direct callers; semantic_dedup passes the
+        # dim from _nearest_assign's collected centroids so the hot
+        # path pays no extra action (review r5)
+        probe = assigned.select("__vec").first()
+        if probe is None:  # empty corpus: nothing to split
+            return assigned.withColumn("__sub", F.lit(0).cast("long"))
+        dim = len(probe["__vec"])
     planes = hyperplanes(dim, max_planes, seed)
     n_bits = F.least(
         F.greatest(
@@ -488,7 +499,7 @@ def semantic_dedup(
     within-cell semantics bit-for-bit (the d10 oracle shape).
     Beyond-reference operator (the reference has no vector ops at all).
     """
-    assigned = _nearest_assign(
+    assigned, dim = _nearest_assign(
         corpus,
         key,
         vec_col,
@@ -496,6 +507,7 @@ def semantic_dedup(
         centroids=centroids,
         round_to=round_to,
         what="semantic_dedup",
+        return_dim=True,
     )
     # The assignment projection feeds THREE branches (both self-join
     # sides + the final verdict join): uncached, Catalyst would re-run
@@ -509,6 +521,7 @@ def semantic_dedup(
             max_cell=max_cell,
             seed=subsplit_seed,
             max_planes=max_subsplit_planes,
+            dim=dim,
         )
         pair_keys = ["cluster_id", "__sub"]
     else:

@@ -25,10 +25,15 @@ from diffdataflowmlpipelines_spark.operators.encoders import (
 DENSE_VOCAB_CAP = 65536
 
 
-def _check_dense_cap(n: int, cap: int | None, what: str, alt: str) -> None:
+def _check_dense_cap(
+    n: int, cap: int | None, what: str, alt: str, truncated: bool = False
+) -> None:
     if cap is not None and n > cap:
+        # a collect bounded with limit(cap+1) only proves "> cap" — do
+        # not report the truncated count as the actual size (review r5)
+        size = f"more than {cap}" if truncated else f"{n}"
         raise ValueError(
-            f"{what}: dictionary/statistic has {n} entries, over the "
+            f"{what}: dictionary/statistic has {size} entries, over the "
             f"dense-path cap of {cap}. The dense vector form is a "
             f"bounded-vocab convenience (it collects a |V|-length fit "
             f"statistic and emits |V|-length arrays per row); for large "
@@ -203,6 +208,7 @@ class TfidfTransformer:
                 cap,
                 "TfidfTransformer.fit",
                 "tfidf_pairs(df, key, tokens_col)",
+                truncated=True,
             )
         self.df_ = df.sparkSession.createDataFrame(
             [(int(r["__pos"]), int(r["__df"]), int(r["__n"])) for r in rows],

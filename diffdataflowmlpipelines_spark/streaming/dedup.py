@@ -262,8 +262,20 @@ def streaming_semantic_dedup(
     group_cols = ["cluster_id"]
     if subsplit_planes > 0:
         # dim from the (batch, tiny) centroid frame — the stream itself
-        # cannot be probed with an action
-        dim = len(centroids.select(vec_col).first()[vec_col])
+        # cannot be probed with an action. Probe a NON-NULL row:
+        # _nearest_assign tolerates null/zero centroid rows by filtering
+        # them, so the probe must skip them too (review r5)
+        probe = (
+            centroids.select(vec_col)
+            .where(F.col(vec_col).isNotNull())
+            .first()
+        )
+        if probe is None:
+            raise ValueError(
+                "streaming_semantic_dedup: subsplit_planes > 0 needs at "
+                "least one non-null centroid vector to size hyperplanes"
+            )
+        dim = len(probe[vec_col])
         planes = hyperplanes(dim, subsplit_planes, subsplit_seed)
         assigned = assigned.withColumn(
             "__sub", sign_signature(F.col("__vec"), planes)

@@ -591,3 +591,40 @@ def test_incremental_early_stop_and_empty():
     assert learn_bpe_incremental({}, 5) == []
     got = learn_bpe_incremental({"a": 3}, 5)
     assert got == [(0, "a", EOW, "a" + EOW, 3)]
+
+
+def test_bpe_non_bmp_codepoints_end_to_end(spark):
+    """Round-5 review: the zero-width regex split cut supplementary
+    characters into UTF-16 surrogate halves under Java's code-unit
+    match positions, so merges learned by the driver-side learner
+    (python codepoints) never matched Spark's encode-time symbols.
+    initial_symbols now splits per codepoint (F.split(c, "")) —
+    verified against the twin, the iterative Spark learner, and the
+    encode path on an astral-character corpus."""
+    from diffdataflowmlpipelines_spark.functions.bpe import (
+        learn_bpe_spark_iterative,
+    )
+
+    emoji, astral = "\U0001F600", "\U0001D11E"
+    w = f"a{emoji}b"
+    got = (
+        spark.range(1).select(initial_symbols(F.lit(w)).alias("s")).first()["s"]
+    )
+    assert got == list(w) + [EOW]  # emoji is ONE symbol, not two halves
+
+    texts = [
+        ("d1", f"{emoji}{emoji} {emoji}{emoji}x"),
+        ("d2", f"{astral}{emoji} {emoji}{emoji}"),
+        ("d3", f"x{astral} {emoji}{emoji}x"),
+    ]
+    docs = spark.createDataFrame(texts, DOCS_SCHEMA)
+    fast = [tuple(r) for r in learn_bpe(docs, 6).collect()]
+    slow = [tuple(r) for r in learn_bpe_spark_iterative(docs, 6).collect()]
+    assert fast == slow
+    merges = [(l, r) for _, l, r, _, _ in fast]
+    # the dominant pair is (emoji, emoji): the learned table must
+    # contain an astral-bearing merge for the encode assertion to bite
+    assert any(emoji in l or emoji in r for l, r in merges)
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(docs, merges).collect()}
+    for doc_id, text in texts:
+        assert enc[doc_id] == encode_local(text, merges), doc_id

@@ -428,10 +428,13 @@ def test_semantic_dedup_hot_cell_subsplit(spark):
 
 
 def test_semantic_dedup_empty_corpus_with_cap(spark):
-    """An empty corpus with max_cell set must return empty, not crash:
-    _subsplit_hot_cells probes one row for the embedding dimension and
-    first() is None on an empty frame."""
-    from diffdataflowmlpipelines_spark.functions.similarity import semantic_dedup
+    """An empty corpus with max_cell set must return empty, not crash —
+    both the engine path (dim threaded from the collected centroids)
+    and the direct-caller fallback (probe first() is None on empty)."""
+    from diffdataflowmlpipelines_spark.functions.similarity import (
+        _subsplit_hot_cells,
+        semantic_dedup,
+    )
 
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     cents = spark.createDataFrame(
@@ -441,3 +444,10 @@ def test_semantic_dedup_empty_corpus_with_cap(spark):
         df, "vec_id", "embedding", threshold=0.9, centroids=cents, max_cell=8
     )
     assert out.count() == 0
+    empty_assigned = spark.createDataFrame(
+        [],
+        "__id long, __vec array<double>, __vn double, "
+        "cluster_id long, __cos double",
+    )
+    sub = _subsplit_hot_cells(empty_assigned, max_cell=8, seed=1, max_planes=4)
+    assert sub.count() == 0 and "__sub" in sub.columns

@@ -80,7 +80,8 @@ agg = {}
 for k in ("numRowsTotal", "numRowsUpdated", "allUpdatesTimeMs",
           "allRemovalsTimeMs", "commitTimeMs", "memoryUsedBytes"):
     vals = [s[k] for s in so if s.get(k) is not None]
-    agg[k] = max(vals) if k in ("numRowsTotal", "memoryUsedBytes") else sum(vals)
+    agg[k] = (max(vals, default=0) if k in ("numRowsTotal", "memoryUsedBytes")
+              else sum(vals))
 print("JOINTUNE " + json.dumps({
     "cpus": cpus, "parts": parts, "codec": codec, "variant": variant,
     "wall_s": round(wall, 2),
@@ -122,10 +123,13 @@ def main() -> None:
         for parts in PARTS:
             cells.append(run_cell(tok, lab, parts, "lz4", "plain"))
             print(json.dumps(cells[-1]), flush=True)
-        best = max(
-            (c for c in cells if c["sustained_rows_per_s"]),
-            key=lambda c: c["sustained_rows_per_s"],
-        )
+        rated = [c for c in cells if c["sustained_rows_per_s"]]
+        if not rated:
+            raise RuntimeError(
+                "every partition-count cell reported no sustained rate "
+                f"(degenerate progress metrics); raw cells: {cells}"
+            )
+        best = max(rated, key=lambda c: c["sustained_rows_per_s"])
         for codec in ("snappy", "zstd"):
             cells.append(run_cell(tok, lab, best["parts"], codec, "plain"))
             print(json.dumps(cells[-1]), flush=True)
@@ -152,9 +156,14 @@ def main() -> None:
             )
             for c in cells:
                 s = c["state"]
+                rate = (
+                    f"{c['sustained_rows_per_s']:,.0f}"
+                    if c["sustained_rows_per_s"]
+                    else "n/a"
+                )
                 f.write(
                     f"| {c['parts']} | {c['codec']} | {c['variant']} | "
-                    f"{c['sustained_rows_per_s']:,.0f} | {c['wall_s']} s | "
+                    f"{rate} | {c['wall_s']} s | "
                     f"{s['numRowsTotal']:,} | {s['allUpdatesTimeMs']:,} | "
                     f"{s['allRemovalsTimeMs']:,} | {s['commitTimeMs']:,} | "
                     f"{s['memoryUsedBytes'] / 1e6:,.0f} |\n"

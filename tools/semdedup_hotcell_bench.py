@@ -74,7 +74,7 @@ def main() -> None:
         "vec_id long, embedding array<double>",
     )
 
-    def run(n_rows: int, max_cell: int | None) -> tuple[float, int]:
+    def run(n_rows: int, max_cell: int | None) -> tuple[float, int, int]:
         df = spark.createDataFrame(
             make_rows(n_rows), "vec_id long, embedding array<double>"
         )
@@ -87,8 +87,19 @@ def main() -> None:
             centroids=cents,
             max_cell=max_cell,
         )
-        dropped = out.filter(F.col("keep") == 0).count()
-        return time.monotonic() - t0, dropped
+        # count the PLANTED ids (vec_id >= 10M) separately from total
+        # drops: incidental above-threshold pairs also drop, so "dups
+        # caught" must verify the specific plants, like the unit test
+        # does (review r5)
+        row = out.agg(
+            F.sum(F.when(F.col("keep") == 0, 1).otherwise(0)).alias("d"),
+            F.sum(
+                F.when(
+                    (F.col("keep") == 0) & (F.col("vec_id") >= 10_000_000), 1
+                ).otherwise(0)
+            ).alias("p"),
+        ).first()
+        return time.monotonic() - t0, int(row["d"] or 0), int(row["p"] or 0)
 
     df_hot = spark.createDataFrame(
         make_rows(HOT_ROWS), "vec_id long, embedding array<double>"
@@ -101,9 +112,9 @@ def main() -> None:
     sub = _subsplit_hot_cells(assigned, max_cell=MAX_CELL, seed=42, max_planes=16)
     mass_capped = pair_mass(sub, ["cluster_id", "__sub"])
 
-    t_exact, d_exact = run(HOT_ROWS, None)
-    t_capped, d_capped = run(HOT_ROWS, MAX_CELL)
-    t_big, d_big = run(BIG_ROWS, MAX_CELL)
+    t_exact, d_exact, p_exact = run(HOT_ROWS, None)
+    t_capped, d_capped, p_capped = run(HOT_ROWS, MAX_CELL)
+    t_big, d_big, p_big = run(BIG_ROWS, MAX_CELL)
 
     n_dups_hot = HOT_ROWS // 100
     n_dups_big = BIG_ROWS // 100
@@ -117,10 +128,13 @@ def main() -> None:
         "t_capped_s": round(t_capped, 1),
         "dropped_exact": d_exact,
         "dropped_capped": d_capped,
+        "planted_caught_exact": p_exact,
+        "planted_caught_capped": p_capped,
         "planted_dups_hot": n_dups_hot,
         "big_rows": BIG_ROWS,
         "t_big_capped_s": round(t_big, 1),
         "dropped_big": d_big,
+        "planted_caught_big": p_big,
         "planted_dups_big": n_dups_big,
     }
     print(json.dumps(result))
@@ -131,11 +145,11 @@ def main() -> None:
             f"Planted degenerate assignment: 90% of {HOT_ROWS} vectors in ONE "
             f"centroid cell (+{n_dups_hot} exact-duplicate plants), dim {DIM}, "
             f"threshold 0.999, local[32].\n\n"
-            f"| mode | candidate-pair mass Σ\\|group\\|² | wall | dups caught |\n"
-            f"|---|---|---|---|\n"
-            f"| exact (within-cell pairwise) | {mass_exact:,} | {t_exact:.1f} s | {d_exact}/{n_dups_hot} |\n"
-            f"| max_cell={MAX_CELL} sub-split | {mass_capped:,} ({result['pair_mass_ratio']}× less) | {t_capped:.1f} s | {d_capped}/{n_dups_hot} |\n"
-            f"| max_cell={MAX_CELL} @ {BIG_ROWS} rows | — | {t_big:.1f} s | {d_big}/{n_dups_big} |\n\n"
+            f"| mode | candidate-pair mass Σ\\|group\\|² | wall | planted dups caught | total drops |\n"
+            f"|---|---|---|---|---|\n"
+            f"| exact (within-cell pairwise) | {mass_exact:,} | {t_exact:.1f} s | {p_exact}/{n_dups_hot} | {d_exact} |\n"
+            f"| max_cell={MAX_CELL} sub-split | {mass_capped:,} ({result['pair_mass_ratio']}× less) | {t_capped:.1f} s | {p_capped}/{n_dups_hot} | {d_capped} |\n"
+            f"| max_cell={MAX_CELL} @ {BIG_ROWS} rows | — | {t_big:.1f} s | {p_big}/{n_dups_big} | {d_big} |\n\n"
             f"Identical directions share a sub-signature by construction, so "
             f"every planted duplicate survives the cap; the pair mass — the "
             f"quantity that degenerates to all-pairs on a hot cell — drops "
