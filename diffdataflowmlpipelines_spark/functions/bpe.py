@@ -431,20 +431,54 @@ def tokenizer_pipeline(
     vocab = fit_dictionary(
         enc.select(F.explode("bpe_tokens").alias("unit")), "unit"
     )
-    ex = enc.select(id_col, F.posexplode("bpe_tokens").alias("pos", "unit"))
-    ids = (
-        ex.join(vocab, "unit")
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "__idx"))),
-                lambda s: s["__idx"].cast("int"),
-            ).alias("tokens")
-        )
+    return assemble_token_ids(
+        docs,
+        enc,
+        vocab.select("unit", F.col("__idx").alias("__uid")),
+        id_col=id_col,
+        source_col=source_col,
     )
-    # a frame without the source column still tokenizes — source is
-    # NULL (the column is part of the output CONTRACT, not an input
-    # requirement)
+
+
+def assemble_token_ids(
+    docs: DataFrame,
+    enc: DataFrame,
+    unit_ids: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    unseen: int | None = None,
+) -> DataFrame:
+    """Shared north-rule assembly for the batch AND streaming tokenizer
+    faces: map each document's BPE unit sequence (``enc``: id_col,
+    bpe_tokens array<string>) through the ``unit_ids`` assignment
+    (unit, __uid) and emit ``(id_col, tokens array<int>, n_tok,
+    source_col)``.
+
+    ``unseen=None`` joins inner — the batch face, where the vocabulary
+    was fitted from ``enc`` itself so every unit is assigned;
+    an int joins left (broadcast: the live assignment is the bounded
+    sink view) and substitutes it — the streaming face's B-outruns-A
+    convention (-1, the OrdinalEncoder unseen surface). Factored so the
+    two faces cannot silently diverge on the token-array-equality
+    invariant (round-5 review).
+
+    A frame without the source column still tokenizes — source is NULL
+    (the column is part of the output CONTRACT, not an input
+    requirement)."""
+    ex = enc.select(id_col, F.posexplode("bpe_tokens").alias("pos", "unit"))
+    if unseen is None:
+        joined = ex.join(unit_ids, "unit")
+        uid = F.col("__uid")
+    else:
+        joined = ex.join(F.broadcast(unit_ids), "unit", "left")
+        uid = F.coalesce("__uid", F.lit(int(unseen)))
+    ids = joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", uid.alias("u")))),
+            lambda s: s["u"].cast("int"),
+        ).alias("tokens")
+    )
     src = (
         F.col(source_col)
         if source_col in docs.columns

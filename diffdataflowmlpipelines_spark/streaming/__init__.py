@@ -22,6 +22,9 @@ from diffdataflowmlpipelines_spark.streaming.tfidf import (
     tfidf_from_counts,
     windowed_doc_token_counts,
 )
+from diffdataflowmlpipelines_spark.streaming.tokenizer import (
+    StreamingTokenizerPipeline,
+)
 from diffdataflowmlpipelines_spark.streaming.cep import streaming_event_funnel
 from diffdataflowmlpipelines_spark.streaming.features import streaming_event_features
 from diffdataflowmlpipelines_spark.streaming.vocabulary import incremental_vocabulary
@@ -38,6 +41,7 @@ __all__ = [
     "IncrementalMultiScalerPipeline",
     "IncrementalScalerPipeline",
     "StreamingCountVectorizer",
+    "StreamingTokenizerPipeline",
     "attach_progress_log",
     "incremental_scaler_stats",
     "incremental_vocabulary",

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from diffdataflowmlpipelines_spark.functions.bpe import (
     apply_merges,
+    assemble_token_ids,
     bpe_encode,
     initial_symbols,
 )
@@ -136,54 +137,63 @@ class StreamingTokenizerPipeline:
 
     def encode_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch body for the doc stream (id_col, text_col
-        [, source_col], event_time). Insert-only epochs (the id-stability
-        contract above); unseen units encode as -1."""
+        [, source_col], event_time[, diff]). Unseen units encode as -1.
+
+        Diff-aware at the DOCUMENT level (DD collection semantics, same
+        treatment as the streaming CountVectorizer's net-positive
+        counts): rows consolidate per (doc, text, source) and only the
+        net-positive survivors encode — an update pair (-1 old text,
+        +1 new text) encodes ONLY the new text; without this,
+        bpe_encode's posexplode over both rows interleaves old and new
+        symbols by position (round-5 review). A doc whose rows all net
+        to <= 0 emits nothing this epoch: its last committed sink row
+        stands (append-mode output cannot un-emit; full delete
+        propagation needs the retractable-feature treatment —
+        streaming/features.py's horizon discipline). Two DIFFERENT live
+        texts for one doc in one epoch is a contract violation and
+        raises loudly rather than emitting an interleaved array."""
         if self.token_sink.is_committed(epoch_id):
             return
+        group_cols = [self.id_col, self.text_col] + (
+            [self.source_col]
+            if self.source_col in batch_df.columns
+            else []
+        )
+        live = (
+            with_diff(batch_df)
+            .groupBy(*group_cols)
+            .agg(F.sum(DIFF).alias(DIFF))
+            .filter(F.col(DIFF) > 0)
+            .drop(DIFF)
+        )
+        live = live.localCheckpoint(eager=True)  # dup check + encode + assembly
+        dup = (
+            live.groupBy(self.id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .take(1)
+        )
+        if dup:
+            raise ValueError(
+                f"streaming tokenizer epoch {epoch_id}: doc "
+                f"{dup[0][self.id_col]!r} has multiple live texts after "
+                "consolidation — one live row per doc per epoch is the "
+                "encode contract (send an update as -1 old / +1 new)"
+            )
         enc = bpe_encode(
-            batch_df,
+            live,
             self.merges,
             text_col=self.text_col,
             id_col=self.id_col,
-        ).localCheckpoint(eager=True)
+        )
         vocab = self.current_units().localCheckpoint(eager=True)
-        ex = enc.select(
-            self.id_col, F.posexplode("bpe_tokens").alias("pos", "unit")
-        )
-        ids = (
-            ex.join(F.broadcast(vocab), "unit", "left")
-            .groupBy(self.id_col)
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "pos", F.coalesce("__uid", F.lit(-1)).alias("u")
-                            )
-                        )
-                    ),
-                    lambda s: s["u"].cast("int"),
-                ).alias("tokens")
-            )
-        )
-        src = (
-            F.col(self.source_col)
-            if self.source_col in batch_df.columns
-            else F.lit(None).cast("string")
-        )
-        out = (
-            batch_df.select(self.id_col, src.alias(self.source_col))
-            .dropDuplicates([self.id_col])
-            .join(ids, self.id_col, "left")
-            .select(
-                self.id_col,
-                F.coalesce("tokens", F.array().cast("array<int>")).alias(
-                    "tokens"
-                ),
-                self.source_col,
-            )
-            .withColumn("n_tok", F.size("tokens").cast("int"))
-            .select(self.id_col, "tokens", "n_tok", self.source_col)
+        out = assemble_token_ids(
+            live,
+            enc,
+            vocab,
+            id_col=self.id_col,
+            source_col=self.source_col,
+            unseen=-1,
         )
         self.token_sink.write_batch(out, epoch_id)
 

@@ -182,3 +182,108 @@ def test_streaming_tokenizer_encode_outruns_vocab(spark, tmp_path):
     for doc_id, text, _ in EPOCH_TEXTS[0]:
         want_len = len(encode_local(text, merges))
         assert got[doc_id] == [-1] * want_len, doc_id
+
+
+def test_streaming_tokenizer_update_pair_and_retraction(spark, tmp_path):
+    """Diff-aware encode (round-5 review): an update pair (-1 old text,
+    +1 new text) encodes ONLY the new text — never an interleaved mix;
+    a pure retraction epoch emits nothing (the last committed row
+    stands, documented append-mode semantics)."""
+    merges = _merges()
+    doc_src = EpochFileSource(spark, str(tmp_path / "docs"), DOC_SCHEMA)
+    tp = StreamingTokenizerPipeline(
+        spark, str(tmp_path / "tok"), merges, n_shards=2
+    )
+
+    def run_ab():
+        qa = tp.start_vocab_query(
+            doc_src.stream(), str(tmp_path / "ckpt_vocab")
+        )
+        qa.awaitTermination(300)
+        qb = (
+            doc_src.stream()
+            .writeStream.foreachBatch(tp.foreach_batch())
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_enc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qb.awaitTermination(300)
+
+    doc_src.add_epoch(
+        pd.DataFrame(
+            {
+                "doc_id": ["d0", "d1"],
+                "text": ["low lower", "newest low"],
+                "source": ["web", "web"],
+                "event_time": [T0, T0 + timedelta(seconds=1)],
+                "diff": [1, 1],
+            }
+        )
+    )
+    run_ab()
+
+    # epoch 1: update d0 via a retraction pair
+    doc_src.add_epoch(
+        pd.DataFrame(
+            {
+                "doc_id": ["d0", "d0"],
+                "text": ["low lower", "newest wide"],
+                "source": ["web", "web"],
+                "event_time": [T0 + timedelta(seconds=10)] * 2,
+                "diff": [-1, 1],
+            }
+        )
+    )
+    run_ab()
+    inv = {r["__uid"]: r["unit"] for r in tp.current_units().collect()}
+    got = {
+        r["doc_id"]: list(r["tokens"]) for r in tp.current_tokens().collect()
+    }
+    assert [inv[i] for i in got["d0"]] == encode_local("newest wide", merges)
+    d1_before = got["d1"]
+
+    # epoch 2: pure retraction of d1 — nothing re-emits, the committed
+    # row stands
+    doc_src.add_epoch(
+        pd.DataFrame(
+            {
+                "doc_id": ["d1"],
+                "text": ["newest low"],
+                "source": ["web"],
+                "event_time": [T0 + timedelta(seconds=20)],
+                "diff": [-1],
+            }
+        )
+    )
+    run_ab()
+    got2 = {
+        r["doc_id"]: list(r["tokens"]) for r in tp.current_tokens().collect()
+    }
+    assert got2["d1"] == d1_before
+    assert [inv[i] for i in got2["d0"]] == encode_local("newest wide", merges)
+
+
+def test_streaming_tokenizer_two_live_texts_raises(spark, tmp_path):
+    """Two DIFFERENT net-positive texts for one doc in one epoch is a
+    loud contract violation, not an interleaved token array."""
+    import pytest
+
+    merges = _merges()
+    tp = StreamingTokenizerPipeline(
+        spark, str(tmp_path / "tok"), merges, n_shards=2
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["d0", "d0"],
+                "text": ["low lower", "newest wide"],
+                "source": ["web", "web"],
+                "event_time": [T0, T0],
+                "diff": [1, 1],
+            }
+        ),
+        DOC_SCHEMA,
+    )
+    with pytest.raises(ValueError, match="multiple live texts"):
+        tp.encode_batch(batch, 0)
