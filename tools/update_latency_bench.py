@@ -100,6 +100,50 @@ def bench_scaler(spark) -> dict:
         pipe.process_epoch(bulk_df, 2 * N_UPDATES + 1)
         bulk_sec = time.time() - t0
 
+        # bulk fold-only lane (non-committing; only the other
+        # non-committing lane may follow): the reference's 1.0 s
+        # 1e5-row update holds its collection trace in RAM and emits
+        # re-encoded rows without durability. Apples-to-apples: the
+        # snapshot is pre-materialized in memory (localCheckpoint —
+        # the trace-in-RAM precondition, not part of the update), the
+        # batch likewise; the TIMED region is the same work the
+        # reference times — fold the batch into the statistic,
+        # consolidate trace ⊎ batch, re-encode every live row — run
+        # through the `noop` sink (full plan execution, zero I/O).
+        from pyspark.sql import functions as F
+
+        from diffdataflowmlpipelines_spark.operators.collection import (
+            with_diff,
+        )
+
+        snap = pipe._consolidated().localCheckpoint(eager=True)
+        # median of 3 reps, same convention as the single-row lanes:
+        # each rep folds a FRESH 1e5-row batch against the same 1.1M-row
+        # trace (constant work per rep); the first rep additionally pays
+        # Spark's one-time whole-stage-codegen of this plan shape, which
+        # a deployment pays once per query lifetime, not per update —
+        # the median is the steady-state number, the max is disclosed.
+        bulk_foldonly_secs = []
+        for rep in range(3):
+            bulk2 = mkdf(
+                INIT_ROWS + N_UPDATES + (rep + 1) * BULK_ROWS, BULK_ROWS
+            ).localCheckpoint(eager=True)
+            t0 = time.time()
+            meta = pipe._fold_batch(bulk2)
+            net = (
+                snap.unionByName(
+                    with_diff(bulk2).select(
+                        *pipe.key_cols, pipe.value_col, "diff"
+                    )
+                )
+                .groupBy(*pipe.key_cols, pipe.value_col)
+                .agg(F.sum("diff").alias("diff"))
+            )
+            pipe._encode(net, meta).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            bulk_foldonly_secs.append(time.time() - t0)
+
         # fold-only lane (run LAST; it advances the statistic without a
         # sink commit, so nothing may follow it): the in-process
         # statistical fold + net-row re-encode with NO durable writes —
@@ -140,6 +184,12 @@ def bench_scaler(spark) -> dict:
             "single_row_fold_only_ms_min": round(min(fold_ms), 2),
             "bulk_rows": BULK_ROWS,
             "bulk_update_sec": round(bulk_sec, 2),
+            "bulk_update_foldonly_sec_median": round(
+                statistics.median(bulk_foldonly_secs), 2
+            ),
+            "bulk_update_foldonly_sec_max": round(
+                max(bulk_foldonly_secs), 2
+            ),
             "full_reencodes": pipe.full_reencodes,
             "epochs": pipe.epochs,
             "reference": {
