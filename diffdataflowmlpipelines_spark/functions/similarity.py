@@ -398,21 +398,35 @@ def _subsplit_hot_cells(
     seed: int,
     max_planes: int,
     dim: int | None = None,
+    bands: int = 1,
 ) -> DataFrame:
     """Second-level hyperplane split of over-cap cells (the semantic_
     dedup ``max_cell`` mechanism). Input is the checkpointed
     ``_nearest_assign`` frame (__id, __vec, __vn, cluster_id, __cos);
-    output adds ``__sub``: 0 for cells within the cap, else the
-    low ``ceil(log2(|cell| / max_cell))`` bits (≤ max_planes) of the
-    row's sign signature against ``max_planes`` seeded hyperplanes —
-    one shared plane matrix, per-cell mask width, so expected sub-cell
-    size ≈ max_cell and identical directions always share a sub-cell.
+    output adds ``__band`` and ``__sub``: rows in cells within the cap
+    emit ONE row (band 0, sub 0); rows in over-cap cells emit ``bands``
+    rows, band b carrying the low ``ceil(log2(|cell| / max_cell))``
+    bits (≤ max_planes) of the row's sign signature against
+    ``max_planes`` hyperplanes seeded ``seed + b`` — per-cell mask
+    width, so expected sub-cell size ≈ max_cell per band and identical
+    directions always share a sub-cell in every band.
+
+    Banding (the d7 MinHash-banding idea applied within cells): a pair
+    at angle θ collides per bit with probability 1 − θ/π, per band with
+    (1 − θ/π)^bits, and is COMPARED iff it collides in ANY band — miss
+    probability (1 − p^bits)^bands. Band 0's planes are the single-band
+    planes (seed + 0), so raising ``bands`` only ADDS comparisons:
+    banded drops are a superset of single-band drops per construction.
 
     Cost: one tiny count aggregate (≤ n_centroids rows, broadcast
-    back) + a map-only signature projection; re-checkpointed because
-    three branches consume it (same rule as the assignment itself)."""
+    back) + a map-only signature projection per band (over-cap rows
+    fan out ×bands; within-cap rows never duplicate, so the cool bulk
+    of the corpus pays nothing); re-checkpointed because three
+    branches consume it (same rule as the assignment itself)."""
     if max_cell < 1:
         raise ValueError(f"max_cell must be >= 1, got {max_cell}")
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
     counts = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("__cn")
     )
@@ -422,9 +436,10 @@ def _subsplit_hot_cells(
         # path pays no extra action (review r5)
         probe = assigned.select("__vec").first()
         if probe is None:  # empty corpus: nothing to split
-            return assigned.withColumn("__sub", F.lit(0).cast("long"))
+            return assigned.withColumn(
+                "__band", F.lit(0).cast("int")
+            ).withColumn("__sub", F.lit(0).cast("long"))
         dim = len(probe["__vec"])
-    planes = hyperplanes(dim, max_planes, seed)
     n_bits = F.least(
         F.greatest(
             F.ceil(F.log2(F.col("__cn") / F.lit(float(max_cell)))),
@@ -436,13 +451,34 @@ def _subsplit_hot_cells(
     # signature; pow stays exact (n_bits <= 16 << 53 double mantissa)
     # and unlike shiftleft accepts a per-row column for the width
     pow2 = F.pow(F.lit(2.0), n_bits).cast("long")
-    sub = F.when(F.col("__cn") <= max_cell, F.lit(0)).otherwise(
-        F.pmod(sign_signature(F.col("__vec"), planes), pow2)
+    cool = F.array(
+        F.struct(
+            F.lit(0).cast("int").alias("b"), F.lit(0).cast("long").alias("s")
+        )
     )
+    hot = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("b"),
+                F.pmod(
+                    sign_signature(
+                        F.col("__vec"), hyperplanes(dim, max_planes, seed + b)
+                    ),
+                    pow2,
+                )
+                .cast("long")
+                .alias("s"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bs = F.explode(F.when(F.col("__cn") <= max_cell, cool).otherwise(hot))
     return (
         assigned.join(F.broadcast(counts), "cluster_id")
-        .withColumn("__sub", sub.cast("long"))
-        .drop("__cn")
+        .withColumn("__bs", bs)
+        .withColumn("__band", F.col("__bs.b"))
+        .withColumn("__sub", F.col("__bs.s"))
+        .drop("__cn", "__bs")
         .localCheckpoint(eager=True)
     )
 
@@ -459,6 +495,7 @@ def semantic_dedup(
     max_cell: int | None = None,
     subsplit_seed: int = 42,
     max_subsplit_planes: int = 16,
+    subsplit_bands: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then deduplicate WITHIN each centroid cell by
@@ -488,14 +525,20 @@ def semantic_dedup(
     applied within cells): a cell of size c gets
     ``ceil(log2(c / max_cell))`` sign bits (≤ ``max_subsplit_planes``),
     so expected sub-cell size ≈ max_cell for angularly-spread mass, and
-    pairs are compared only within (cell, sub-signature). Contract
-    change when capped: pairs that straddle sub-cells are MISSED —
-    per-bit collision probability for vectors at angle θ is 1 − θ/π
-    (≈ 1 for the near-identical pairs dedup targets; exactly 1 for
-    identical directions), so recall concentrates on true duplicates.
-    Degenerate mass with IDENTICAL rounded vectors never splits (equal
-    signatures by construction) — collapse those first with the exact
-    d1 hash-dedup pass. ``max_cell=None`` (default) keeps the exact
+    pairs are compared only within (cell, band, sub-signature).
+    Contract change when capped: pairs that straddle every band's
+    sub-cells are MISSED — per-bit collision probability for vectors
+    at angle θ is p = 1 − θ/π (exactly 1 for identical directions, so
+    true duplicates always drop), per-band p^bits, missed with
+    probability (1 − p^bits)^subsplit_bands. ``subsplit_bands`` is the
+    recall knob (the d7 OR-banding): e.g. cos 0.95 (θ≈18°, p≈0.90) at
+    4 bits collides per band with 0.65 — one band misses 35% of such
+    pairs, 4 bands miss 1.5% — at pair mass (and over-cap row fan-out)
+    ×bands, cells within the cap unaffected. Band 0 uses the
+    single-band planes, so raising bands only ADDS drops. Degenerate
+    mass with IDENTICAL rounded vectors never splits (equal signatures
+    by construction) — collapse those first with the exact d1
+    hash-dedup pass. ``max_cell=None`` (default) keeps the exact
     within-cell semantics bit-for-bit (the d10 oracle shape).
     Beyond-reference operator (the reference has no vector ops at all).
     """
@@ -516,23 +559,28 @@ def semantic_dedup(
     # discipline as minhash_lsh_candidates (dedup.py).
     assigned = assigned.localCheckpoint(eager=True)
     if max_cell is not None:
-        assigned = _subsplit_hot_cells(
+        # pair_src fans out over-cap rows ×bands; the verdict below
+        # joins the UNEXPLODED assigned frame so output stays one row
+        # per input regardless of bands
+        pair_src = _subsplit_hot_cells(
             assigned,
             max_cell=max_cell,
             seed=subsplit_seed,
             max_planes=max_subsplit_planes,
             dim=dim,
+            bands=subsplit_bands,
         )
-        pair_keys = ["cluster_id", "__sub"]
+        pair_keys = ["cluster_id", "__band", "__sub"]
     else:
+        pair_src = assigned
         pair_keys = ["cluster_id"]
-    hi = assigned.select(
+    hi = pair_src.select(
         F.col("__id").alias("__hi"),
         F.col("__vec").alias("__va"),
         F.col("__vn").alias("__na"),
         *pair_keys,
     )
-    lo = assigned.select(
+    lo = pair_src.select(
         F.col("__id").alias("__lo"),
         F.col("__vec").alias("__vb"),
         F.col("__vn").alias("__nb"),

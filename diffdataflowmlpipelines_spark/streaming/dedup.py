@@ -240,7 +240,14 @@ def streaming_semantic_dedup(
     batch twin sizes bits per cell). Same contract change as batch
     ``max_cell``: arrivals compare only against representatives in
     their own sub-cell — identical directions always collide, pairs at
-    angle θ miss a bit w.p. θ/π per plane.
+    angle θ miss a bit w.p. θ/π per plane. The batch twin's
+    ``subsplit_bands`` OR-banding recall knob has NO streaming
+    analogue by design: each state group greedily grows its own
+    representative net, and a row kept in one band's group but
+    shadowed in another's would need a cross-group verdict resolution
+    (a second stateful stage) that breaks the monotone-replay
+    idempotency argument above. Streams needing banded recall should
+    run the batch form over sink epochs.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
