@@ -71,6 +71,10 @@ _LEAD_THIS_ROUND = [
     "w5_running_sum",
     "a1_rollup",
     "j2_join_then_window",
+    # round-5 additions (never driver-covered): lead so the 50-prefix
+    # samples them alongside the rotated 39
+    "t21_pmi_collocations",
+    "t22_source_ngram_overlap",
 ]
 
 

@@ -375,6 +375,166 @@ def chunk_documents(
     )
 
 
+def pmi_collocations(
+    docs,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_k: int = 50,
+):
+    """Top-``top_k`` adjacent-bigram collocations by pointwise mutual
+    information,
+
+        PMI(a,b) = ln( (c_ab / N2) / ((c_a / N1) * (c_b / N1)) )
+
+    over corpus-wide counts (N1/N2 = total unigrams/bigrams) — the
+    classic collocation-extraction diagnostic (Church & Hanks 1990)
+    run before tokenizer/vocab design: high-PMI pairs are the
+    multi-word units a BPE vocabulary should learn as single tokens
+    (cf. v2's merge table, which greedy-picks by raw pair frequency —
+    PMI surfaces the statistically-bound pairs frequency misses).
+    ``min_count`` suppresses the unstable low-count tail (PMI's known
+    bias toward hapax pairs). Returns (w1, w2, n_pair, pmi), pmi
+    rounded to 6, ordered (pmi desc, w1, w2) and limited to top_k.
+
+    Beyond-reference operator (reference text surface is tokenize-only,
+    ``src/feature_encoders/feature_extraction/utils.rs:3-9``).
+
+    100-TB shape: tokens staged ONCE (localCheckpoint — bigram and
+    unigram counts + the two totals would otherwise each re-scan and
+    re-tokenize the base); both count frames are one map-side-combined
+    hash aggregation each; the two totals are bounded fit statistics
+    (1 row each); scoring joins the vocab²-bounded bigram frame
+    against the vocab-sized unigram frame twice (genuine shuffle
+    joins, the lm.py posture — one row per n-gram on the build side,
+    AQE handles probe-side skew); top-k is ``orderBy().limit()`` →
+    TakeOrderedAndProject, never a single-partition window. The PMI
+    expression is evaluated in DOUBLE with the same association shape
+    the oracle uses, so rounding agrees cross-engine.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = docs.select(
+        tokenize(F.coalesce(c, F.lit(""))).alias("__toks")
+    ).localCheckpoint(eager=True)
+    n = F.size(F.col("__toks"))
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("__toks"), 1, n - 1),
+            F.slice(F.col("__toks"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = toks.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    cu = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # totals: bounded fit statistics (1 row each, over the staged toks)
+    n1 = float(cu.agg(F.sum("c")).collect()[0][0] or 0)
+    n2 = float(cb.agg(F.sum("n_pair")).collect()[0][0] or 0)
+    ca = cu.select(F.col("w").alias("__wa"), F.col("c").alias("__ca"))
+    cbb = cu.select(F.col("w").alias("__wb"), F.col("c").alias("__cb"))
+    # same association shape as the oracle: all-double left-assoc
+    # products, one division, then ln — IEEE-identical cross-engine
+    ratio = (
+        F.col("n_pair").cast("double") * F.lit(n1) * F.lit(n1)
+    ) / (F.lit(n2) * F.col("__ca").cast("double") * F.col("__cb").cast("double"))
+    return (
+        cb.filter(F.col("n_pair") >= min_count)
+        .join(ca, F.col("w1") == F.col("__wa"))
+        .join(cbb, F.col("w2") == F.col("__wb"))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(F.log(ratio), 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+    )
+
+
+def source_ngram_overlap(
+    docs,
+    text_col: str = "text",
+    group_col: str = "source",
+    *,
+    n: int = 3,
+):
+    """Pairwise cross-source n-gram contamination matrix: for every
+    unordered source pair (a < b), the Jaccard similarity of their
+    DISTINCT word-n-gram sets — the "how much do my crawls overlap"
+    diagnostic run before mixture design (t10/t19 treat sources as
+    independent; this measures where they aren't) and the corpus-level
+    cousin of per-document MinHash dedup (d2/d3). Integer-exact except
+    the final rounded division: intersection and set sizes are exact
+    counts, so the oracle matches bit-for-bit with no float-order
+    caveats. Returns (source_a, source_b, n_a, n_b, n_common, jaccard),
+    jaccard rounded to 6.
+
+    NULL sources form a group (repo convention) but cannot join an
+    equi-key pair frame portably; they are keyed as the empty string's
+    sibling via a sentinel-free approach — rows with a NULL group are
+    EXCLUDED here, documented (cross-engine: DuckDB/Spark disagree on
+    NULL join semantics in self-joins; t19 handles the NULL group where
+    it is a per-group stat, not a pair key).
+
+    100-TB shape: one distinct over (group, gram) — a single shuffle,
+    map-side combined; per-source set sizes re-aggregate that frame
+    (localCheckpoint'ed, three consumers); the pair intersection is a
+    self-equi-join ON THE GRAM (build side has one row per (source,
+    gram); |sources| is small, so the join fans out at most |sources|
+    per gram — never a cross join); the |sources|²-bounded result joins
+    the size frame twice, broadcast."""
+    from diffdataflowmlpipelines_spark.functions.dedup import word_shingles
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    g = F.col(group_col)
+    toks = tokenize(F.coalesce(c, F.lit("")))
+    # docs shorter than n contribute NO grams (word_shingles' fallback
+    # emits a whole-doc shingle for MinHash's purposes; a set-overlap
+    # statistic wants true n-grams only)
+    shingles = F.when(F.size(toks) >= n, word_shingles(toks, n)).otherwise(
+        F.array().cast("array<string>")
+    )
+    grams = (
+        docs.filter(g.isNotNull())
+        .select(g.alias("__g"), F.explode(shingles).alias("__gram"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    a = grams.select(F.col("__g").alias("__ga"), "__gram")
+    b = grams.select(F.col("__g").alias("__gb"), "__gram")
+    inter = (
+        a.join(b, "__gram")
+        .filter(F.col("__ga") < F.col("__gb"))
+        .groupBy("__ga", "__gb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("__g").alias("__ga"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__g").alias("__gb"), F.col("__n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "__ga")
+        .join(F.broadcast(sb), "__gb")
+        .select(
+            F.col("__ga").alias("source_a"),
+            F.col("__gb").alias("source_b"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def source_unigram_kl(
     docs,
     text_col: str = "text",

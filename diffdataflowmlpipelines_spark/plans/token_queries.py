@@ -32,6 +32,8 @@ from diffdataflowmlpipelines_spark.functions.sampling import (
     quality_weighted_sample,
 )
 from diffdataflowmlpipelines_spark.functions.text import (
+    pmi_collocations,
+    source_ngram_overlap,
     source_unigram_kl,
     tokenize,
 )
@@ -276,6 +278,92 @@ def t19_source_drift_kl(spark, sf_dir):
     drift diagnostic before mixture re-weighting (t10 decides how much
     of each source; this measures how different each source reads)."""
     return source_unigram_kl(load(spark, sf_dir, "documents"))
+
+
+_PMI_MIN = 5
+_PMI_K = 50
+
+
+@q(
+    "t21_pmi_collocations",
+    f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS ts FROM documents),
+    cu AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(ts) AS w FROM toks)
+      GROUP BY w
+    ),
+    cb AS (
+      SELECT w1, w2, COUNT(*) AS n_pair
+      FROM (
+        SELECT ts[i] AS w1, ts[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(ts))) AS u(i)
+      )
+      GROUP BY w1, w2
+    ),
+    n1 AS (SELECT SUM(c) AS v FROM cu),
+    n2 AS (SELECT SUM(n_pair) AS v FROM cb)
+    SELECT cb.w1, cb.w2, CAST(cb.n_pair AS BIGINT) AS n_pair,
+           ROUND(ln(
+             (CAST(cb.n_pair AS DOUBLE) * CAST(n1.v AS DOUBLE)
+              * CAST(n1.v AS DOUBLE))
+             / (CAST(n2.v AS DOUBLE) * CAST(a.c AS DOUBLE)
+                * CAST(b.c AS DOUBLE))
+           ), 6) AS pmi
+    FROM cb JOIN cu a ON cb.w1 = a.w JOIN cu b ON cb.w2 = b.w
+    CROSS JOIN n1 CROSS JOIN n2
+    WHERE cb.n_pair >= {_PMI_MIN}
+    ORDER BY pmi DESC, cb.w1, cb.w2
+    LIMIT {_PMI_K}
+    """,
+)
+def t21_pmi_collocations(spark, sf_dir):
+    """Top-k adjacent-bigram collocations by PMI (Church & Hanks 1990)
+    over corpus-wide counts — the collocation diagnostic before
+    tokenizer/vocab design (functions/text.pmi_collocations; the
+    double-association shape of the PMI expression is mirrored in the
+    oracle so ROUND(...,6) agrees cross-engine)."""
+    return pmi_collocations(
+        load(spark, sf_dir, "documents"), min_count=_PMI_MIN, top_k=_PMI_K
+    )
+
+
+@q(
+    "t22_source_ngram_overlap",
+    f"""
+    WITH toks AS (
+      SELECT source, {_TOKS_SQL} AS ts FROM documents
+      WHERE source IS NOT NULL
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             ts[i] || chr(1) || ts[i + 1] || chr(1) || ts[i + 2] AS gram
+      FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.source_a = sa.source
+    JOIN sizes sb ON i.source_b = sb.source
+    """,
+)
+def t22_source_ngram_overlap(spark, sf_dir):
+    """Pairwise cross-source 3-gram Jaccard — the corpus-level
+    contamination matrix (functions/text.source_ngram_overlap):
+    integer-exact intersection/set sizes, one rounded division."""
+    return source_ngram_overlap(load(spark, sf_dir, "documents"), n=3)
 
 
 @q(

@@ -297,3 +297,58 @@ def test_chunk_documents_tail_and_validation(spark):
         chunk_documents(df, max_tokens=0)
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_pmi_collocations_closed_form(spark):
+    import math
+
+    from diffdataflowmlpipelines_spark.functions.text import pmi_collocations
+
+    # unigrams: a=3 b=2 c=1 (N1=6); bigrams: (a,b)=2 (a,c)=1 (N2=3)
+    # PMI(a,b) = ln((2*36)/(3*3*2)) = ln 4; PMI(a,c) = ln((1*36)/(3*3*1)) = ln 4
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(df, min_count=1, top_k=10).collect()
+    got = [(r["w1"], r["w2"], r["n_pair"], r["pmi"]) for r in rows]
+    ln4 = round(math.log(4.0), 6)
+    # equal PMI -> tie broken (w1, w2) ascending
+    assert got == [("a", "b", 2, ln4), ("a", "c", 1, ln4)]
+
+    # min_count prunes the hapax pair; top_k truncates
+    rows = pmi_collocations(df, min_count=2, top_k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b")]
+    rows = pmi_collocations(df, min_count=1, top_k=1).collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b")]
+
+
+def test_source_ngram_overlap_closed_form(spark):
+    from diffdataflowmlpipelines_spark.functions.text import (
+        source_ngram_overlap,
+    )
+
+    # A: {x y z, y z w}; B: {x y z}; C: {p q r}; short/NULL contribute
+    # nothing; the NULL source is excluded (documented)
+    df = spark.createDataFrame(
+        [
+            (0, "x y z w", "A"),
+            (1, "x y z", "B"),
+            (2, "x y z", "A"),  # duplicate gram within A: distinct set
+            (3, "p q r", "C"),
+            (4, "x y", "A"),  # shorter than n: no grams
+            (5, "x y z", None),  # NULL source excluded
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_a"],
+            r["n_b"],
+            r["n_common"],
+            r["jaccard"],
+        )
+        for r in source_ngram_overlap(df, n=3).collect()
+    }
+    # zero-overlap pairs are absent (inner join), so C pairs don't appear
+    assert got == {("A", "B"): (2, 1, 1, 0.5)}

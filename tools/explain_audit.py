@@ -64,6 +64,8 @@ AUDITED = [
     "t18_importance_resample",
     "t19_source_drift_kl",
     "t20_tokenizer_pipeline",
+    "t21_pmi_collocations",
+    "t22_source_ngram_overlap",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
