@@ -75,6 +75,7 @@ _LEAD_THIS_ROUND = [
     # samples them alongside the rotated 39
     "t21_pmi_collocations",
     "t22_source_ngram_overlap",
+    "s5_embedding_dim_stats",
 ]
 
 

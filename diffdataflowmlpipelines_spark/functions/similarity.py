@@ -391,6 +391,48 @@ def cluster_profile(
     )
 
 
+def embedding_dim_stats(
+    corpus: DataFrame,
+    vec_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension statistics over an embedding column — the
+    embedding-QA diagnostic run BEFORE any ANN/SemDeDup stage: a dead
+    dimension (std ≈ 0), a runaway dimension (|mean| or range far off
+    its siblings), or a NULL-bearing batch each silently degrade every
+    cosine downstream, and none is visible from row-level norms alone.
+    Returns (dim, n, mean, std, min, max), one row per vector position;
+    rows whose vector is NULL are excluded (counted nowhere), so ``n``
+    doubles as a per-dim null/row-count cross-check against the table's
+    row count.
+
+    Beyond-reference operator (the reference has no vector ops at all).
+
+    100-TB shape: one ``posexplode`` fan-out (dim × rows, inside the
+    scan stage — no pre-shuffle) into a ``dim``-keyed aggregation: the
+    group count equals the dimensionality, so the shuffle moves only
+    map-side partial aggregates (dim × n_partitions rows), never the
+    data. Mean/std are rounded to ``round_to`` on both engines (the
+    repo's float-summation-order convention)."""
+    ex = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(F.col(vec_col)).alias("dim", "__x0"))
+        # double BEFORE aggregating, on both engines — float32 inputs
+        # otherwise produce float-typed min/max here and double-typed
+        # ones in the oracle (schema mismatch), and a float-kept sum
+        # would drift
+        .select("dim", F.col("__x0").cast("double").alias("__x"))
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("__x"), round_to).alias("mean"),
+        F.round(F.stddev_pop("__x"), round_to).alias("std"),
+        F.round(F.min("__x"), round_to).alias("min"),
+        F.round(F.max("__x"), round_to).alias("max"),
+    )
+
+
 def _subsplit_hot_cells(
     assigned: DataFrame,
     *,

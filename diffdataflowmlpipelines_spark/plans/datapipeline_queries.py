@@ -416,6 +416,37 @@ def d10_semantic_dedup(spark, sf_dir):
     )
 
 
+@q(
+    "s5_embedding_dim_stats",
+    """
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(x), 6) AS mean,
+           ROUND(STDDEV_POP(x), 6) AS std,
+           ROUND(MIN(x), 6) AS "min",
+           ROUND(MAX(x), 6) AS "max"
+    FROM (
+      SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+      WHERE embedding IS NOT NULL
+    )
+    GROUP BY dim
+    """,
+)
+def s5_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (dead/runaway-dim QA before
+    any ANN/SemDeDup stage) — functions/similarity.embedding_dim_stats:
+    one posexplode fan-out inside the scan stage, one dim-keyed
+    aggregation (group count == dimensionality, map-side combined)."""
+    from diffdataflowmlpipelines_spark.functions.similarity import (
+        embedding_dim_stats,
+    )
+
+    return embedding_dim_stats(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
 @q("s4_cluster_profile", _s4_sql())
 def s4_cluster_profile(spark, sf_dir):
     from diffdataflowmlpipelines_spark.functions.similarity import cluster_profile

@@ -522,3 +522,24 @@ def test_semantic_dedup_empty_corpus_with_cap(spark):
     )
     sub = _subsplit_hot_cells(empty_assigned, max_cell=8, seed=1, max_planes=4)
     assert sub.count() == 0 and "__sub" in sub.columns
+
+
+def test_embedding_dim_stats_closed_form(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import (
+        embedding_dim_stats,
+    )
+
+    # dim0: {1, 3} -> mean 2, std_pop 1; dim1: {2, 6} -> mean 4, std 2;
+    # the NULL vector contributes to no dimension
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 6.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["dim"]: (r["n"], r["mean"], r["std"], r["min"], r["max"])
+        for r in embedding_dim_stats(df, "embedding").collect()
+    }
+    assert got == {
+        0: (2, 2.0, 1.0, 1.0, 3.0),
+        1: (2, 4.0, 2.0, 2.0, 6.0),
+    }

@@ -66,6 +66,7 @@ AUDITED = [
     "t20_tokenizer_pipeline",
     "t21_pmi_collocations",
     "t22_source_ngram_overlap",
+    "s5_embedding_dim_stats",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
