@@ -76,6 +76,11 @@ _LEAD_THIS_ROUND = [
     "t21_pmi_collocations",
     "t22_source_ngram_overlap",
     "s5_embedding_dim_stats",
+    "a4_cube",
+    "w10_windowed_percentiles",
+    "j4_bucketed_range_join",
+    "t23_ngram_novelty",
+    "s7_knn_graph",
 ]
 
 

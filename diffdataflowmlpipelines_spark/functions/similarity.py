@@ -732,3 +732,84 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    key: str,
+    vec_col: str,
+    *,
+    k: int = 3,
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+    round_to: int = 9,
+) -> DataFrame:
+    """Blocked k-NN graph over an embedding column: for every vector,
+    its k nearest SAME-CELL neighbors by cosine — the corpus-vs-corpus
+    companion to ``cosine_topk`` (query-vs-corpus) and the standard
+    precursor to graph-based curation (SemDeDup chains, connected-
+    component cluster pruning, kNN-density coresets). Beyond-reference
+    operator (the reference has no vector surface at all).
+
+    Exact semantics (deterministic, oracle-able): neighbors are ranked
+    by ``round(cosine, round_to)`` DESC, ties to the LOWER neighbor
+    key, WITHIN the vector's nearest-centroid cell (first-``n_centroids``
+    lowest-key convention when ``centroids`` is None, the s3/s4/d10
+    discipline). Output: (key, neighbor_id, cosine, rank), rank 1..k.
+    Vectors alone in their cell emit no rows.
+
+    Scale shape: assignment is the shuffle-free literal-centroid
+    projection; the pair stage is a per-cell self-equi-join — Sigma
+    |cell|^2, never all-pairs (brute force over 10^9 corpus vectors is
+    10^18 pairs; 50k KMeans cells make it ~2*10^13, executor-parallel).
+    Cell blocking is the approximation: cross-cell true neighbors are
+    missed, recall governed by centroid quality — pass
+    ``kmeans_centroids(...)`` (recall-tested in tests/test_knn_graph.py);
+    raise ``n_centroids`` to shrink cells, the SemDeDup paper's own
+    knob. The top-k is a per-source-vector window over cell-bounded
+    candidates, map-side prunable.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    assigned = _nearest_assign(
+        corpus,
+        key,
+        vec_col,
+        n_centroids=n_centroids,
+        centroids=centroids,
+        round_to=round_to,
+        what="knn_graph",
+    ).localCheckpoint(eager=True)  # two self-join branches
+    a = assigned.select(
+        F.col("__id").alias("__src"),
+        F.col("__vec").alias("__va"),
+        F.col("__vn").alias("__na"),
+        "cluster_id",
+    )
+    b = assigned.select(
+        F.col("__id").alias("neighbor_id"),
+        F.col("__vec").alias("__vb"),
+        F.col("__vn").alias("__nb"),
+        "cluster_id",
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("__src") != F.col("neighbor_id"))
+        .select(
+            "__src",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("__src").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__src").alias(key), "neighbor_id", "cosine", "rank")
+    )

@@ -589,3 +589,66 @@ def source_unigram_kl(
         )
         .select(F.col("__g").alias(group_col), "n_tokens", "kl")
     )
+
+
+def ngram_novelty(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+):
+    """Per-document n-gram novelty vs the earlier corpus: the fraction
+    of a document's DISTINCT word-n-grams whose FIRST occurrence
+    (minimum ``id_col``, the ingest-order proxy) is this document.
+    A near-duplicate of earlier material scores ~0; fresh text scores
+    ~1 — the streaming-friendly cousin of d2/d3 near-dup detection
+    (one scalar per doc instead of candidate pairs) and the per-doc
+    face of t22's corpus-level overlap matrix. The reference has no
+    corpus-composition surface at all (its text ops stop at tokenize —
+    ``src/utils.rs:3-9``).
+
+    Returns (id_col, n_grams, n_novel, novelty): distinct-gram count,
+    first-occurrence count, rounded ratio (0.0 for docs with < n
+    tokens — true n-grams only, the t22 convention).
+
+    100-TB shape: ONE distinct shuffle to the (doc, gram) frame
+    (map-side combined, localCheckpoint'ed for its two consumers);
+    per-doc sizes and per-gram first-owners are both plain
+    re-aggregations of that frame; the novelty attribution is a
+    groupBy over the first-owner column — no join ever touches the
+    gram key a second time. Fan-out is bounded by token count; no
+    pairwise anything.
+    """
+    from diffdataflowmlpipelines_spark.functions.dedup import word_shingles
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokenize(F.coalesce(c, F.lit("")))
+    shingles = F.when(F.size(toks) >= n, word_shingles(toks, n)).otherwise(
+        F.array().cast("array<string>")
+    )
+    grams = (
+        docs.select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__gram"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    per_doc = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__n_grams"))
+    novel = (
+        grams.groupBy("__gram")
+        .agg(F.min("__id").alias("__first"))
+        .groupBy("__first")
+        .agg(F.count(F.lit(1)).alias("__n_novel"))
+        .withColumnRenamed("__first", "__id")
+    )
+    base = docs.select(F.col(id_col).alias("__id"))
+    out = base.join(per_doc, "__id", "left").join(novel, "__id", "left")
+    ng = F.coalesce(F.col("__n_grams"), F.lit(0)).cast("long")
+    nv = F.coalesce(F.col("__n_novel"), F.lit(0)).cast("long")
+    return out.select(
+        F.col("__id").alias(id_col),
+        ng.alias("n_grams"),
+        nv.alias("n_novel"),
+        F.when(ng > 0, F.round(nv.cast("double") / ng.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("novelty"),
+    )

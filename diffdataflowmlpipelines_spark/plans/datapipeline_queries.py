@@ -1701,3 +1701,60 @@ def t11_corpus_pipeline(spark, sf_dir):
         "source", "doc_id", F.size("toks").cast("long").alias("n_tok")
     )
     return pack_sequences(surv, "doc_id", "n_tok", "source", budget=512)
+
+
+def _s7_sql(n_centroids: int = 8, k: int = 3) -> str:
+    """Mirror of knn_graph: same literal-centroid assignment as
+    s3/s4/d10 (first-N lowest-key centroids, round-9 cosine, ties to
+    the lower centroid id), then within-cell exact top-k."""
+    dot = (
+        "ROUND(list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i])) / ({an} * {bn}), 9)"
+    )
+    sim = dot.format(a="c.v", b="ct.cv", an="c.nn", bn="ct.cn")
+    pcos = dot.format(a="na.v", b="nb.v", an="na.nn", bn="nb.nn")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+          FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
+             WHERE vec_id < {n_centroids}),
+    sims AS (SELECT c.vec_id, ct.cid, {sim} AS sim
+             FROM n c CROSS JOIN cent ct),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid) AS r
+        FROM sims
+      ) WHERE r = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id, {pcos} AS cosine
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT vec_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("s7_knn_graph", _s7_sql())
+def s7_knn_graph(spark, sf_dir):
+    """Blocked k-NN graph over the embeddings table (k=3 within
+    first-8-centroid cells) — the corpus-vs-corpus companion to s1 and
+    the precursor to graph-based curation
+    (functions/similarity.knn_graph: Sigma|cell|^2 per-cell self-join,
+    never all-pairs; recall vs brute force governed by centroid
+    quality, tested with kmeans_centroids in tests/test_knn_graph.py)."""
+    from diffdataflowmlpipelines_spark.functions.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return knn_graph(emb, "vec_id", "embedding", k=3, n_centroids=8)

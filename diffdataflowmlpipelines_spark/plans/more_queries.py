@@ -846,3 +846,115 @@ def cep3_funnel_conversion(spark, sf_dir):
         "n_users",
         F.round(F.col("n_users") / total, 6).alias("frac_of_entered"),
     )
+
+
+# --- a4: CUBE (all grouping-set combinations; a1 covers ROLLUP only) ----------
+
+@q(
+    "a4_cube",
+    """
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           CAST(COALESCE(user_bucket, -1) AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS total
+    FROM (SELECT event_type, user_id % 10 AS user_bucket, value FROM events)
+    GROUP BY CUBE (event_type, user_bucket)
+    """,
+)
+def a4_cube(spark, sf_dir):
+    """CUBE aggregation — every grouping-set combination, including the
+    (ALL, bucket) slices a ROLLUP never produces. Same sentinel
+    discipline as a1 (grouping NULLs -> '(all)'/-1 so the compare and
+    NULL-averse sinks are unambiguous). Plan: Spark expands the
+    grouping sets BEFORE the exchange, so the 4 sets still aggregate in
+    ONE shuffle with map-side partials — not 4 scans. Reference has no
+    grouping-sets surface (SURVEY §2.3)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    out = ev.cube("event_type", "user_bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+    return out.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        F.coalesce(F.col("user_bucket"), F.lit(-1)).cast("long").alias("user_bucket"),
+        "n",
+        "total",
+    )
+
+
+# --- w10: per-window ordered statistics (windows x a3) --------------------------
+
+@q(
+    "w10_windowed_percentiles",
+    """
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w10_windowed_percentiles(spark, sf_dir):
+    """Exact per-tumbling-window percentiles per event type — ordered
+    statistics over time windows (a3 is global groups; the w-family had
+    no distribution surface). Exact mode matches DuckDB quantile_cont
+    bit-for-bit after rounding; the 100 TB swap is the same
+    ``percentile_approx`` strategy flag a3 routes through
+    (functions/sketches.grouped_percentiles) — bounded state per
+    (window, type) group regardless of group size."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "value",
+    )
+    return ev.groupBy("window_start", "event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+# --- j4: keyless range join via interval bucketing ------------------------------
+
+@q(
+    "j4_bucketed_range_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+    GROUP BY p.event_id
+    """,
+)
+def j4_bucketed_range_join(spark, sf_dir):
+    """Cross-USER click pressure in the 30 minutes before each purchase
+    — a pure range join with NO equi key (j1 has user_id; this is the
+    case Spark would otherwise plan as a BroadcastNestedLoopJoin,
+    all-pairs). operators/rangejoin.bucketed_range_join turns it into
+    ONE equi shuffle join on a derived interval-bucket id (right rows
+    land in exactly one bucket, left windows cover <= 2, every true
+    pair seen exactly once — no dedup), then aggregates per purchase.
+    Plan audited: hash equi-join on __bucket (broadcast at bench scale,
+    shuffle join when both sides grow), zero nested-loop joins."""
+    from diffdataflowmlpipelines_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    j = bucketed_range_join(p, c, "p_ts", "c_ts", lower=-1800.0, upper=0.0)
+    return j.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.countDistinct("c_user").cast("long").alias("n_users"),
+    )

@@ -427,3 +427,40 @@ def t20_tokenizer_pipeline(spark, sf_dir):
         "n_tok",
         "source",
     )
+
+
+@q(
+    "t23_ngram_novelty",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             ts[i] || chr(1) || ts[i + 1] || chr(1) || ts[i + 2] AS gram
+      FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)
+    ),
+    per_doc AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id),
+    novel AS (
+      SELECT fd AS doc_id, COUNT(*) AS nn
+      FROM (SELECT gram, MIN(doc_id) AS fd FROM grams GROUP BY gram)
+      GROUP BY fd
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.ng, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(v.nn, 0) AS BIGINT) AS n_novel,
+           ROUND(CASE WHEN COALESCE(p.ng, 0) > 0
+                 THEN CAST(COALESCE(v.nn, 0) AS DOUBLE) / CAST(p.ng AS DOUBLE)
+                 ELSE 0.0 END, 6) AS novelty
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN novel v USING (doc_id)
+    """,
+)
+def t23_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty vs the earlier corpus (first
+    occurrence by min doc_id) — the per-doc scalar face of t22's
+    source-level overlap matrix and the cheap pre-filter before d2/d3
+    pairwise near-dup (functions/text.ngram_novelty: one distinct
+    shuffle, two re-aggregations, no second touch of the gram key)."""
+    from diffdataflowmlpipelines_spark.functions.text import ngram_novelty
+
+    return ngram_novelty(load(spark, sf_dir, "documents"), n=3)

@@ -155,3 +155,73 @@ def salted_label_join(
         out_cols.append("diff")
     hot = t.join(l2, cond, "inner").select(*out_cols)
     return cold.unionByName(hot)
+
+
+def streaming_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    *,
+    lower: float,
+    upper: float,
+    watermark: str = "30 seconds",
+    streaming: bool = True,
+) -> DataFrame:
+    """Keyless interval join as a watermarked stream-stream join — the
+    streaming face of ``operators/rangejoin.bucketed_range_join`` (j4).
+
+    Without an equi key, Spark rejects/cross-plans a stream-stream
+    theta join; the batch operator's interval-bucket trick IS the fix
+    here too: both sides derive a span-width bucket id (right rows in
+    exactly one, left windows over <= 2, fan-out bounded), the join
+    becomes equi-on-bucket, and the exact ``right_time BETWEEN
+    left_time + lower AND left_time + upper`` range rides in the join
+    condition ON THE RAW EVENT-TIME COLUMNS, which is what Spark's
+    state-cleanup analysis needs to derive each side's state watermark
+    — state is dropped once the other side's watermark passes the
+    window, so state stays bounded by (watermark + span) x arrival
+    rate, never the full history.
+
+    ``streaming=False`` runs the identical plan on batch frames — the
+    parity-test oracle (label_join convention). Column names must not
+    collide across sides (pre-alias, the j1/j3/j4 convention).
+    """
+    from diffdataflowmlpipelines_spark.operators.rangejoin import (
+        _floordiv,
+        _micros,
+    )
+
+    if lower > upper:
+        raise ValueError(f"lower ({lower}) must be <= upper ({upper})")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"column collision across sides: {sorted(overlap)} — alias first"
+        )
+    lo_us = int(round(lower * 1_000_000))
+    hi_us = int(round(upper * 1_000_000))
+    bucket_us = max(hi_us - lo_us, 1)
+
+    l = left.withWatermark(left_time, watermark) if streaming else left
+    r = right.withWatermark(right_time, watermark) if streaming else right
+    lt_us = _micros(l, left_time)
+    l = l.withColumn(
+        "__lbucket",
+        F.explode(
+            F.sequence(
+                _floordiv(lt_us + F.lit(lo_us), bucket_us),
+                _floordiv(lt_us + F.lit(hi_us), bucket_us),
+            )
+        ),
+    )
+    r = r.withColumn("__rbucket", _floordiv(_micros(r, right_time), bucket_us))
+
+    lo_iv = F.make_dt_interval(secs=F.lit(lo_us / 1_000_000))
+    hi_iv = F.make_dt_interval(secs=F.lit(hi_us / 1_000_000))
+    cond = (
+        (l["__lbucket"] == r["__rbucket"])
+        & (r[right_time] >= l[left_time] + lo_iv)
+        & (r[right_time] <= l[left_time] + hi_iv)
+    )
+    return l.join(r, cond, "inner").drop("__lbucket", "__rbucket")

@@ -1,0 +1,95 @@
+"""knn_graph: blocked k-NN graph over an embedding column.
+
+Pinned: closed-form neighbor sets within hand-built cells, exact
+equality with brute-force cosine ranking when everything shares one
+cell, full recall on well-separated planted clusters under
+kmeans_centroids, the singleton-cell contract, and the k guard."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from diffdataflowmlpipelines_spark.functions.similarity import (
+    kmeans_centroids,
+    knn_graph,
+)
+
+
+def _cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return round(num / (na * nb), 9)
+
+
+def _brute_topk(vecs: dict, k: int):
+    want = set()
+    for i, v in vecs.items():
+        sims = sorted(
+            ((_cos(v, w), -j) for j, w in vecs.items() if j != i), reverse=True
+        )
+        for rank, (c, nj) in enumerate(sims[:k], start=1):
+            want.add((i, -nj, c, rank))
+    return want
+
+
+def test_single_cell_equals_brute_force(spark):
+    # n_centroids=1: every vector lands in one cell -> the graph must
+    # equal exact brute-force cosine top-k with the lower-id tie-break
+    rng = random.Random(3)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(30)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = knn_graph(df, "vec_id", "embedding", k=4, n_centroids=1)
+    got = {(r.vec_id, r.neighbor_id, r.cosine, r.rank) for r in out.collect()}
+    assert got == _brute_topk(vecs, 4)
+
+
+def test_planted_clusters_full_recall_with_kmeans(spark):
+    # 4 tight, well-separated clusters: every vector's true k nearest
+    # live in its own cluster, so cell blocking loses nothing
+    rng = random.Random(11)
+    centers = [
+        [10.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0],
+        [0.0, 0.0, 10.0],
+        [7.0, 7.0, 7.0],
+    ]
+    vecs = {}
+    for ci, c in enumerate(centers):
+        for j in range(12):
+            vid = ci * 100 + j
+            vecs[vid] = [x + rng.uniform(-0.05, 0.05) for x in c]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cents = kmeans_centroids(df, "vec_id", "embedding", n_centroids=4, seed=1)
+    out = knn_graph(df, "vec_id", "embedding", k=3, centroids=cents)
+    got = {(r.vec_id, r.neighbor_id, r.cosine, r.rank) for r in out.collect()}
+    assert got == _brute_topk(vecs, 3)
+    # and every neighbor is intra-cluster
+    assert all(src // 100 == nb // 100 for src, nb, _, _ in got)
+
+
+def test_singleton_cell_emits_no_rows(spark):
+    # vec 99 is orthogonal to everything and becomes its own cell
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (99, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = knn_graph(df, "vec_id", "embedding", k=2, centroids=cents).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.vec_id, []).append(r.neighbor_id)
+    assert by_src == {0: [1], 1: [0]}  # 99 alone in its cell: no rows
+
+
+def test_k_guard(spark):
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="k must be"):
+        knn_graph(df, "vec_id", "embedding", k=0)

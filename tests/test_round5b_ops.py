@@ -1,0 +1,62 @@
+"""Round-5b closed-form tests: ngram_novelty and the a4 CUBE slice the
+a1 ROLLUP never produces. (j4/s7 have their own files; a4/w10/j4/s7/t23
+are all additionally value-hash oracle-checked via the registry.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from diffdataflowmlpipelines_spark.functions.text import ngram_novelty
+
+
+def test_ngram_novelty_closed_form(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # both grams first seen here
+            (2, "a b c d"),   # exact dup of 1: nothing novel
+            (3, "b c d e"),   # bcd seen in 1, cde fresh
+            (4, "x y"),       # < 3 tokens: no grams at all
+            (5, None),        # NULL text: no grams
+            (6, "a a a a"),   # repeated gram counted ONCE (distinct)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in ngram_novelty(docs, n=3).collect()
+    }
+    assert got == {
+        1: (2, 2, 1.0),
+        2: (2, 0, 0.0),
+        3: (2, 1, 0.5),
+        4: (0, 0, 0.0),
+        5: (0, 0, 0.0),
+        6: (1, 1, 1.0),
+    }
+
+
+def test_cube_produces_the_all_bucket_slice(spark, tmp_path):
+    # CUBE emits the (ALL event_type, bucket) grouping set that ROLLUP
+    # (a1) structurally cannot — pin it on a tiny synthetic events table
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 10, "click", 1.0, None),
+            (2, dt.datetime(2024, 1, 1), 21, "view", 2.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.parquet(f"{tmp_path}/events.parquet")
+    from diffdataflowmlpipelines_spark.plans.more_queries import a4_cube
+
+    out = a4_cube(spark, str(tmp_path))
+    rows = {(r.event_type, r.user_bucket): (r.n, r.total) for r in out.collect()}
+    # the ROLLUP-impossible slices: all types, one bucket
+    assert rows[("(all)", 0)] == (1, 1.0)
+    assert rows[("(all)", 1)] == (1, 2.0)
+    # plus the shared sets
+    assert rows[("(all)", -1)] == (2, 3.0)
+    assert rows[("click", 0)] == (1, 1.0)
+    assert len(rows) == 2 + 2 + 2 + 1  # (t,b), (t,all), (all,b), (all,all)
