@@ -81,6 +81,8 @@ _LEAD_THIS_ROUND = [
     "j4_bucketed_range_join",
     "t23_ngram_novelty",
     "s7_knn_graph",
+    "t24_priority_sample",
+    "s8_knn_components",
 ]
 
 

@@ -173,3 +173,61 @@ def quality_weighted_sample(
     """
     gate = F.pmod(md5_hash60(F.col(id_col).cast("string")), F.lit(permille_scale))
     return df.filter(gate < weight_permille)
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of exactly ``min(k, n)``
+    rows: priority sampling (Duffield, Lund & Thorup 2007) — each row
+    gets priority ``q = w / u`` with ``u`` uniform on (0, 1], keep the
+    k largest. Higher-weight rows are proportionally likelier to make
+    the sample, and the scheme supports unbiased subset-sum estimation
+    (estimate weight = max(w, tau) with tau = the (k+1)-st priority).
+    Complements the repo's Bernoulli gates (t7/t18 keep a random-SIZED
+    subset; training-data curation often needs "exactly k docs, weighted
+    by quality/length").
+
+    Determinism (repo convention — never rand()): ``u`` is derived from
+    the portable md5 hash, ``u = (md5_hash60(id) % scale + 1) /
+    (scale + 1)``, so the sample is reproducible across engines,
+    retries and partitionings. Cross-engine exactness: both u and q
+    need ONE correctly-rounded IEEE division each (bit-identical in
+    Spark and DuckDB) — deliberately no log/exp, whose libm rounding
+    may differ at selection boundaries (why this is A-ES's
+    priority-sampling cousin, not exponential-keys A-ES itself).
+
+    Rows with NULL id, or NULL/non-positive weight, are dropped
+    (documented: no identity to hash / no mass to sample).
+
+    100-TB shape: map-only priority projection fused into the scan,
+    then global top-k via orderBy().limit(k) — Spark plans
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver
+    stage), never a global sort. Output: (id_col, weight, priority
+    rounded to 6), priority DESC ties broken by id.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = (
+        (F.pmod(md5_hash60(F.col(id_col).cast("string")), F.lit(scale)) + 1)
+        .cast("double")
+        / F.lit(float(scale + 1))
+    )
+    pri = w / u
+    return (
+        df.filter(F.col(id_col).isNotNull() & w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            pri.alias("__pri"),
+        )
+        .orderBy(F.col("__pri").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "weight", F.round(F.col("__pri"), 6).alias("priority"))
+    )

@@ -743,6 +743,7 @@ def knn_graph(
     n_centroids: int = 8,
     centroids: DataFrame | None = None,
     round_to: int = 9,
+    return_assignment: bool = False,
 ) -> DataFrame:
     """Blocked k-NN graph over an embedding column: for every vector,
     its k nearest SAME-CELL neighbors by cosine — the corpus-vs-corpus
@@ -757,6 +758,14 @@ def knn_graph(
     lowest-key convention when ``centroids`` is None, the s3/s4/d10
     discipline). Output: (key, neighbor_id, cosine, rank), rank 1..k.
     Vectors alone in their cell emit no rows.
+
+    ``return_assignment=True`` additionally returns the checkpointed
+    cell assignment as ``(key, cluster_id)`` — one row per non-zero-norm
+    input vector. Downstream consumers that need the full vector
+    population (e.g. component labeling that must self-label edge-less
+    vectors, s8) read THAT instead of re-scanning the corpus — the
+    assignment is already materialized, so the extra consumer is free
+    (the d3/cep3 duplicate-subtree class, avoided at the API).
 
     Scale shape: assignment is the shuffle-free literal-centroid
     projection; the pair stage is a per-cell self-equi-join — Sigma
@@ -808,8 +817,11 @@ def knn_graph(
     w = Window.partitionBy("__src").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    return (
+    out = (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(F.col("__src").alias(key), "neighbor_id", "cosine", "rank")
     )
+    if return_assignment:
+        return out, assigned.select(F.col("__id").alias(key), "cluster_id")
+    return out

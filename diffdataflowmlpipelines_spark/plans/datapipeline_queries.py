@@ -1758,3 +1758,91 @@ def s7_knn_graph(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return knn_graph(emb, "vec_id", "embedding", k=3, n_centroids=8)
+
+
+def _s8_sql(n_centroids: int = 8, k: int = 3) -> str:
+    """s7's generated knn-pair CTEs + the d6 recursive-CTE component
+    oracle: undirected reach over the k-NN edges, component label =
+    minimum vec_id; edge-less vectors are their own component."""
+    dot = (
+        "ROUND(list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i])) / ({an} * {bn}), 9)"
+    )
+    sim = dot.format(a="c.v", b="ct.cv", an="c.nn", bn="ct.cn")
+    pcos = dot.format(a="na.v", b="nb.v", an="na.nn", bn="nb.nn")
+    return f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+          FROM e),
+    nz AS (SELECT * FROM n WHERE nn > 0),
+    cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM nz
+             WHERE vec_id < {n_centroids}),
+    sims AS (SELECT c.vec_id, ct.cid, {sim} AS sim
+             FROM nz c CROSS JOIN cent ct),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid) AS r
+        FROM sims
+      ) WHERE r = 1
+    ),
+    knn AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {pcos} DESC, b.vec_id) AS rank
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        JOIN nz na ON na.vec_id = a.vec_id
+        JOIN nz nb ON nb.vec_id = b.vec_id
+      ) WHERE rank <= {k}
+    ),
+    edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn
+              UNION SELECT neighbor_id, vec_id FROM knn),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS rep FROM reach GROUP BY node)
+    SELECT nz.vec_id, CAST(COALESCE(comp.rep, nz.vec_id) AS BIGINT) AS component
+    FROM nz LEFT JOIN comp ON comp.node = nz.vec_id
+    """
+
+
+@q("s8_knn_components", _s8_sql())
+def s8_knn_components(spark, sf_dir):
+    """Connected components over the blocked k-NN graph — the
+    graph-based clustering s7 feeds (mutual-reach groups of
+    semantically close embeddings; the embedding-space cousin of d6's
+    near-dup clusters). Composition: knn_graph edges (localCheckpoint —
+    the star algorithm consumes the pair frame three ways) ->
+    large-star/small-star components (O(log n) shuffle rounds, the
+    100 TB path; functions/dedup.dup_clusters_star); singleton-cell
+    vectors label themselves. Oracle: generated knn CTEs + the d6
+    RECURSIVE reach."""
+    from diffdataflowmlpipelines_spark.functions.dedup import dup_clusters_star
+    from diffdataflowmlpipelines_spark.functions.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # return_assignment: the base population (every non-zero-norm
+    # vector) reads the knn stage's already-checkpointed assignment
+    # instead of re-scanning embeddings (the audit's duplicate-FileScan
+    # detector fired on the re-scan shape — Spark even injected a
+    # runtime bloom filter to reconcile the two scans)
+    g, asg = knn_graph(
+        emb, "vec_id", "embedding", k=3, n_centroids=8, return_assignment=True
+    )
+    pairs = g.select(
+        F.col("vec_id").alias("a"), F.col("neighbor_id").alias("b")
+    ).localCheckpoint(eager=True)
+    comp = dup_clusters_star(pairs)  # (doc, cluster_rep)
+    base = asg.select("vec_id")
+    return base.join(comp, base["vec_id"] == comp["doc"], "left").select(
+        "vec_id",
+        F.coalesce(F.col("cluster_rep"), F.col("vec_id"))
+        .cast("long")
+        .alias("component"),
+    )

@@ -464,3 +464,32 @@ def t23_ngram_novelty(spark, sf_dir):
     from diffdataflowmlpipelines_spark.functions.text import ngram_novelty
 
     return ngram_novelty(load(spark, sf_dir, "documents"), n=3)
+
+
+@q(
+    "t24_priority_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             CAST(n_chars AS DOUBLE) / (
+               CAST((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 1000000) + 1 AS DOUBLE) / 1000001.0
+             ) AS pri
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, weight, ROUND(pri, 6) AS priority
+    FROM p ORDER BY pri DESC, doc_id LIMIT 200
+    """,
+)
+def t24_priority_sample(spark, sf_dir):
+    """Exactly-k weighted sample without replacement (priority
+    sampling, Duffield-Lund-Thorup 2007) over documents weighted by
+    n_chars — functions/sampling.priority_sample: deterministic
+    hash-derived u, division-only priorities (cross-engine IEEE-exact,
+    no libm), global top-k via TakeOrderedAndProject."""
+    from diffdataflowmlpipelines_spark.functions.sampling import priority_sample
+
+    return priority_sample(
+        load(spark, sf_dir, "documents"), "doc_id", "n_chars", k=200
+    )

@@ -93,3 +93,34 @@ def test_k_guard(spark):
     df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="k must be"):
         knn_graph(df, "vec_id", "embedding", k=0)
+
+
+def test_knn_components_two_planted_groups(spark, tmp_path):
+    """s8 composition: two tight angular clusters in one cell must
+    resolve to exactly two components labeled by their minimum id;
+    a singleton cell labels itself."""
+    import pandas as pd
+
+    rows = (
+        # group A: exactly-collinear scaled copies of [1,0,0], ids 0..4 —
+        # round-9 cosine 1.0 to every A centroid, tie -> cell 0
+        [(i, [float(i + 1), 0.0, 0.0]) for i in range(5)]
+        # loner: id 5 IS a centroid, alone in its direction -> its own
+        # cell, no knn rows, the coalesce self-label path
+        + [(5, [0.0, 0.0, 1.0])]
+        # group B: collinear copies of [0,1,0], ids 10..14 -> cell 10
+        + [(10 + i, [0.0, float(i + 1), 0.0]) for i in range(5)]
+    )
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    spark.createDataFrame(pdf, "vec_id long, embedding array<double>").write.parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    from diffdataflowmlpipelines_spark.plans.datapipeline_queries import (
+        s8_knn_components,
+    )
+
+    out = {r.vec_id: r.component for r in s8_knn_components(spark, str(tmp_path)).collect()}
+    assert {out[i] for i in range(5)} == {0}
+    assert {out[10 + i] for i in range(5)} == {10}
+    assert out[5] == 5
+    assert len(out) == 11

@@ -60,3 +60,64 @@ def test_cube_produces_the_all_bucket_slice(spark, tmp_path):
     assert rows[("(all)", -1)] == (2, 3.0)
     assert rows[("click", 0)] == (1, 1.0)
     assert len(rows) == 2 + 2 + 2 + 1  # (t,b), (t,all), (all,b), (all,all)
+
+
+# --- priority_sample (t24) ------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+def test_priority_sample_exactly_k_and_deterministic(spark):
+    from diffdataflowmlpipelines_spark.functions.sampling import priority_sample
+
+    df = _docs(spark, [(i, 100 + i) for i in range(50)])
+    a = priority_sample(df, "doc_id", "n_chars", k=10)
+    b = priority_sample(df, "doc_id", "n_chars", k=10)
+    ra = sorted((r.doc_id, r.weight, r.priority) for r in a.collect())
+    rb = sorted((r.doc_id, r.weight, r.priority) for r in b.collect())
+    assert len(ra) == 10 and ra == rb
+    # fewer rows than k: the whole (eligible) population comes back
+    small = priority_sample(_docs(spark, [(1, 5), (2, 7)]), "doc_id", "n_chars", k=10)
+    assert small.count() == 2
+
+
+def test_priority_sample_dominant_weight_always_selected(spark):
+    from diffdataflowmlpipelines_spark.functions.sampling import priority_sample
+
+    # pri = w/u with u > 1/(scale+1): a weight-1 row tops out at
+    # 1_000_001 while the heavy row's pri >= 10^9 — always in
+    rows = [(i, 1) for i in range(100)] + [(999, 10**9)]
+    out = priority_sample(_docs(spark, rows), "doc_id", "n_chars", k=5)
+    assert 999 in {r.doc_id for r in out.collect()}
+
+
+def test_priority_sample_monotone_in_weight(spark):
+    from diffdataflowmlpipelines_spark.functions.sampling import priority_sample
+
+    base = [(i, 10) for i in range(40)]
+    sel0 = {r.doc_id for r in priority_sample(_docs(spark, base), "doc_id", "n_chars", k=8).collect()}
+    target = sorted(sel0)[0]
+    boosted = [(i, 10_000 if i == target else w) for i, w in base]
+    sel1 = {r.doc_id for r in priority_sample(_docs(spark, boosted), "doc_id", "n_chars", k=8).collect()}
+    assert target in sel1  # raising a selected row's weight never evicts it
+
+
+def test_priority_sample_null_and_nonpositive_dropped(spark):
+    from diffdataflowmlpipelines_spark.functions.sampling import priority_sample
+
+    rows = [(1, 10), (2, None), (3, 0), (4, -5), (None, 10), (5, 3)]
+    out = priority_sample(_docs(spark, rows), "doc_id", "n_chars", k=10)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 5]
+
+
+def test_priority_sample_plan_is_top_k_not_global_sort(spark):
+    import pytest
+    from diffdataflowmlpipelines_spark.functions.sampling import priority_sample
+
+    df = _docs(spark, [(i, i + 1) for i in range(20)])
+    out = priority_sample(df, "doc_id", "n_chars", k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError, match="k must be"):
+        priority_sample(df, "doc_id", "n_chars", k=0)

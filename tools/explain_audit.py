@@ -72,6 +72,8 @@ AUDITED = [
     "j4_bucketed_range_join",
     "t23_ngram_novelty",
     "s7_knn_graph",
+    "t24_priority_sample",
+    "s8_knn_components",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
