@@ -83,6 +83,7 @@ _LEAD_THIS_ROUND = [
     "s7_knn_graph",
     "t24_priority_sample",
     "s8_knn_components",
+    "d11_containment_pairs",
 ]
 
 

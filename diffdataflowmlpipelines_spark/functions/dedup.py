@@ -243,32 +243,20 @@ def minhash_lsh_candidates(
     )
 
 
-def jaccard_pairs(
+def _pair_intersections(
     df: DataFrame,
     key: str,
     tokens_col: str,
     *,
-    threshold: float = 0.5,
-    shingle_n: int = 3,
-    candidates: DataFrame | None = None,
+    shingle_n: int,
+    candidates: DataFrame | None,
     max_shingle_df: int | None = None,
-) -> DataFrame:
-    """Exact shingle-set Jaccard over candidate pairs. Returns
-    (a, b, jaccard).
-
-    With ``candidates`` (the scale path — feed
-    ``minhash_lsh_candidates``), the intersection is CANDIDATE-PAIR-
-    DRIVEN: each pair's shingle sets are equi-joined directly, so cost
-    is sum over candidate pairs of |shingles(a)| — never the shingle
-    self-join, whose cost is sum over shingles of docfreq² and melts
-    the shuffle on one hot shingle at corpus scale.
-
-    With ``candidates=None`` the all-pairs-sharing-a-shingle self-join
-    is used (fine at test scale only); ``max_shingle_df`` caps the
-    document frequency of shingles entering that join (a standard
-    approximation — ubiquitous shingles carry no pair signal), at the
-    cost of slightly under-counting intersections for capped shingles.
-    """
+):
+    """Shared machinery for set-overlap pair metrics (jaccard_pairs /
+    containment_pairs): distinct (key, shingle) frame -> per-pair
+    intersection counts ``(a, b, __i)`` plus per-doc set sizes
+    ``(key, __sz)``. Candidate-driven when ``candidates`` is given (the
+    scale path), shingle self-join otherwise (test scale only)."""
     sh = df.select(
         key, F.explode(word_shingles(F.col(tokens_col), shingle_n)).alias("__s")
     ).dropDuplicates([key, "__s"])
@@ -282,7 +270,7 @@ def jaccard_pairs(
     sizes = sizes.localCheckpoint(eager=True)
     if candidates is not None:
         # dropDuplicates: a repeated (a, b) candidate would double-count
-        # the intersection and inflate jaccard past 1.0
+        # the intersection and inflate the metric past 1.0
         ca = candidates.select("a", "b").dropDuplicates()
         a_sh = sh.select(F.col(key).alias("a"), "__s")
         b_sh = sh.select(F.col(key).alias("b"), "__s")
@@ -309,6 +297,43 @@ def jaccard_pairs(
             .groupBy("a", "b")
             .agg(F.count("*").alias("__i"))
         )
+    return inter, sizes
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    key: str,
+    tokens_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs. Returns
+    (a, b, jaccard).
+
+    With ``candidates`` (the scale path — feed
+    ``minhash_lsh_candidates``), the intersection is CANDIDATE-PAIR-
+    DRIVEN: each pair's shingle sets are equi-joined directly, so cost
+    is sum over candidate pairs of |shingles(a)| — never the shingle
+    self-join, whose cost is sum over shingles of docfreq² and melts
+    the shuffle on one hot shingle at corpus scale.
+
+    With ``candidates=None`` the all-pairs-sharing-a-shingle self-join
+    is used (fine at test scale only); ``max_shingle_df`` caps the
+    document frequency of shingles entering that join (a standard
+    approximation — ubiquitous shingles carry no pair signal), at the
+    cost of slightly under-counting intersections for capped shingles.
+    """
+    inter, sizes = _pair_intersections(
+        df,
+        key,
+        tokens_col,
+        shingle_n=shingle_n,
+        candidates=candidates,
+        max_shingle_df=max_shingle_df,
+    )
     out = (
         inter.join(sizes.withColumnRenamed(key, "a").withColumnRenamed("__sz", "__sa"), "a")
         .join(sizes.withColumnRenamed(key, "b").withColumnRenamed("__sz", "__sb"), "b")
@@ -319,6 +344,59 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    key: str,
+    tokens_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC set-overlap over candidate pairs: containment
+    ``C(A in B) = |A ∩ B| / |A|`` (Broder 1997's second resemblance
+    measure) — the dedup signal Jaccard structurally under-reports when
+    one document is a SUBSET of a larger one (a quote, a syndicated
+    article inside a portal page, boilerplate wrapping): |A|=100 inside
+    |B|=900 has Jaccard 0.11 but containment 1.0. Returns
+    ``(a, b, cont_a_in_b, cont_b_in_a, containment)`` with
+    ``containment = max of the two`` (= i / min(|A|,|B|)), filtered at
+    ``threshold``, rounded to 6.
+
+    Scale shape: identical to :func:`jaccard_pairs` — candidate-pair-
+    driven intersection, checkpointed shingle/size frames, one rounded
+    division per metric. Honest recall caveat: MinHash-LSH candidates
+    recall by JACCARD, so an extreme size-ratio subset pair may never
+    become a candidate — re-scoring candidates catches moderate-ratio
+    subsets (where Jaccard clears the banding floor but understates the
+    duplication); true small-in-huge substring duplication is d8's
+    window-hash span machinery, which needs no pairing at all.
+    Beyond-reference operator (reference has no dedup surface)."""
+    inter, sizes = _pair_intersections(
+        df, key, tokens_col, shingle_n=shingle_n, candidates=candidates
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed(key, "a").withColumnRenamed("__sz", "__sa"),
+            "a",
+        )
+        .join(
+            sizes.withColumnRenamed(key, "b").withColumnRenamed("__sz", "__sb"),
+            "b",
+        )
+        .withColumn("__ca", F.col("__i") / F.col("__sa"))
+        .withColumn("__cb", F.col("__i") / F.col("__sb"))
+        .filter(F.greatest("__ca", "__cb") >= threshold)
+    )
+    return out.select(
+        "a",
+        "b",
+        F.round("__ca", 6).alias("cont_a_in_b"),
+        F.round("__cb", 6).alias("cont_b_in_a"),
+        F.round(F.greatest("__ca", "__cb"), 6).alias("containment"),
+    )
 
 
 def simhash(

@@ -1846,3 +1846,34 @@ def s8_knn_components(spark, sf_dir):
         .cast("long")
         .alias("component"),
     )
+
+
+@q(
+    "d11_containment_pairs",
+    f"""
+    WITH {_lsh_jaccard_cte()}
+    SELECT a, b,
+           ROUND(i / sa.sz, 6) AS cont_a_in_b,
+           ROUND(i / sb.sz, 6) AS cont_b_in_a,
+           ROUND(GREATEST(i / sa.sz, i / sb.sz), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE GREATEST(i / sa.sz, i / sb.sz) >= 0.3
+    """,
+)
+def d11_containment_pairs(spark, sf_dir):
+    """Asymmetric containment over the SAME LSH candidate machinery as
+    d3 (functions/dedup.containment_pairs): catches subset duplication
+    (quotes, syndication, boilerplate wrapping) that symmetric Jaccard
+    under-reports — C(A in B) = |A∩B|/|A| vs Jaccard's |A∩B|/|A∪B|."""
+    from diffdataflowmlpipelines_spark.functions.dedup import containment_pairs
+
+    docs = _tokenized_docs(spark, sf_dir)
+    sigs = minhash_signatures_rowwise(
+        docs, "doc_id", "toks", n_hashes=8, shingle_n=3
+    )
+    cand = minhash_lsh_candidates(sigs, "doc_id", bands=4, sig_len=8)
+    return containment_pairs(
+        docs, "doc_id", "toks", threshold=0.3, shingle_n=3, candidates=cand
+    )

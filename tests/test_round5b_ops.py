@@ -121,3 +121,56 @@ def test_priority_sample_plan_is_top_k_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     with pytest.raises(ValueError, match="k must be"):
         priority_sample(df, "doc_id", "n_chars", k=0)
+
+
+# --- containment_pairs (d11) ----------------------------------------------------
+
+def test_containment_subset_scores_one_where_jaccard_is_low(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    # doc 1 = a 6-token quote lifted verbatim into the middle of doc 2
+    quote = "the quick brown fox jumps high"
+    filler_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler_b = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler_a} {quote} {filler_b}")],
+        "doc_id long, text string",
+    ).selectExpr("doc_id", "split(text, ' ') AS toks")
+    out = containment_pairs(docs, "doc_id", "toks", threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # all 4 of doc 1's 3-gram shingles appear in doc 2
+    assert (r.a, r.b) == (1, 2)
+    assert r.cont_a_in_b == 1.0 and r.containment == 1.0
+    assert r.cont_b_in_a < 0.2  # the big doc is NOT contained in the quote
+    # and symmetric Jaccard misses the same pair at the same threshold
+    jac = jaccard_pairs(docs, "doc_id", "toks", threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_threshold_and_candidate_parity(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d x y"),   # shares 2 of 4 shingles with 1
+            (3, "p q r s t u"),   # disjoint
+        ],
+        "doc_id long, text string",
+    ).selectExpr("doc_id", "split(text, ' ') AS toks")
+    allp = containment_pairs(docs, "doc_id", "toks", threshold=0.5)
+    got = {(r.a, r.b): r.containment for r in allp.collect()}
+    assert got == {(1, 2): 0.5}  # 2/4 each way; disjoint pair filtered
+    # candidate-driven path produces identical rows for covered pairs
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    got_c = {
+        (r.a, r.b): r.containment
+        for r in containment_pairs(
+            docs, "doc_id", "toks", threshold=0.5, candidates=cand
+        ).collect()
+    }
+    assert got_c == {(1, 2): 0.5}

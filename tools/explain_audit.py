@@ -74,6 +74,7 @@ AUDITED = [
     "s7_knn_graph",
     "t24_priority_sample",
     "s8_knn_components",
+    "d11_containment_pairs",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
