@@ -30,6 +30,18 @@ def md5_hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def true_word_shingles(tokens: Column, n: int = 3) -> Column:
+    """``word_shingles`` WITHOUT the short-document whole-doc fallback:
+    documents shorter than ``n`` tokens yield an EMPTY array. The
+    fallback exists for MinHash's benefit (every doc needs a non-empty
+    set to sign); set-overlap statistics (t22 source overlap, t23
+    novelty) want true n-grams only — this keeps that convention in
+    one place."""
+    return F.when(F.size(tokens) >= n, word_shingles(tokens, n)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def _minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a*(x mod p) + b) mod p —
     LCG-seeded, reproducible in SQL as literals."""

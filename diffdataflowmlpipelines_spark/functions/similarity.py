@@ -744,7 +744,7 @@ def knn_graph(
     centroids: DataFrame | None = None,
     round_to: int = 9,
     return_assignment: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Blocked k-NN graph over an embedding column: for every vector,
     its k nearest SAME-CELL neighbors by cosine — the corpus-vs-corpus
     companion to ``cosine_topk`` (query-vs-corpus) and the standard

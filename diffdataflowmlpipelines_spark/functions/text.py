@@ -489,20 +489,16 @@ def source_ngram_overlap(
     gram); |sources| is small, so the join fans out at most |sources|
     per gram — never a cross join); the |sources|²-bounded result joins
     the size frame twice, broadcast."""
-    from diffdataflowmlpipelines_spark.functions.dedup import word_shingles
+    from diffdataflowmlpipelines_spark.functions.dedup import true_word_shingles
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     g = F.col(group_col)
     toks = tokenize(F.coalesce(c, F.lit("")))
-    # docs shorter than n contribute NO grams (word_shingles' fallback
-    # emits a whole-doc shingle for MinHash's purposes; a set-overlap
-    # statistic wants true n-grams only)
-    shingles = F.when(F.size(toks) >= n, word_shingles(toks, n)).otherwise(
-        F.array().cast("array<string>")
-    )
+    # docs shorter than n contribute NO grams (true_word_shingles: a
+    # set-overlap statistic wants true n-grams only)
     grams = (
         docs.filter(g.isNotNull())
-        .select(g.alias("__g"), F.explode(shingles).alias("__gram"))
+        .select(g.alias("__g"), F.explode(true_word_shingles(toks, n)).alias("__gram"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -620,15 +616,15 @@ def ngram_novelty(
     gram key a second time. Fan-out is bounded by token count; no
     pairwise anything.
     """
-    from diffdataflowmlpipelines_spark.functions.dedup import word_shingles
+    from diffdataflowmlpipelines_spark.functions.dedup import true_word_shingles
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = tokenize(F.coalesce(c, F.lit("")))
-    shingles = F.when(F.size(toks) >= n, word_shingles(toks, n)).otherwise(
-        F.array().cast("array<string>")
-    )
     grams = (
-        docs.select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__gram"))
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(true_word_shingles(toks, n)).alias("__gram"),
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -55,6 +55,61 @@ def _micros(df: DataFrame, col: str) -> Column:
     return F.unix_micros(F.col(col))
 
 
+def bucket_equi_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    *,
+    lower: float,
+    upper: float,
+) -> DataFrame:
+    """The shared core of the batch operator AND the streaming twin
+    (``streaming/join.streaming_range_join`` — which only adds
+    watermarks before calling this): validation, microsecond bounds,
+    bucket derivation, and the equi-on-bucket join whose exact
+    ``right_time BETWEEN left_time + lower AND left_time + upper``
+    range condition rides IN the join on the RAW event-time columns —
+    what Spark's stream-stream state-cleanup analysis needs to derive
+    each side's state watermark, and a no-op difference for batch.
+    One implementation, so the bucket math cannot drift between the
+    two paths.
+    """
+    if lower > upper:
+        raise ValueError(f"lower ({lower}) must be <= upper ({upper})")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"column collision across sides: {sorted(overlap)} — alias first"
+        )
+    lo_us = int(round(lower * 1_000_000))
+    hi_us = int(round(upper * 1_000_000))
+    bucket_us = max(hi_us - lo_us, 1)
+
+    lt_us = _micros(left, left_time)
+    l = left.withColumn(
+        "__lbucket",
+        F.explode(
+            F.sequence(
+                _floordiv(lt_us + F.lit(lo_us), bucket_us),
+                _floordiv(lt_us + F.lit(hi_us), bucket_us),
+            )
+        ),
+    )
+    r = right.withColumn(
+        "__rbucket", _floordiv(_micros(right, right_time), bucket_us)
+    )
+
+    lo_iv = F.make_dt_interval(secs=F.lit(lo_us / 1_000_000))
+    hi_iv = F.make_dt_interval(secs=F.lit(hi_us / 1_000_000))
+    cond = (
+        (l["__lbucket"] == r["__rbucket"])
+        & (r[right_time] >= l[left_time] + lo_iv)
+        & (r[right_time] <= l[left_time] + hi_iv)
+    )
+    return l.join(r, cond, "inner").drop("__lbucket", "__rbucket")
+
+
 def bucketed_range_join(
     left: DataFrame,
     right: DataFrame,
@@ -74,33 +129,6 @@ def bucketed_range_join(
     the caller side, the j1/j3 convention). Timestamps are compared at
     microsecond precision (the parquet/Spark timestamp resolution).
     """
-    if lower > upper:
-        raise ValueError(f"lower ({lower}) must be <= upper ({upper})")
-    overlap = set(left.columns) & set(right.columns)
-    if overlap:
-        raise ValueError(
-            f"column collision across sides: {sorted(overlap)} — alias first"
-        )
-    lo_us = int(round(lower * 1_000_000))
-    hi_us = int(round(upper * 1_000_000))
-    bucket_us = max(hi_us - lo_us, 1)
-
-    l = left.withColumn("__lt_us", _micros(left, left_time)).withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                _floordiv(F.col("__lt_us") + F.lit(lo_us), bucket_us),
-                _floordiv(F.col("__lt_us") + F.lit(hi_us), bucket_us),
-            )
-        ),
+    return bucket_equi_range_join(
+        left, right, left_time, right_time, lower=lower, upper=upper
     )
-    r = right.withColumn("__rt_us", _micros(right, right_time)).withColumn(
-        "__bucket", _floordiv(F.col("__rt_us"), bucket_us)
-    )
-
-    out = l.join(r, "__bucket").filter(
-        F.col("__rt_us").between(
-            F.col("__lt_us") + F.lit(lo_us), F.col("__lt_us") + F.lit(hi_us)
-        )
-    )
-    return out.drop("__bucket", "__lt_us", "__rt_us")

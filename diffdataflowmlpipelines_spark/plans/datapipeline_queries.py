@@ -1703,10 +1703,17 @@ def t11_corpus_pipeline(spark, sf_dir):
     return pack_sequences(surv, "doc_id", "n_tok", "source", budget=512)
 
 
-def _s7_sql(n_centroids: int = 8, k: int = 3) -> str:
-    """Mirror of knn_graph: same literal-centroid assignment as
-    s3/s4/d10 (first-N lowest-key centroids, round-9 cosine, ties to
-    the lower centroid id), then within-cell exact top-k."""
+def _knn_cte(n_centroids: int = 8, k: int = 3) -> str:
+    """Shared CTE block mirroring knn_graph exactly (the
+    _lsh_jaccard_cte pattern): zero-norm vectors EXCLUDED before
+    centroid selection AND assignment (``_nonzero`` runs first in
+    ``_nearest_assign``, so the default centroids are the first N
+    non-zero-norm keys — ORDER BY/LIMIT, not ``vec_id < N``, which
+    would silently shrink the centroid set if a low id were
+    zero-norm); round-9 cosine, assignment ties to the lower centroid
+    id, within-cell exact top-k ties to the lower neighbor id.
+    Exposes ``nz`` (the vector population) and ``knn`` (the ranked
+    edge list) for s7/s8 to select from."""
     dot = (
         "ROUND(list_sum(list_transform(range(1, len({a}) + 1), "
         "i -> {a}[i] * {b}[i])) / ({an} * {bn}), 9)"
@@ -1714,13 +1721,14 @@ def _s7_sql(n_centroids: int = 8, k: int = 3) -> str:
     sim = dot.format(a="c.v", b="ct.cv", an="c.nn", bn="ct.cn")
     pcos = dot.format(a="na.v", b="nb.v", an="na.nn", bn="nb.nn")
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
           FROM e),
-    cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
-             WHERE vec_id < {n_centroids}),
+    nz AS (SELECT * FROM n WHERE nn > 0),
+    cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM nz
+             ORDER BY vec_id LIMIT {n_centroids}),
     sims AS (SELECT c.vec_id, ct.cid, {sim} AS sim
-             FROM n c CROSS JOIN cent ct),
+             FROM nz c CROSS JOIN cent ct),
     asg AS (
       SELECT vec_id, cid FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1728,19 +1736,23 @@ def _s7_sql(n_centroids: int = 8, k: int = 3) -> str:
         FROM sims
       ) WHERE r = 1
     ),
-    pairs AS (
-      SELECT a.vec_id, b.vec_id AS neighbor_id, {pcos} AS cosine
-      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
-      JOIN n na ON na.vec_id = a.vec_id
-      JOIN n nb ON nb.vec_id = b.vec_id
-    ),
-    ranked AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM pairs
-    )
+    knn AS (
+      SELECT vec_id, neighbor_id, cosine, rank FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id, {pcos} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {pcos} DESC, b.vec_id) AS rank
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        JOIN nz na ON na.vec_id = a.vec_id
+        JOIN nz nb ON nb.vec_id = b.vec_id
+      ) WHERE rank <= {k}
+    )"""
+
+
+def _s7_sql(n_centroids: int = 8, k: int = 3) -> str:
+    return f"""
+    WITH {_knn_cte(n_centroids, k)}
     SELECT vec_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= {k}
+    FROM knn
     """
 
 
@@ -1761,42 +1773,12 @@ def s7_knn_graph(spark, sf_dir):
 
 
 def _s8_sql(n_centroids: int = 8, k: int = 3) -> str:
-    """s7's generated knn-pair CTEs + the d6 recursive-CTE component
+    """The shared knn CTE block (same builder as s7's oracle — one
+    assignment convention, no drift) + the d6 recursive-CTE component
     oracle: undirected reach over the k-NN edges, component label =
     minimum vec_id; edge-less vectors are their own component."""
-    dot = (
-        "ROUND(list_sum(list_transform(range(1, len({a}) + 1), "
-        "i -> {a}[i] * {b}[i])) / ({an} * {bn}), 9)"
-    )
-    sim = dot.format(a="c.v", b="ct.cv", an="c.nn", bn="ct.cn")
-    pcos = dot.format(a="na.v", b="nb.v", an="na.nn", bn="nb.nn")
     return f"""
-    WITH RECURSIVE
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
-          FROM e),
-    nz AS (SELECT * FROM n WHERE nn > 0),
-    cent AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM nz
-             WHERE vec_id < {n_centroids}),
-    sims AS (SELECT c.vec_id, ct.cid, {sim} AS sim
-             FROM nz c CROSS JOIN cent ct),
-    asg AS (
-      SELECT vec_id, cid FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY sim DESC, cid) AS r
-        FROM sims
-      ) WHERE r = 1
-    ),
-    knn AS (
-      SELECT vec_id, neighbor_id FROM (
-        SELECT a.vec_id, b.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {pcos} DESC, b.vec_id) AS rank
-        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
-        JOIN nz na ON na.vec_id = a.vec_id
-        JOIN nz nb ON nb.vec_id = b.vec_id
-      ) WHERE rank <= {k}
-    ),
+    WITH RECURSIVE {_knn_cte(n_centroids, k)},
     edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn
               UNION SELECT neighbor_id, vec_id FROM knn),
     reach(node, lbl) AS (

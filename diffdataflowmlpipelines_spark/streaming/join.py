@@ -186,42 +186,18 @@ def streaming_range_join(
     ``streaming=False`` runs the identical plan on batch frames — the
     parity-test oracle (label_join convention). Column names must not
     collide across sides (pre-alias, the j1/j3/j4 convention).
+
+    Validation, bucket math, and the join itself live in ONE place —
+    ``operators/rangejoin.bucket_equi_range_join`` — shared with the
+    batch operator, so the two paths cannot drift; this wrapper only
+    contributes the watermarks.
     """
     from diffdataflowmlpipelines_spark.operators.rangejoin import (
-        _floordiv,
-        _micros,
+        bucket_equi_range_join,
     )
-
-    if lower > upper:
-        raise ValueError(f"lower ({lower}) must be <= upper ({upper})")
-    overlap = set(left.columns) & set(right.columns)
-    if overlap:
-        raise ValueError(
-            f"column collision across sides: {sorted(overlap)} — alias first"
-        )
-    lo_us = int(round(lower * 1_000_000))
-    hi_us = int(round(upper * 1_000_000))
-    bucket_us = max(hi_us - lo_us, 1)
 
     l = left.withWatermark(left_time, watermark) if streaming else left
     r = right.withWatermark(right_time, watermark) if streaming else right
-    lt_us = _micros(l, left_time)
-    l = l.withColumn(
-        "__lbucket",
-        F.explode(
-            F.sequence(
-                _floordiv(lt_us + F.lit(lo_us), bucket_us),
-                _floordiv(lt_us + F.lit(hi_us), bucket_us),
-            )
-        ),
+    return bucket_equi_range_join(
+        l, r, left_time, right_time, lower=lower, upper=upper
     )
-    r = r.withColumn("__rbucket", _floordiv(_micros(r, right_time), bucket_us))
-
-    lo_iv = F.make_dt_interval(secs=F.lit(lo_us / 1_000_000))
-    hi_iv = F.make_dt_interval(secs=F.lit(hi_us / 1_000_000))
-    cond = (
-        (l["__lbucket"] == r["__rbucket"])
-        & (r[right_time] >= l[left_time] + lo_iv)
-        & (r[right_time] <= l[left_time] + hi_iv)
-    )
-    return l.join(r, cond, "inner").drop("__lbucket", "__rbucket")

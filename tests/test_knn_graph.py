@@ -124,3 +124,14 @@ def test_knn_components_two_planted_groups(spark, tmp_path):
     assert {out[10 + i] for i in range(5)} == {10}
     assert out[5] == 5
     assert len(out) == 11
+
+
+def test_zero_norm_vectors_excluded(spark):
+    # zero-norm vectors have no direction: excluded before centroid
+    # selection AND pairing (the generated s7/s8 oracles mirror this
+    # via their nz CTE + ORDER BY/LIMIT centroid pick)
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_graph(df, "vec_id", "embedding", k=3, n_centroids=2)
+    ids = {r.vec_id for r in out.collect()} | {r.neighbor_id for r in out.collect()}
+    assert 0 not in ids and ids == {1, 2, 3}
