@@ -174,3 +174,17 @@ def test_containment_threshold_and_candidate_parity(spark):
         ).collect()
     }
     assert got_c == {(1, 2): 0.5}
+
+
+def test_priority_sample_scale_invariant_selection(spark):
+    """Multiplying every weight by a positive constant rescales every
+    priority by the same factor, so the SELECTED SET is invariant —
+    the property that makes the sample meaningful for relative
+    weights (quality scores in arbitrary units)."""
+    from diffdataflowmlpipelines_spark.functions.sampling import priority_sample
+
+    base = [(i, (i * 37) % 100 + 1) for i in range(60)]
+    scaled = [(i, w * 1000) for i, w in base]
+    sel_a = {r.doc_id for r in priority_sample(_docs(spark, base), "doc_id", "n_chars", k=12).collect()}
+    sel_b = {r.doc_id for r in priority_sample(_docs(spark, scaled), "doc_id", "n_chars", k=12).collect()}
+    assert sel_a == sel_b and len(sel_a) == 12
