@@ -62,7 +62,18 @@ NULL_SENTINEL = chr(2)  # concat_ws SKIPS nulls — distinct null layouts
 def word_shingles(tokens: Column, n: int = 3) -> Column:
     """n-gram shingles over a token array (strings or ints), as strings
     joined by SEP = chr(1) (collision-proof concat; NULL tokens encode
-    as a sentinel so ['a', NULL] and ['a'] do not collide)."""
+    as a sentinel so ['a', NULL] and ['a'] do not collide).
+
+    Known degenerate collision (by design, DO NOT change casually): a
+    NULL array, an empty array, and [''] all fall through the short-doc
+    fallback to the same {''} shingle set, so fully-degenerate documents
+    MinHash as duplicates of each other and NULL-vs-empty provenance is
+    not recoverable from signatures. Collapse degenerate docs upstream
+    with d1's exact dedup if they must stay distinct. The behavior is
+    replicated verbatim in every generated SQL oracle (d2/d3/d6/d7) and
+    the python twins — changing it means changing all of them together.
+    ``true_word_shingles`` (below) is the no-fallback variant set
+    statistics use."""
     idx = F.sequence(F.lit(0), F.size(tokens) - n)
     elem = lambda i, j: F.coalesce(  # noqa: E731
         F.element_at(tokens, (i + j + 1).cast("int")).cast("string"),
@@ -454,8 +465,27 @@ def embedding_near_dups(
     """Embedding near-duplicates: pairs with cosine >= threshold.
     Candidate blocking via sign of the first principal-ish components
     (optional Column of bucket ids); default blocks on sign bits of the
-    first 4 dims — near-identical vectors agree on signs w.h.p."""
+    first 4 dims — near-identical vectors agree on signs w.h.p.
+
+    NULL and zero-norm vectors are EXCLUDED (the similarity.py
+    convention): a zero vector has no direction, and the cosine
+    division would throw under Spark 4 ANSI mode (repo pitfall:
+    division by zero throws even for doubles). Dimensions are guarded:
+    the first row pins the expected width (similarity._check_dim
+    convention — at least ``4`` for the default sign block) and every
+    row is asserted against it in-plan, because a silent zip_with pad
+    would null the cosine and DROP the pair instead of erroring."""
     v = F.col(vec_col)
+    row = df.select(F.size(v).alias("n")).first()
+    if row is not None and row["n"] is not None:
+        dim = int(row["n"])
+        if block_bits is None and dim < 4:
+            raise ValueError(
+                f"embedding_near_dups: default sign block reads dims 0..3 "
+                f"but vectors have {dim} dims — pass block_bits"
+            )
+    else:
+        dim = None
     if block_bits is None:
         block_bits = F.concat_ws(
             "", *[(v[i] >= 0).cast("int").cast("string") for i in range(4)]
@@ -463,7 +493,21 @@ def embedding_near_dups(
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     base = df.select(
         F.col(key).alias("__id"), v.alias("__v"), norm.alias("__n"), block_bits.alias("__blk")
-    )
+    ).filter(F.col("__n") > 0)
+    if dim is not None:
+        # assert_true feeds a filter so Catalyst cannot prune it; a
+        # mixed-dimension row raises instead of silently vanishing.
+        # The condition self-guards NULL/zero-norm rows (Catalyst may
+        # evaluate this conjunct before the __n > 0 filter excludes
+        # them): they pass here and die on the norm filter.
+        base = base.filter(
+            F.assert_true(
+                F.when(
+                    F.col("__n") > 0, F.size(F.col("__v")) == F.lit(dim)
+                ).otherwise(F.lit(True)),
+                F.lit(f"embedding_near_dups: mixed dims (expected {dim})"),
+            ).isNull()
+        )
     l = base.select(
         F.col("__id").alias("a"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), "__blk",
@@ -498,6 +542,11 @@ def dup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     cluster_rep = component minimum — identical output to
     :func:`dup_clusters` (parity-tested on random graphs).
     """
+    # pin the caller's pair pipeline ONCE: nodes and the initial edge
+    # canonicalization are two consumers, and pairs is typically a
+    # multi-shuffle LSH/knn pipeline (the d3/cep3 duplicate-subtree
+    # class — uncheckpointed, it would execute twice)
+    pairs = pairs.select("a", "b").localCheckpoint(eager=True)
     nodes = (
         pairs.select(F.col("a").alias("n"))
         .unionByName(pairs.select(F.col("b").alias("n")))
@@ -587,18 +636,25 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     edges and keeps the per-node minimum; converges in O(diameter)
     iterations (each a shuffle join — at 100 TB swap in large-star/
     small-star to cut the iteration count; propagation is the same
-    join-and-min shape). Early-exits when an iteration changes nothing.
+    join-and-min shape). Early-exits when an iteration changes nothing;
+    RAISES if max_iter rounds pass while labels are still moving — a
+    silently non-converged run hands back non-minimal representatives
+    that split one dup cluster into several.
     """
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .dropDuplicates()
+        # pinned: every iteration's join re-reads edges; uncheckpointed,
+        # the caller's whole pairs pipeline would re-execute per round
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .dropDuplicates()
         .withColumn("lbl", F.col("node"))
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -626,6 +682,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise ValueError(
+            f"dup_clusters: not converged after max_iter={max_iter} "
+            "iterations (component diameter exceeds the budget) — raise "
+            "max_iter, or use dup_clusters_star (O(log n) rounds)"
+        )
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster_rep"))
 
 

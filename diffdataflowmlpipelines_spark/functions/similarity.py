@@ -221,7 +221,12 @@ def ivf_topk(
                 round_to,
             ),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # NO dedup step: each corpus row lives in exactly one cell
+        # (top=1) and a query's probed cells are distinct cids from one
+        # sorted slice, so a (query, neighbor) pair occurs at most once
+        # — a dropDuplicates here was a full extra shuffle of the
+        # operator's largest intermediate for nothing (corpus keys are
+        # assumed unique, as in every key-based operator in this repo)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -256,6 +261,11 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # module convention: NULL/zero-norm vectors are excluded everywhere
+    # — a NULL row would crash KMeans.fit far from the real cause, and
+    # a zero-norm row can pull a center to ~zero, which _nearest_assign
+    # then filters out, silently shrinking the usable cell count
+    corpus = _nonzero(corpus, vec_col)
     feat = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
@@ -314,22 +324,30 @@ def _nearest_assign(
     if not corpus.isStreaming:  # eager one-row guard needs an action
         _check_dim(corpus, vec_col, cdim, "corpus")
 
+    # centroid KEYS stay in their native type (long, string, ...): the
+    # tie-break runs on the POSITION in key-ascending order (identical
+    # to the old "lower centroid id" rule for numeric keys, its natural
+    # extension for strings) — forcing keys through python int() crashed
+    # string keys at plan time and silently MERGED distinct float-keyed
+    # cells by truncation
+    cent_rows = sorted(cent_rows, key=lambda r: r["__cid"])
     cent_arr = F.array(
         *[
             F.struct(
-                F.lit(int(r["__cid"])).cast("long").alias("cid"),
+                F.lit(i).alias("idx"),
                 F.array(*[F.lit(float(x)) for x in r["__cvec"]]).alias("v"),
                 F.lit(float(r["__cnorm"])).alias("n"),
             )
-            for r in cent_rows
+            for i, r in enumerate(cent_rows)
         ]
     )
+    cent_keys = F.array(*[F.lit(r["__cid"]) for r in cent_rows])
     base = corpus.select(
         F.col(key).alias("__id"),
         F.col(vec_col).alias("__vec"),
         _norm(F.col(vec_col)).alias("__vn"),
     )
-    # struct max: (sim, -cid) — max sim, ties to the LOWER centroid id
+    # struct max: (sim, -idx) — max sim, ties to the LOWEST centroid key
     sims = F.transform(
         cent_arr,
         lambda c: F.struct(
@@ -338,15 +356,16 @@ def _nearest_assign(
                 / (F.col("__vn") * c.getField("n")),
                 round_to,
             ).alias("sim"),
-            (-c.getField("cid")).alias("negcid"),
+            (-c.getField("idx")).alias("negidx"),
         ),
     )
     best = F.array_max(sims)
+    pos = (-best.getField("negidx")).cast("int")
     out = base.select(
         "__id",
         "__vec",
         "__vn",
-        (-best.getField("negcid")).cast("long").alias("cluster_id"),
+        F.element_at(cent_keys, pos + F.lit(1)).alias("cluster_id"),
         best.getField("sim").alias("__cos"),
     )
     return (out, cdim) if return_dim else out

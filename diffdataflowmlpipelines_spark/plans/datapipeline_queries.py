@@ -323,7 +323,10 @@ def _ivf_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
       ) WHERE r <= {nprobe}
     ),
     cand AS (
-      SELECT DISTINCT p.query_id, a.neighbor_id, {c_cand} AS cosine
+      -- no DISTINCT: a neighbor lives in exactly one cell and probed
+      -- cells are distinct, so pairs are unique by construction (the
+      -- Spark side dropped its dedup shuffle for the same reason)
+      SELECT p.query_id, a.neighbor_id, {c_cand} AS cosine
       FROM probe p JOIN asg a USING (cid)
       WHERE p.query_id <> a.neighbor_id
     ),

@@ -1,0 +1,128 @@
+"""Regression tests for the round-5b whole-file review of
+functions/similarity.py + functions/dedup.py (10 findings)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_embedding_near_dups_zero_norm_excluded_not_crashed(spark):
+    """A zero vector lands in sign block '1111' — before the fix the
+    ANSI cosine division against it killed the whole query."""
+    from diffdataflowmlpipelines_spark.functions.dedup import embedding_near_dups
+
+    rows = [
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [1.0, 1.0, 1.0, 0.999]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm, same sign block
+        (4, None),                   # NULL vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dups(df, "vec_id", "embedding", threshold=0.9).collect()
+    assert [(r.a, r.b) for r in out] == [(1, 2)]
+
+
+def test_embedding_near_dups_dim_guards(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import embedding_near_dups
+
+    short = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dims"):
+        embedding_near_dups(short, "vec_id", "embedding")
+    # a mixed-dimension row raises in-plan instead of silently
+    # dropping its pairs via null cosines
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 1.0, 1.0, 1.0]), (2, [1.0, 1.0, 1.0, 1.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="mixed dims"):
+        embedding_near_dups(mixed, "vec_id", "embedding", threshold=0.0).collect()
+
+
+def test_nearest_assign_string_keys(spark):
+    """semantic_dedup (via _nearest_assign) on STRING doc ids — before
+    the fix this crashed at plan time on int(cid); float-like distinct
+    keys must also stay distinct cells."""
+    from diffdataflowmlpipelines_spark.functions.similarity import semantic_dedup
+
+    rows = [
+        ("doc_a", [1.0, 0.0]),
+        ("doc_b", [0.99, 0.01]),
+        ("doc_x", [0.0, 1.0]),
+        ("doc_y", [0.01, 0.99]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    cents = spark.createDataFrame(
+        [("doc_a", [1.0, 0.0]), ("doc_x", [0.0, 1.0])],
+        "doc_id string, embedding array<double>",
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in semantic_dedup(
+            df, "doc_id", "embedding", threshold=0.9, centroids=cents
+        ).collect()
+    }
+    assert out["doc_a"] == ("doc_a", 1)
+    assert out["doc_b"] == ("doc_a", 0)   # near-dup of doc_a, higher key drops
+    assert out["doc_x"] == ("doc_x", 1)
+    assert out["doc_y"] == ("doc_x", 0)
+
+
+def test_dup_clusters_raises_on_non_convergence(spark):
+    from diffdataflowmlpipelines_spark.functions.dedup import (
+        dup_clusters,
+        dup_clusters_star,
+    )
+
+    # a 12-node chain: diameter 11 > max_iter=3 — must raise, not hand
+    # back silently-split clusters
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a long, b long"
+    )
+    with pytest.raises(ValueError, match="not converged"):
+        dup_clusters(chain, max_iter=3)
+    # with budget it converges and matches the star form
+    got = {r.doc: r.cluster_rep for r in dup_clusters(chain, max_iter=15).collect()}
+    star = {r.doc: r.cluster_rep for r in dup_clusters_star(chain).collect()}
+    assert got == star == {i: 0 for i in range(12)}
+
+
+def test_kmeans_centroids_null_and_zero_rows_excluded(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import kmeans_centroids
+
+    rows = (
+        [(i, [10.0 + i * 0.01, 0.0]) for i in range(5)]
+        + [(10 + i, [0.0, 10.0 + i * 0.01]) for i in range(5)]
+        + [(98, [0.0, 0.0]), (99, None)]  # would crash/degrade KMeans
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, "vec_id", "embedding", n_centroids=2, seed=3)
+    got = cents.collect()
+    assert len(got) == 2
+    # both centers are real cluster directions, not zero-pulled
+    assert all(sum(x * x for x in r.embedding) > 1.0 for r in got)
+
+
+def test_ivf_topk_unchanged_without_dedup_shuffle(spark):
+    """Pairs are unique by construction (one cell per neighbor, distinct
+    probe cells) — removing the dropDuplicates must not change output."""
+    import random
+
+    from diffdataflowmlpipelines_spark.functions.similarity import ivf_topk
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 6), "vec_id", "embedding",
+        k=4, n_centroids=4, nprobe=2,
+    )
+    got = [(r.query_id, r.neighbor_id) for r in out.collect()]
+    assert len(got) == len(set(got))  # still no duplicate pairs
+    assert len(got) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the dedup exchange is gone: only the top-k window's shuffle and
+    # the candidate join remain
+    assert "dropDuplicates" not in plan
