@@ -45,11 +45,18 @@ def stratified_sample(
     assign surrogate ids upstream if such rows must be sampleable.
     """
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    # GREATEST(1, ...): a stratum larger than target*scale rows would
+    # otherwise floor its threshold to 0 and be dropped ENTIRELY — the
+    # exact opposite of "cap the dominant crawl". With the clamp such a
+    # stratum keeps ~|stratum|/scale rows (the finest rate one integer
+    # gate can express); raise ``scale`` when giant strata need an
+    # accurate target.
     thr = counts.select(
         F.col(strata_col).alias("__stratum"),
-        F.expr(f"CAST({target_per_stratum} AS BIGINT) * {scale} DIV __n").alias(
-            "__thr"
-        ),
+        F.expr(
+            f"GREATEST(CAST(1 AS BIGINT), "
+            f"CAST({target_per_stratum} AS BIGINT) * {scale} DIV __n)"
+        ).alias("__thr"),
     )
     gate = F.pmod(md5_hash60(F.col(id_col).cast("string")), F.lit(scale))
     return (

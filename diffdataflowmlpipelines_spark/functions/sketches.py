@@ -33,6 +33,47 @@ def _bucket(h: Column, a: int, b: int, width: int) -> Column:
     return ((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)) % F.lit(width)
 
 
+def _cm_cells(token_col, params, width: int):
+    """(depth_j, bucket) struct array for one token — THE hash pipeline,
+    shared by build AND probe (see NOTE below count_min_sketch: a
+    build/probe drift silently queries the wrong buckets and is
+    undetectable from the sketch frame; one implementation makes the
+    divergence impossible)."""
+    h = md5_hash60(token_col.cast("string")) % F.lit(MERSENNE_P)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth_j"),
+                _bucket(h, a, b, width).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(params)
+        ]
+    )
+
+
+def _hll_bucketed(df: DataFrame, token_col, m: int, carry: list) -> DataFrame:
+    """(carry..., bucket, __w) — the register hash split, shared by the
+    global and the windowed builders (same single-implementation
+    rationale as _cm_cells). Integer `div`, never double division: the
+    60-bit hash exceeds 2^53. NULL values are DROPPED (md5(NULL) is
+    NULL): a NULL has no identity, and a phantom NULL-bucket register
+    would inflate the estimate — n_occ counts it while the rho sum
+    skips it, shifting both the raw estimate and the linear-counting
+    branch."""
+    hashed = df.select(*carry, md5_hash60(token_col.cast("string")).alias("__h"))
+    return hashed.filter(F.col("__h").isNotNull()).select(
+        *carry,
+        (F.col("__h") % m).alias("bucket"),
+        F.expr(f"__h div {m}").alias("__w"),
+    )
+
+
+def _hll_rho(wbits: int):
+    return F.when(F.col("__w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin("__w"))
+    )
+
+
 def count_min_sketch(
     df: DataFrame,
     tokens_col: str,
@@ -53,19 +94,13 @@ def count_min_sketch(
     overwrites the stale nonzero value — the batch default filters
     zero cells instead (sparse output)."""
     params = _minhash_params(depth, seed)
+    # NULL tokens are dropped: md5(NULL) hashes to NULL buckets, which
+    # violate the [0, width) cell schema and are unreachable by the
+    # estimate join (junk rows invisible to every query)
     ex = with_diff(df).select(
         F.explode(F.col(tokens_col)).alias("__t"), DIFF
-    )
-    h = md5_hash60(F.col("__t").cast("string")) % F.lit(MERSENNE_P)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("depth_j"),
-                _bucket(h, a, b, width).alias("bucket"),
-            )
-            for j, (a, b) in enumerate(params)
-        ]
-    )
+    ).filter(F.col("__t").isNotNull())
+    rows = _cm_cells(F.col("__t"), params, width)
     out = (
         ex.select(F.explode(rows).alias("__c"), DIFF)
         .groupBy(
@@ -97,16 +132,7 @@ def count_min_estimate(
     >= the true count (one-sided error ~ N/width per row)."""
     params = _minhash_params(depth, seed)
     toks = tokens.select(F.col(token_col).alias("token")).dropDuplicates()
-    h = md5_hash60(F.col("token").cast("string")) % F.lit(MERSENNE_P)
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("depth_j"),
-                _bucket(h, a, b, width).alias("bucket"),
-            )
-            for j, (a, b) in enumerate(params)
-        ]
-    )
+    cells = _cm_cells(F.col("token"), params, width)
     probes = toks.select("token", F.explode(cells).alias("__c")).select(
         "token",
         F.col("__c.depth_j").alias("depth_j"),
@@ -137,19 +163,10 @@ def windowed_count_min(
     params = _minhash_params(depth, seed)
     ex = with_diff(df).select(
         "event_time", F.explode(F.col(tokens_col)).alias("__t"), DIFF
-    )
+    ).filter(F.col("__t").isNotNull())  # same contract as count_min_sketch
     if streaming:
         ex = ex.withWatermark("event_time", watermark)
-    h = md5_hash60(F.col("__t").cast("string")) % F.lit(MERSENNE_P)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("depth_j"),
-                _bucket(h, a, b, width).alias("bucket"),
-            )
-            for j, (a, b) in enumerate(params)
-        ]
-    )
+    rows = _cm_cells(F.col("__t"), params, width)
     return (
         ex.select("event_time", F.explode(rows).alias("__c"), DIFF)
         .groupBy(
@@ -198,17 +215,9 @@ def hll_registers(
     DuckDB evaluates). Duplicates are free — MAX is idempotent."""
     m, wbits, _ = _hll_dims(p)
     gcols = [F.col(c) for c in group_cols]
-    h = md5_hash60(F.col(col).cast("string"))
-    hashed = df.select(*gcols, h.alias("__h")).select(
-        *gcols,
-        (F.col("__h") % m).alias("bucket"),
-        F.expr(f"__h div {m}").alias("__w"),
-    )
-    rho = F.when(F.col("__w") == 0, F.lit(wbits + 1)).otherwise(
-        F.lit(wbits + 1) - F.length(F.bin("__w"))
-    )
+    hashed = _hll_bucketed(df, F.col(col), m, gcols)
     return hashed.groupBy(*gcols, "bucket").agg(
-        F.max(rho).cast("long").alias("rho")
+        F.max(_hll_rho(wbits)).cast("long").alias("rho")
     )
 
 
@@ -323,9 +332,16 @@ def bottomk_quantiles(
     estimating the population quantile. Rounded to 6dp for cross-engine
     hashing."""
     gcols = [F.col(c) for c in group_cols]
+    # exact names, not round(q*100): rounding collided 0.999 with 1.0
+    # (both "p100") and mislabeled 0.999 as the max; banker's rounding
+    # also mapped 0.125 to p12. "p" + q*100 with '.'->'_' keeps the
+    # legacy names for round percents (p50/p90/p99) and stays unique.
+    names = [f"p{q * 100:g}".replace(".", "_") for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"bottomk_quantiles: duplicate quantiles {quantiles}")
     aggs = [F.count(F.lit(1)).cast("long").alias("n_sample")] + [
-        F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{round(q * 100)}")
-        for q in quantiles
+        F.round(F.expr(f"percentile(value, {q})"), 6).alias(name)
+        for q, name in zip(quantiles, names)
     ]
     return sketch.groupBy(*gcols).agg(*aggs)
 
@@ -355,19 +371,10 @@ def windowed_hll(
     ex = df.select("event_time", F.explode(F.col(tokens_col)).alias("__t"))
     if streaming:
         ex = ex.withWatermark("event_time", watermark)
-    hashed = ex.select(
-        "event_time", md5_hash60(F.col("__t").cast("string")).alias("__h")
-    ).select(
-        "event_time",
-        (F.col("__h") % m).alias("bucket"),
-        F.expr(f"__h div {m}").alias("__w"),
-    )
-    rho = F.when(F.col("__w") == 0, F.lit(wbits + 1)).otherwise(
-        F.lit(wbits + 1) - F.length(F.bin("__w"))
-    )
+    hashed = _hll_bucketed(ex, F.col("__t"), m, [F.col("event_time")])
     return (
         hashed.groupBy(F.window("event_time", window).alias("w"), F.col("bucket"))
-        .agg(F.max(rho).cast("long").alias("rho"))
+        .agg(F.max(_hll_rho(wbits)).cast("long").alias("rho"))
         .select(F.col("w.start").alias("window_start"), "bucket", "rho")
     )
 

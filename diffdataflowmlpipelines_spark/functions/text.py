@@ -43,8 +43,14 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     """Document quality heuristics: length, mean word length,
     punctuation ratio, stopword ratio, alpha ratio. Everything is a
     single-pass column expression; compose with ``df.select``.
+
+    NULL text is the empty document — every feature is 0, never NULL
+    (the gopher_quality_filter convention; previously mean_token_len
+    was coalesced to 0.0 while its siblings stayed NULL, handing
+    downstream filters a half-NULL half-zero feature row).
     """
     c = F.col(text) if isinstance(text, str) else text
+    c = F.coalesce(c, F.lit(""))
     toks = tokenize(c)
     n_chars = F.length(c)
     n_tokens = F.size(toks)
@@ -207,6 +213,14 @@ def word_fingerprint(tokens: Column | str) -> Column:
     and first characters: h = fold(h*31 + wordcode) mod 1e9+7, where
     wordcode = 97*len(word) + ascii(first char). Engine-portable (exact
     same arithmetic is expressible in ANSI SQL for the oracle).
+
+    A NULL token anywhere in the array yields a NULL fingerprint for
+    the whole document (NULL propagates through the fold) — oracle-
+    pinned behavior; ``tokenize`` never emits NULL tokens, so this only
+    matters for token arrays read directly from external tables. Scrub
+    or sentinel-encode NULL tokens upstream if such docs must
+    fingerprint (grouping by fingerprint otherwise lumps every
+    NULL-bearing doc into one NULL group).
     """
     c = F.col(tokens) if isinstance(tokens, str) else tokens
     code = lambda t: (F.lit(97) * F.length(t) + F.ascii(F.substring(t, 1, 1))).cast("long")  # noqa: E731
@@ -473,7 +487,11 @@ def source_ngram_overlap(
     the final rounded division: intersection and set sizes are exact
     counts, so the oracle matches bit-for-bit with no float-order
     caveats. Returns (source_a, source_b, n_a, n_b, n_common, jaccard),
-    jaccard rounded to 6.
+    jaccard rounded to 6 — ONE ROW PER PAIR WITH NON-ZERO OVERLAP
+    (sparse-matrix convention, mirrored by the oracle's inner join): a
+    pair absent from the output has jaccard exactly 0; consumers that
+    need the dense |sources|² matrix outer-join against the distinct
+    source pairs.
 
     NULL sources form a group (repo convention) but cannot join an
     equi-key pair frame portably; they are keyed as the empty string's
@@ -547,7 +565,12 @@ def source_unigram_kl(
     how DIFFERENT each source reads). Always >= 0; 0 iff the group's
     unigram distribution equals the corpus's. Every term is exact: a
     group's support is a subset of the corpus support, so no smoothing
-    is needed. Returns (group_col, n_tokens, kl), one row per group.
+    is needed. Returns (group_col, n_tokens, kl), one row per group
+    WITH AT LEAST ONE TOKEN — a group whose every document is
+    NULL/empty contributes no tokens and is absent (KL is undefined on
+    an empty distribution; mirrored by the oracle). Left-join the
+    output against the distinct-group frame if token-less groups must
+    appear.
 
     Beyond-reference operator (reference text surface is tokenize-only,
     ``src/feature_encoders/feature_extraction/utils.rs:3-9``).

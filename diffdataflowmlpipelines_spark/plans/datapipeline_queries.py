@@ -490,7 +490,8 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 @q(
     "t1_quality_features",
     f"""
-    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM d)
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars,
            CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1086,7 +1087,7 @@ def _cm1_sql(depth: int = 4, width: int = 64) -> str:
     hashed AS (
       SELECT CAST(CONCAT('0x', substr(md5(token), 1, 15)) AS BIGINT)
                % {MERSENNE_P} AS h
-      FROM toks
+      FROM toks WHERE token IS NOT NULL
     ),
     cells AS (
       {cells}
@@ -1112,7 +1113,7 @@ def _cm2_sql(depth: int = 4, width: int = 64) -> str:
     hashed AS (
       SELECT CAST(CONCAT('0x', substr(md5(token), 1, 15)) AS BIGINT)
                % {MERSENNE_P} AS h
-      FROM toks
+      FROM toks WHERE token IS NOT NULL
     ),
     cells AS (
       {cells}
@@ -1185,7 +1186,7 @@ def _cm4_sql(p: int = 9) -> str:
     WITH toks AS (SELECT source, unnest({_TOKS_SQL}) AS t FROM documents),
     h AS (SELECT source,
                  CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
-          FROM toks),
+          FROM toks WHERE t IS NOT NULL),
     b AS (SELECT source, h % {m} AS bucket, h // {m} AS w FROM h),
     r AS (SELECT source, bucket,
             CAST(MAX(CASE WHEN w = 0 THEN {maxrho}
@@ -1495,7 +1496,10 @@ def t6_repetition_stats(spark, sf_dir):
     "t7_stratified_sample",
     """
     WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
-    thr AS (SELECT source, CAST(10 AS BIGINT) * 1000000 // n AS t FROM counts)
+    thr AS (SELECT source,
+                   GREATEST(CAST(1 AS BIGINT), CAST(10 AS BIGINT) * 1000000 // n)
+                     AS t
+            FROM counts)
     SELECT d.doc_id, d.source
     FROM documents d JOIN thr ON d.source IS NOT DISTINCT FROM thr.source
     WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))

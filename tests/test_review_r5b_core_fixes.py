@@ -126,3 +126,76 @@ def test_ivf_topk_unchanged_without_dedup_shuffle(spark):
     # the dedup exchange is gone: only the top-k window's shuffle and
     # the candidate join remain
     assert "dropDuplicates" not in plan
+
+
+# --- second review pass: text/sampling/sketches ---------------------------------
+
+def test_stratified_sample_giant_stratum_capped_not_dropped(spark):
+    """A stratum bigger than target*scale floored its threshold to 0 and
+    vanished entirely; the clamp keeps ~|stratum|/scale rows."""
+    from diffdataflowmlpipelines_spark.functions.sampling import stratified_sample
+
+    rows = [(i, "big") for i in range(3000)] + [(10_000 + i, "small") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # scale=100: target*scale = 200 < 3000 -> old threshold 0 -> all dropped
+    out = stratified_sample(df, "source", "doc_id", target_per_stratum=2, scale=100)
+    by = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert by.get("big", 0) > 0          # the dominant crawl is CAPPED, not erased
+    assert by["big"] < 3000              # and genuinely sampled
+    assert by.get("small", 0) > 0
+
+
+def test_hll_null_values_do_not_shift_estimate(spark):
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    clean = spark.createDataFrame(
+        [(f"u{i}",) for i in range(500)], "uid string"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(None,), (None,)], "uid string")
+    )
+    est = lambda df: hll_estimate(hll_registers(df, "uid")).collect()[0]["est"]  # noqa: E731
+    assert est(clean) == est(dirty)  # a NULL has no identity to count
+
+
+def test_count_min_null_tokens_excluded(spark):
+    from diffdataflowmlpipelines_spark.functions.sketches import count_min_sketch
+
+    df = spark.createDataFrame(
+        [(["a", None, "b"],), (["a"],)], "toks array<string>"
+    )
+    sk = count_min_sketch(df, "toks", depth=2, width=16)
+    rows = sk.collect()
+    assert all(r.bucket is not None and 0 <= r.bucket < 16 for r in rows)
+    assert sum(r["count"] for r in rows) == 2 * 3  # 3 real tokens x depth 2
+
+
+def test_bottomk_quantile_names_unique_and_exact(spark):
+    import pytest
+    from diffdataflowmlpipelines_spark.functions.sketches import (
+        bottomk_quantile_sketch,
+        bottomk_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), float(i)) for i in range(200)], "id string, value double"
+    )
+    sk = bottomk_quantile_sketch(df, "id", "value", k=128)
+    out = bottomk_quantiles(sk, quantiles=(0.5, 0.999))
+    assert "p50" in out.columns and "p99_9" in out.columns  # not p100
+    with pytest.raises(ValueError, match="duplicate"):
+        bottomk_quantiles(sk, quantiles=(0.999, 0.999))
+
+
+def test_quality_features_null_text_all_zero(spark):
+    from diffdataflowmlpipelines_spark.functions.text import quality_features
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    feats = quality_features("text")
+    row = df.select(*[v.alias(k) for k, v in feats.items()]).collect()[0]
+    assert row.n_chars == 0 and row.n_tokens == 0
+    assert row.mean_token_len == 0.0 and row.punct_ratio == 0.0
+    assert row.stopword_ratio == 0.0 and row.alpha_ratio == 0.0  # no NULLs
