@@ -67,6 +67,10 @@ def bloom_sparse_words(
     if not 1 <= k <= 16:
         raise ValueError(f"k must be in 1..16, got {k}")
     h1, h2 = _h1_h2(F.col(col), n_bits)
+    # NULLs have no identity: md5(NULL) is NULL, so a NULL value would
+    # reach the driver as word_idx=None and crash the densify with an
+    # opaque TypeError (fit_dictionary's "NULL is not a category" rule)
+    df = df.filter(F.col(col).isNotNull())
     pos = df.select(
         h1.alias("__h1"),
         h2.alias("__h2"),
@@ -204,21 +208,28 @@ def bloom_contamination(
     answer (false positives only, never false negatives) — the right
     trade for a pre-filter that gates expensive exact rechecks at
     scale."""
-    from diffdataflowmlpipelines_spark.functions.dedup import word_shingles
+    from diffdataflowmlpipelines_spark.functions.dedup import (
+        distinct_doc_ngrams,
+    )
 
-    def grams(df: DataFrame) -> DataFrame:
-        return df.filter(F.size(token_col) >= n).select(
-            id_col,
-            F.explode(F.array_distinct(word_shingles(F.col(token_col), n))).alias(
-                "__g"
-            ),
-        )
-
+    # grams derived by the SAME helper as the exact checker — the
+    # superset guarantee (flags >= exact hits) holds only while both
+    # sides gram identically. No .distinct() before the build:
+    # duplicate inserts are idempotent under bit_or (the builder's own
+    # contract), so the dedup shuffle bought nothing.
     words = build_bloom_words(
-        grams(bench).select("__g").distinct(), "__g", n_bits=n_bits, k=k
+        distinct_doc_ngrams(bench, id_col, token_col, n).select("__g"),
+        "__g",
+        n_bits=n_bits,
+        k=k,
     )
     probed = with_bloom_member(
-        grams(docs), F.col("__g"), words, "__b", n_bits=n_bits, k=k
+        distinct_doc_ngrams(docs, id_col, token_col, n),
+        F.col("__g"),
+        words,
+        "__b",
+        n_bits=n_bits,
+        k=k,
     )
     return probed.select(
         F.col(id_col), F.col("__b").cast("int").alias("__hit")

@@ -48,11 +48,26 @@ _SYM = "array<string>"
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the whitespace-tokenized corpus — the single
-    corpus-wide pass; map-side partial agg, one hash shuffle."""
+    corpus-wide pass; map-side partial agg, one hash shuffle.
+
+    Diff-aware (DD collection semantics, like corpus_pair_counts in
+    this module): a retracted document's words subtract — a plain
+    COUNT(*) would count retraction rows as inserts, so learn_bpe would
+    learn merges from text the collection no longer contains and the
+    ``pair_counts(word_frequencies(...)) == corpus_pair_counts(...)``
+    linearity identity would break on any input with retractions.
+    Fully-retracted words (net freq <= 0) are dropped."""
+    from diffdataflowmlpipelines_spark.operators.collection import (
+        DIFF,
+        with_diff,
+    )
+
     return (
-        docs.select(F.explode(tokenize(text_col)).alias("word"))
+        with_diff(docs)
+        .select(F.explode(tokenize(text_col)).alias("word"), DIFF)
         .groupBy("word")
-        .agg(F.count("*").alias("freq"))
+        .agg(F.sum(DIFF).cast("long").alias("freq"))
+        .filter(F.col("freq") > 0)
     )
 
 

@@ -691,6 +691,24 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster_rep"))
 
 
+def distinct_doc_ngrams(
+    df: DataFrame, id_col: str, token_col: str, n: int
+) -> DataFrame:
+    """(id_col, __g): each document's DISTINCT word n-grams, deduped
+    row-wise (array_distinct — no shuffle) before the explode; documents
+    with fewer than ``n`` tokens have no n-grams and are excluded.
+    SHARED by the exact decontamination checker (ngram_contamination)
+    and its Bloom pre-filter (bloom.bloom_contamination): the Bloom
+    flags must stay a superset of the exact hits, which holds only
+    while both sides derive grams identically."""
+    return df.filter(F.size(token_col) >= n).select(
+        id_col,
+        F.explode(F.array_distinct(word_shingles(F.col(token_col), n))).alias(
+            "__g"
+        ),
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     bench: DataFrame,
@@ -713,18 +731,15 @@ def ngram_contamination(
 
     Returns (id_col, n_ngrams, n_contaminated, contamination_frac).
     """
-    def grams(df: DataFrame) -> DataFrame:
-        return df.filter(F.size(token_col) >= n).select(
-            id_col,
-            F.explode(F.array_distinct(word_shingles(F.col(token_col), n))).alias(
-                "__g"
-            ),
-        )
-
-    bench_grams = grams(bench).select("__g").distinct().withColumn(
-        "__hit", F.lit(1)
+    bench_grams = (
+        distinct_doc_ngrams(bench, id_col, token_col, n)
+        .select("__g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    joined = grams(docs).join(F.broadcast(bench_grams), "__g", "left")
+    joined = distinct_doc_ngrams(docs, id_col, token_col, n).join(
+        F.broadcast(bench_grams), "__g", "left"
+    )
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_ngrams"),
         F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias(

@@ -36,7 +36,14 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_DIM = 16
+# ONE definition of the feature-vector contract: media_codecs sizes the
+# vectors it produces, this module validates plug-in decoders against
+# the same constant and uses the same bit-pattern checksum — a local
+# copy of either silently drifts (review finding)
+from diffdataflowmlpipelines_spark.functions.media_codecs import (  # noqa: E402
+    FEATURE_DIM,
+    feature_checksum,
+)
 
 
 def synthetic_media_df(spark, n_rows: int, seed: int = 42) -> DataFrame:
@@ -124,7 +131,7 @@ def extract_media_features(df: DataFrame, decode_fn=None) -> DataFrame:
                             f"decode_fn must return shape ({FEATURE_DIM},), "
                             f"got {v.shape}"
                         )
-                checksums = [int(v.view(np.uint32).sum()) for v in feats]
+                checksums = [feature_checksum(v) for v in feats]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -85,15 +85,17 @@ def tfidf_pairs(
         .agg(F.count("*").alias("__n"))
     )
     idf = F.log(F.col("__n").cast("double") / F.col("__df"))
-    if round_to is not None:
-        # decimal-places convention, matching streaming/tfidf.py's
-        # F.round(w, round_to) (NOT the encoders' 10^n round_to_decimal)
-        idf = F.round(idf, round_to)
-    return (
+    out = (
         tf.join(F.broadcast(n_docs), how="cross")
         .withColumn("weight", F.col("tf") * idf)
-        .select(key, "token", "tf", "weight")
     )
+    if round_to is not None:
+        # decimal-places convention, rounding the WEIGHT — the same
+        # quantity streaming/tfidf.tfidf_from_counts rounds. Rounding
+        # the idf first (tf * round(idf)) diverged from the streaming
+        # twin in the last decimal for every tf >= 2.
+        out = out.withColumn("weight", F.round("weight", round_to))
+    return out.select(key, "token", "tf", "weight")
 
 
 class CountVectorizer:
@@ -268,7 +270,13 @@ class HashVectorizer:
 
     def transform(self, df: DataFrame, key: str, tokens_col: str, out: str) -> DataFrame:
         df_ = with_diff(df)
-        ex = df_.select(key, F.explode(F.col(tokens_col)).alias("token"), DIFF)
+        # NULL tokens are not features: F.hash(NULL) falls back to the
+        # seed (42), which silently routed every NULL token in the
+        # corpus into ONE phantom hot bucket — CountVectorizer drops
+        # NULLs (fit_dictionary: "NULL is not a category"), so must this
+        ex = df_.select(
+            key, F.explode(F.col(tokens_col)).alias("token"), DIFF
+        ).filter(F.col("token").isNotNull())
         per_bucket = (
             ex.withColumn("__b", self.bucket(F.col("token")))
             .groupBy(key, "__b")

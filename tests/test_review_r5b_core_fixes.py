@@ -199,3 +199,60 @@ def test_quality_features_null_text_all_zero(spark):
     assert row.n_chars == 0 and row.n_tokens == 0
     assert row.mean_token_len == 0.0 and row.punct_ratio == 0.0
     assert row.stopword_ratio == 0.0 and row.alpha_ratio == 0.0  # no NULLs
+
+
+# --- third review pass: bpe/bloom/vectorizers/multimodal -------------------------
+
+def test_word_frequencies_diff_aware(spark):
+    """pair_counts(word_frequencies(docs)) == corpus_pair_counts(docs)
+    must hold WITH retractions (the documented linearity identity)."""
+    from diffdataflowmlpipelines_spark.functions.bpe import (
+        corpus_pair_counts,
+        initial_symbols,
+        pair_counts,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [("a b", 1), ("a b", 1), ("a b", -1), ("c d", 1)],
+        "text string, diff int",
+    )
+    wf = word_frequencies(docs)
+    assert {r.word: r.freq for r in wf.collect()} == {
+        "a": 1, "b": 1, "c": 1, "d": 1,  # one 'a b' retracted
+    }
+    via_wf = {
+        (r.left, r.right): r.pair_count
+        for r in pair_counts(
+            wf.withColumn("symbols", initial_symbols(F.col("word")))
+        ).collect()
+    }
+    direct = {
+        (r.left, r.right): r.pair_count
+        for r in corpus_pair_counts(docs).collect()
+        if r.pair_count != 0  # streaming contract: 0 rows are tombstones
+    }
+    assert via_wf == direct and len(direct) > 0
+
+
+def test_bloom_build_ignores_nulls(spark):
+    from diffdataflowmlpipelines_spark.functions.bloom import build_bloom_words
+
+    clean = spark.createDataFrame([("x",), ("y",)], "g string")
+    dirty = spark.createDataFrame([("x",), (None,), ("y",)], "g string")
+    a = build_bloom_words(clean, "g", n_bits=256)
+    b = build_bloom_words(dirty, "g", n_bits=256)  # crashed before
+    assert a == b
+
+
+def test_hash_vectorizer_null_tokens_ignored(spark):
+    from diffdataflowmlpipelines_spark.functions.vectorizers import HashVectorizer
+
+    hv = HashVectorizer(n_features=8)
+    clean = spark.createDataFrame([(1, ["a", "b"])], "doc_id long, toks array<string>")
+    dirty = spark.createDataFrame(
+        [(1, ["a", None, "b", None])], "doc_id long, toks array<string>"
+    )
+    va = hv.fit_transform(clean, "doc_id", "toks", "vec").collect()[0]["vec"]
+    vb = hv.fit_transform(dirty, "doc_id", "toks", "vec").collect()[0]["vec"]
+    assert va == vb and sum(va) == 2.0  # no phantom bucket at hash(NULL)=42

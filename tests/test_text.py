@@ -93,8 +93,10 @@ def test_tfidf_pairs_round_to_is_decimal_places(spark, docs):
 
     out = tfidf_pairs(docs, "doc_id", "toks", round_to=6)
     got = {(r["doc_id"], r["token"]): r["weight"] for r in out.collect()}
-    # token 'a': tf=2 in doc 0, df=1, N=3 -> 2 * round(ln 3, 6dp)
-    assert got[(0, "a")] == pytest.approx(2 * round(math.log(3), 6), abs=1e-12)
+    # token 'a': tf=2 in doc 0, df=1, N=3 -> round(2 * ln 3, 6dp) — the
+    # WEIGHT is rounded (streaming tfidf_from_counts convention), not
+    # the idf (tf * round(idf) diverged in the last decimal for tf >= 2)
+    assert got[(0, "a")] == pytest.approx(round(2 * math.log(3), 6), abs=1e-12)
     assert all(w != 0.0 for w in got.values())
 
 
