@@ -41,6 +41,31 @@ def round_to_decimal(col: Column, n: int) -> Column:
     return F.round(col, -n)
 
 
+def standard_scale_expr(col: Column, mean, var) -> Column:
+    """``(x - mean) / var`` with plan-time IEEE emulation for ``var == 0.0``
+    (reference ``standard_scaler.rs:112``: plain f64 division — +/-inf,
+    NaN at x == mean). Spark 4 ANSI ``/`` THROWS on a 0.0 divisor even
+    for doubles, and ``var`` here is always a plan-time python float
+    (materialized fit statistic), so the branch is taken in python —
+    shared by the batch StandardScaler and both incremental scaler
+    pipelines (which crashed mid-stream on any zero-variance epoch
+    before this was factored out). NaN guards first: Spark orders NaN
+    greater than every double, so an unguarded ``x > mean`` would map a
+    NaN input to +inf where IEEE (NaN - mean)/0.0 is NaN. NULL inputs
+    stay NULL; a None/NaN variance (unfitted statistic) divides through
+    to NULL/NaN without crashing, matching IEEE."""
+    x = col.cast("double")
+    if var == 0.0:
+        ieee = (
+            F.when(F.isnan(x), F.lit(float("nan")))
+            .when(x > F.lit(mean), F.lit(float("inf")))
+            .when(x < F.lit(mean), F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan")))
+        )
+        return F.when(x.isNotNull(), ieee)
+    return (x - F.lit(mean)) / F.lit(var)
+
+
 class ColumnEncoder:
     """fit(df, col) -> self; transform(df, col, out) -> df + out column."""
 
@@ -125,26 +150,10 @@ class StandardScaler(ColumnEncoder):
         return self
 
     def transform(self, df, col, out):
-        x = F.col(col).cast("double")
-        if self.var_ == 0.0:
-            # constant column, or round_to rounded the variance to 0:
-            # Spark 4 ANSI `/` THROWS on 0.0 (verified — doubles too,
-            # not just integrals), but the reference's f64 division
-            # yields IEEE +/-inf (NaN at x == mean). var_ is a plan-time
-            # python float, so emit the IEEE result branchlessly instead
-            # of crashing mid-query (review r4d); NULL inputs stay NULL.
-            # NaN first: Spark orders NaN greater than every double, so
-            # an unguarded `x > mean` would map NaN -> +inf, while IEEE
-            # (NaN - mean)/0.0 is NaN (advice r4).
-            ieee = (
-                F.when(F.isnan(x), F.lit(float("nan")))
-                .when(x > F.lit(self.mean_), F.lit(float("inf")))
-                .when(x < F.lit(self.mean_), F.lit(float("-inf")))
-                .otherwise(F.lit(float("nan")))
-            )
-            return df.withColumn(out, F.when(x.isNotNull(), ieee))
+        # zero-variance ANSI/IEEE handling lives in standard_scale_expr
+        # (review r4d, advice r4) — shared with the incremental pipelines
         return df.withColumn(
-            out, (x - F.lit(self.mean_)) / F.lit(self.var_)
+            out, standard_scale_expr(F.col(col), self.mean_, self.var_)
         )
 
 

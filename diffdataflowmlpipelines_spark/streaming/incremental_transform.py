@@ -29,6 +29,7 @@ from diffdataflowmlpipelines_spark.operators.collection import (
     consolidate,
     with_diff,
 )
+from diffdataflowmlpipelines_spark.operators.encoders import standard_scale_expr
 from diffdataflowmlpipelines_spark.streaming.sink import ExactlyOnceParquetSink
 
 
@@ -185,8 +186,7 @@ class IncrementalScalerPipeline:
         footer Spark samples (review r4d)."""
         mean, var = meta
         return df.select(*self.key_cols, self.value_col, DIFF).withColumn(
-            "scaled",
-            (F.col(self.value_col).cast("double") - F.lit(mean)) / F.lit(var),
+            "scaled", standard_scale_expr(F.col(self.value_col), mean, var)
         )
 
     # -- small-epoch fast path --------------------------------------------------
@@ -222,7 +222,14 @@ class IncrementalScalerPipeline:
         """Driver-side twin of _encode over a consolidated tiny batch.
         Nullable Float64 arithmetic: a NULL value must encode to a
         parquet NULL like the distributed path (plain float64 would
-        write NaN instead)."""
+        write NaN instead), while a COMPUTED NaN (zero-variance IEEE
+        0/0, standard_scale_expr's x == mean case) must stay a NaN
+        VALUE — Float64 arithmetic keeps it (mask stays False) but
+        pd.array construction would collapse it to NULL, hence the
+        FloatingArray in the scalar lane. Known twin-side edge: a NaN
+        INPUT is indistinguishable from NULL here (_rows_to_pdf's
+        float64 cast collapsed them), so it encodes to NULL where the
+        distributed path would emit NaN."""
         import numpy as np
         import pandas as pd
 
@@ -232,17 +239,21 @@ class IncrementalScalerPipeline:
             # scalar lane (see the multi-column twin): one-row Float64
             # Series construction dominates the single-row re-encode
             v = pdf[self.value_col].iloc[0]
+            out = pdf[cols].copy()
             if pd.isna(v):
-                r = None
+                out["scaled"] = pd.array([None], dtype="Float64")
             else:
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    rv = (np.float64(v) - np.float64(mean)) / np.float64(var)
-                r = None if pd.isna(rv) else float(rv)
-            out = pdf[cols].copy()
-            out["scaled"] = pd.array([r], dtype="Float64")
+                    rv = float(
+                        (np.float64(v) - np.float64(mean)) / np.float64(var)
+                    )
+                out["scaled"] = pd.arrays.FloatingArray(
+                    np.array([rv], dtype="float64"), np.array([False])
+                )
             return out
         out = pdf[cols].copy()
-        out["scaled"] = (out[self.value_col].astype("Float64") - mean) / var
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out["scaled"] = (out[self.value_col].astype("Float64") - mean) / var
         return out
 
     def _process_small_epoch(self, rows, schema, epoch_id: int) -> None:
@@ -585,7 +596,7 @@ class IncrementalMultiScalerPipeline:
     def _encode(self, df: DataFrame, meta: tuple) -> DataFrame:
         feats = F.array(
             *[
-                (F.col(c).cast("double") - F.lit(m)) / F.lit(v)
+                standard_scale_expr(F.col(c), m, v)
                 for c, (m, v) in zip(self.value_cols, meta)
             ]
         )
@@ -628,6 +639,20 @@ class IncrementalMultiScalerPipeline:
             self._s2[i] += float((x * x * d).sum())
         return self._current_meta()
 
+    @staticmethod
+    def _feature_series(lists, index):
+        """list-of-lists -> arrow-backed pandas column that PRESERVES the
+        IEEE NaN elements through to_parquet: the default pandas->arrow
+        conversion of an object list column runs with from_pandas
+        semantics, silently collapsing every NaN ELEMENT to NULL (found
+        by the zero-variance regression test — the distributed F.array
+        epochs carried NaN where the driver-local epochs carried NULL)."""
+        import pandas as pd
+        import pyarrow as pa
+
+        arr = pa.array(lists, type=pa.list_(pa.float64()), from_pandas=False)
+        return pd.Series(pd.arrays.ArrowExtensionArray(arr), index=index)
+
     def _encode_pdf(self, pdf, meta):
         """See the single-column twin. A NULL value yields a NULL array
         element (the distributed F.array does the same); float(row[c])
@@ -641,7 +666,10 @@ class IncrementalMultiScalerPipeline:
             # Float64-Series chain below costs ~0.3 ms x k per call —
             # ~6 ms of the 21-column fold-only lane. numpy scalar
             # division mirrors the Series semantics on zero variance
-            # (inf / nan, never ZeroDivisionError).
+            # (inf / nan, never ZeroDivisionError). A computed NaN (IEEE
+            # 0/0 at x == mean) stays a NaN ELEMENT like the distributed
+            # F.array of standard_scale_expr; only NULL inputs map to a
+            # NULL element (see the single-column twin's docstring).
             row = pdf.iloc[0]
             feats = []
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -649,23 +677,37 @@ class IncrementalMultiScalerPipeline:
                     if pd.isna(row[c]):
                         feats.append(None)
                         continue
-                    r = (np.float64(row[c]) - np.float64(m)) / np.float64(v)
-                    # the Series path maps a NaN RESULT (0/0 on zero
-                    # variance) to None too, not just NULL inputs
-                    feats.append(None if pd.isna(r) else float(r))
+                    feats.append(
+                        float((np.float64(row[c]) - np.float64(m)) / np.float64(v))
+                    )
             out = pdf.copy()
-            out["features"] = [feats]
+            out["features"] = self._feature_series([feats], out.index)
             return out
 
         out = pdf.copy()
-        scaled_cols = [
-            (out[c].astype("Float64") - m) / v
-            for c, (m, v) in zip(self.value_cols, meta)
-        ]
-        out["features"] = [
-            [None if pd.isna(x) else float(x) for x in row]
-            for row in zip(*[s.tolist() for s in scaled_cols])
-        ] if scaled_cols else [[] for _ in range(len(out))]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scaled_cols = [
+                (out[c].astype("Float64") - m) / v
+                for c, (m, v) in zip(self.value_cols, meta)
+            ]
+        if scaled_cols:
+            # values + mask extraction: Float64 keeps a computed NaN as a
+            # value (isna False), so NULL elements come from the MASK
+            # only — tolist()+pd.isna would collapse IEEE NaN to NULL
+            vals = [s.to_numpy(dtype="float64", na_value=np.nan) for s in scaled_cols]
+            masks = [s.isna().to_numpy() for s in scaled_cols]
+            k = len(scaled_cols)
+            out["features"] = self._feature_series(
+                [
+                    [None if masks[j][i] else float(vals[j][i]) for j in range(k)]
+                    for i in range(len(out))
+                ],
+                out.index,
+            )
+        else:
+            out["features"] = self._feature_series(
+                [[] for _ in range(len(out))], out.index
+            )
         return out
 
     def _process_small_epoch(self, rows, schema, epoch_id: int) -> None:
