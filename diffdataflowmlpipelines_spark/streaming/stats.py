@@ -103,7 +103,11 @@ def _stats_fn(round_mean: int | None, round_var: int | None):
             # sink retracts the stale statistics instead of keeping them
             yield pd.DataFrame(
                 {
-                    "key": [str(key[0])],
+                    # key[0] verbatim, never str(): the column is already
+                    # string-cast upstream and a NULL key must stay NULL
+                    # (str(None) minted a phantom "None" key where the
+                    # batch groupBy twin keeps the null group)
+                    "key": [key[0]],
                     "n": [n],
                     "mean": [mean],
                     "var_pop": [var],

@@ -152,3 +152,41 @@ def test_stats_null_values_ignored(spark, tmp_path):
     q.awaitTermination(300)
     (r,) = sink.read_current(spark).collect()
     assert (r["n"], r["mean"], r["var_pop"]) == (1, 10.0, 0.0)
+
+
+def test_stats_null_key_stays_null(spark, tmp_path):
+    """A NULL group key must come back as a NULL key, not the phantom
+    string "None" (the old emission str()-ed the key; the batch groupBy
+    twin keeps the null group)."""
+    nullable = T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField("x", T.DoubleType(), True),
+            T.StructField("diff", T.LongType(), False),
+            T.StructField("event_time", T.TimestampType(), False),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {
+            "key": [None, "a"],
+            "x": [4.0, 10.0],
+            "diff": [1, 1],
+            "event_time": [T0, T0 + timedelta(seconds=1)],
+        }
+    )
+    src = EpochFileSource(spark, str(tmp_path / "src"), nullable)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), ["key"])
+    src.add_epoch(pdf)
+    q = (
+        incremental_scaler_stats(src.stream(), "key", "x")
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {r["key"]: r for r in sink.read_current(spark).collect()}
+    assert set(rows) == {None, "a"}  # no "None" string key
+    assert rows[None]["mean"] == pytest.approx(4.0)
+    assert rows["a"]["mean"] == pytest.approx(10.0)
