@@ -135,3 +135,113 @@ def test_zero_norm_vectors_excluded(spark):
     out = knn_graph(df, "vec_id", "embedding", k=3, n_centroids=2)
     ids = {r.vec_id for r in out.collect()} | {r.neighbor_id for r in out.collect()}
     assert 0 not in ids and ids == {1, 2, 3}
+
+
+def test_knn_graph_hot_cell_subsplit(spark):
+    """The semantic_dedup verdict-r4-#2 hazard, knn_graph face: a
+    planted hot cell must sub-split under max_cell — planted exact
+    duplicates stay rank-1 neighbors of each other, and (at k >= cell
+    size) the capped edge set is a subset of the exact edge set
+    (sub-splitting only removes comparisons)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    rows = []
+    # hot cell: 120 vectors near +e0, angularly spread
+    for i in range(120):
+        v = rng.standard_normal(dim) * 0.8
+        v[0] = abs(v[0]) + 2.0
+        rows.append((i, [float(x) for x in v]))
+    # planted exact duplicates inside the hot cell (higher id copies)
+    dups = [(1000 + j, list(rows[src][1])) for j, src in enumerate((3, 57, 99))]
+    rows += dups
+    # cold cell: 10 vectors near +e1
+    for i in range(10):
+        v = rng.standard_normal(dim) * 0.1
+        v[1] = abs(v[1]) + 2.0
+        rows.append((2000 + i, [float(x) for x in v]))
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (dim - 1)), (1, [0.0, 1.0] + [0.0] * (dim - 2))],
+        "vec_id long, embedding array<double>",
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    big_k = 200  # >= hot-cell size: top-k truncation never hides an edge
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in knn_graph(
+            df, "vec_id", "embedding", k=big_k, centroids=cents
+        ).collect()
+    }
+    capped_rows = knn_graph(
+        df, "vec_id", "embedding", k=big_k, centroids=cents, max_cell=16
+    ).collect()
+    capped = {(r.vec_id, r.neighbor_id) for r in capped_rows}
+    assert capped <= exact
+    assert len(capped) < len(exact)  # the hot cell actually split
+    # identical directions always share a sub-cell: each planted
+    # duplicate's rank-1 neighbor is its source (cosine 1.0)
+    rank1 = {r.vec_id: (r.neighbor_id, r.cosine) for r in capped_rows if r.rank == 1}
+    for (dup_id, _), src in zip(dups, (3, 57, 99)):
+        assert rank1[dup_id] == (src, 1.0)
+        assert rank1[src] == (dup_id, 1.0)
+
+
+def test_knn_graph_max_cell_parity_when_large(spark):
+    """max_cell at or above every cell size must be a bit-for-bit
+    no-op vs exact mode (sub-split width is 0 bits for within-cap
+    cells), including under bands > 1."""
+    rng = random.Random(5)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(5)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    exact = {
+        (r.vec_id, r.neighbor_id, r.cosine, r.rank)
+        for r in knn_graph(df, "vec_id", "embedding", k=3, n_centroids=2).collect()
+    }
+    for bands in (1, 4):
+        capped = {
+            (r.vec_id, r.neighbor_id, r.cosine, r.rank)
+            for r in knn_graph(
+                df,
+                "vec_id",
+                "embedding",
+                k=3,
+                n_centroids=2,
+                max_cell=1000,
+                subsplit_bands=bands,
+            ).collect()
+        }
+        assert capped == exact, bands
+
+
+def test_knn_graph_banded_ranks_are_dense(spark):
+    """bands > 1 on an over-cap cell: a pair colliding in several bands
+    must not burn duplicate ranks — per source, ranks are exactly
+    1..n with distinct neighbors."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(6) * 0.5
+        v[0] = abs(v[0]) + 2.0
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = knn_graph(
+        df, "vec_id", "embedding", k=5, centroids=cents,
+        max_cell=8, subsplit_bands=4,
+    ).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id))
+    for src, lst in by_src.items():
+        ranks = sorted(rk for rk, _ in lst)
+        assert ranks == list(range(1, len(lst) + 1)), src
+        nbrs = [nb for _, nb in lst]
+        assert len(set(nbrs)) == len(nbrs), src
