@@ -883,3 +883,108 @@ def knn_graph(
     if return_assignment:
         return out, assigned.select(F.col("__id").alias(key), "cluster_id")
     return out
+
+
+def scalar_quant_fit(corpus: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
+    """Per-dimension affine int8 quantization parameters over the corpus.
+
+    Returns ``(mins, scales)`` with ``scales[d] = (max_d - min_d)/255``.
+    One posexplode fan-out inside the scan stage into a dim-keyed
+    aggregation — group count == dimensionality, so the collected fit
+    statistic is bounded (the repo's one-row-fit-statistic convention,
+    cf. reference src/dbsp/operator/aggregate.rs:1 for the
+    fit-then-transform split). At 100 TB this is one map-side-combined
+    pass; the result ships to executors as a plan literal."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("x").alias("n"))
+        .orderBy("dim")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("scalar_quant_fit: empty corpus")
+    # ragged input shows up as dim-population skew: a dim present in
+    # only SOME vectors has a smaller count than dim 0 (posexplode
+    # yields contiguous dims regardless, so the index check alone
+    # cannot see it — scalar_quantize would then emit NULL codes)
+    if [r["dim"] for r in rows] != list(range(len(rows))) or any(
+        r["n"] != rows[0]["n"] for r in rows
+    ):
+        raise ValueError("scalar_quant_fit: ragged embedding dimensions")
+    mins = [float(r["mn"]) for r in rows]
+    scales = [(float(r["mx"]) - float(r["mn"])) / 255.0 for r in rows]
+    return mins, scales
+
+
+def scalar_quantize(
+    df: DataFrame,
+    vec_col: str,
+    mins: list[float],
+    scales: list[float],
+    *,
+    code_col: str = "codes",
+) -> DataFrame:
+    """Append an ``array<tinyint>`` code column: per-dimension affine
+    int8 codes ``round((x - mn)/sc)`` clipped to [0, 255], stored
+    shifted by -128 so they fit a signed byte — the 4x-memory storage
+    representation for embedding search at 100 TB (float32 -> int8).
+    Constant (zero-range) dimensions quantize to code 0.
+
+    Plan-time python branches on ``sc == 0`` (ANSI double division
+    throws on /0 — CLAUDE.md pitfall); the expression is generated
+    per-dimension so everything stays in whole-stage codegen."""
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for d, (mn, sc) in enumerate(zip(mins, scales)):
+        if sc == 0.0:
+            codes.append(F.lit(-128).cast("tinyint"))
+        else:
+            q = F.round((v[d] - F.lit(mn)) / F.lit(sc))
+            q = F.least(F.lit(255.0), F.greatest(F.lit(0.0), q))
+            codes.append((q - F.lit(128.0)).cast("tinyint"))
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def dequantize_expr(
+    code_col: str, mins: list[float], scales: list[float]
+) -> Column:
+    """array<double> reconstruction ``mn + (code + 128) * sc`` from an
+    int8 code column produced by :func:`scalar_quantize`."""
+    c = F.col(code_col)
+    return F.array(
+        *[
+            F.lit(mn) + (c[d].cast("double") + F.lit(128.0)) * F.lit(sc)
+            for d, (mn, sc) in enumerate(zip(mins, scales))
+        ]
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over int8 scalar-quantized embeddings:
+    the corpus is stored as int8 codes (4x less memory / shuffle than
+    float32 — the reason quantized search exists at 100 TB), queries
+    stay full-precision, and scoring runs against the dequantized
+    reconstruction (ADC, as in Jegou et al., PQ for NN search, TPAMI
+    2011 — scalar special case). Fit (per-dim min/max) is one bounded
+    aggregation over the corpus; scoring reuses :func:`cosine_topk`'s
+    broadcast-query join shape, so the 100 TB plan is scan + broadcast
+    hash join, no shuffle of the corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank) — cosine is the
+    asymmetric approximation, rounded before ranking (cross-engine
+    determinism), ties broken by neighbor id."""
+    mins, scales = scalar_quant_fit(corpus, vec_col)
+    stored = scalar_quantize(corpus, vec_col, mins, scales, code_col="__codes")
+    deq = stored.select(
+        F.col(key), dequantize_expr("__codes", mins, scales).alias(vec_col)
+    )
+    return cosine_topk(deq, queries, key, vec_col, k=k, round_to=round_to)

@@ -1866,3 +1866,71 @@ def d11_containment_pairs(spark, sf_dir):
     return containment_pairs(
         docs, "doc_id", "toks", threshold=0.3, shingle_n=3, candidates=cand
     )
+
+
+_S9_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    ex AS (
+      SELECT vec_id, u.i - 1 AS dim, v[u.i] AS x
+      FROM e, UNNEST(generate_series(1, len(v))) AS u(i)
+    ),
+    fit AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+    rec AS (
+      SELECT ex.vec_id, ex.dim,
+             CASE WHEN f.mx = f.mn THEN f.mn
+                  ELSE f.mn + LEAST(255.0, GREATEST(0.0,
+                           ROUND((ex.x - f.mn) / ((f.mx - f.mn) / 255.0))))
+                       * ((f.mx - f.mn) / 255.0)
+             END AS r
+      FROM ex JOIN fit f USING (dim)
+    ),
+    cvec AS (SELECT vec_id, list(r ORDER BY dim) AS v FROM rec GROUP BY vec_id),
+    cn AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+      FROM cvec
+    ),
+    qn AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+      FROM e WHERE vec_id < 16
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, len(q.v) + 1),
+                                           i -> q.v[i] * c.v[i]))
+                   / (q.nn * c.nn), 6) AS cosine
+      FROM qn q JOIN cn c ON q.vec_id <> c.vec_id
+      WHERE q.nn > 0 AND c.nn > 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@q("s9_quantized_topk", _S9_SQL)
+def s9_quantized_topk(spark, sf_dir):
+    """Asymmetric-distance top-k over int8 scalar-quantized embeddings
+    (functions/similarity.quantized_topk): the corpus is stored as
+    array<tinyint> codes (4x less memory/shuffle than float32 -- the
+    representation a 100 TB embedding store actually holds), queries
+    stay full-precision, scoring runs on the dequantized
+    reconstruction (ADC, Jegou et al. TPAMI 2011, scalar case). The
+    oracle replays the exact affine fit/quantize/dequantize arithmetic
+    in DuckDB, so this checks the quantizer bit-for-bit, not just
+    recall. Reference analogue: the fit-then-transform encoder split
+    (src/dbsp/operator/aggregate.rs:1)."""
+    from diffdataflowmlpipelines_spark.functions.similarity import quantized_topk
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 16)
+    out = quantized_topk(emb, queries, "vec_id", "embedding", k=5, round_to=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))

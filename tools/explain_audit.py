@@ -75,6 +75,7 @@ AUDITED = [
     "t24_priority_sample",
     "s8_knn_components",
     "d11_containment_pairs",
+    "s9_quantized_topk",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
