@@ -22,6 +22,8 @@ and kill the query (CLAUDE.md pitfall).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -988,3 +990,176 @@ def quantized_topk(
         F.col(key), dequantize_expr("__codes", mins, scales).alias(vec_col)
     )
     return cosine_topk(deq, queries, key, vec_col, k=k, round_to=round_to)
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    out_dim: int,
+    *,
+    seed: int = 42,
+    out_col: str = "proj",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: append an
+    ``array<double>`` column ``proj[j] = <v, P_j> / sqrt(out_dim)``
+    with ``P`` the seeded Gaussian plane matrix (:func:`hyperplanes` —
+    the SAME generator the LSH path buckets with, so a corpus can share
+    one matrix between bucketing and dimensionality reduction).
+
+    The 100 TB use: shrink embeddings (e.g. 1024 -> 64 dims) BEFORE the
+    ANN / SemDeDup stages — JL preserves pairwise distances within
+    (1±eps) at out_dim = O(log n / eps^2), and a 16x narrower vector is
+    16x less shuffle in every downstream candidate join. The matrix is
+    a plan literal (out_dim x dim doubles); every dot product stays in
+    whole-stage codegen via the zip_with/aggregate fold, so the plan is
+    a pure map over the scan — zero shuffle, zero Python.
+
+    NULL vectors project to NULL (filter upstream when exact row parity
+    with an engine that drops them matters)."""
+    _check_dim(df, vec_col, dim, "random_projection")
+    planes = hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    v = F.col(vec_col).cast("array<double>")
+    comps = []
+    for p in planes:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        c = (
+            F.aggregate(
+                F.zip_with(v, arr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            * F.lit(scale)
+        )
+        comps.append(F.round(c, round_to) if round_to is not None else c)
+    return df.withColumn(out_col, F.array(*comps))
+
+
+def pq_fit(
+    corpus: DataFrame,
+    key: str,
+    vec_col: str,
+    *,
+    dim: int,
+    m: int = 8,
+    ksub: int = 8,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split ``dim`` into ``m``
+    subspaces of ``dim/m`` and take the subvectors of the ``ksub``
+    lowest-key corpus rows as each subspace's centroids (the SAME
+    deterministic seeded-sample init convention as :func:`ivf_topk` —
+    oracle-replicable; production refines each codebook with per-
+    subspace k-means, which changes centroid VALUES but nothing about
+    the encode/ADC dataflow). Returns ``centroids[s][j]`` — a bounded
+    m x ksub x dim/m driver statistic (fit-statistic convention)."""
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
+    _check_dim(corpus, vec_col, dim, "pq_fit")
+    dsub = dim // m
+    rows = (
+        corpus.orderBy(F.col(key))
+        .limit(ksub)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_fit: empty corpus")
+    return [
+        [list(r["v"][s * dsub : (s + 1) * dsub]) for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[list[float]]],
+    *,
+    code_col: str = "codes",
+) -> DataFrame:
+    """Append an ``array<tinyint>`` PQ code column: per subspace, the
+    index of the nearest codebook centroid by squared L2 (ties to the
+    lower index via the struct comparator). dim floats -> m bytes —
+    e.g. 64x compression at dim=64/m=8 with float64, the storage form
+    a 100 TB vector store actually keeps. Everything is a literal-
+    codebook codegen projection over the scan: no shuffle, no Python."""
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for s, cs in enumerate(centroids):
+        dsub = len(cs[0])
+        sub = F.slice(v, s * dsub + 1, dsub)
+        entries = []
+        for j, c in enumerate(cs):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+        codes.append(F.array_sort(F.array(*entries))[0]["j"].cast("tinyint"))
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str,
+    vec_col: str,
+    *,
+    dim: int,
+    m: int = 8,
+    ksub: int = 8,
+    k: int = 5,
+    round_to: int = 6,
+    centroids: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the corpus
+    is stored as m int8 codes per vector, queries stay full-precision,
+    and the approximate squared-L2 distance is the s-ordered chain of
+    per-subspace ||q_s - codebook[s][code_s]||^2 lookups. The corpus
+    side of the join carries ONLY (id, m bytes) — at 100 TB that is the
+    entire point: the candidate join shuffles codes, never vectors.
+    NULL vectors must be filtered upstream (codes would be NULL).
+
+    Output: (query_id, neighbor_id, dist, rank) — dist rounded before
+    ranking (cross-engine determinism), ascending, ties by neighbor id."""
+    if centroids is None:
+        centroids = pq_fit(corpus, key, vec_col, dim=dim, m=m, ksub=ksub)
+    enc = pq_encode(corpus, vec_col, centroids, code_col="__codes").select(
+        F.col(key).alias("neighbor_id"), F.col("__codes").alias("__codes")
+    )
+    q = queries.select(
+        F.col(key).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    total = None
+    for s, cs in enumerate(centroids):
+        dsub = len(cs[0])
+        sub = F.slice(F.col("__qv"), s * dsub + 1, dsub)
+        cent_s = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cs]
+        )
+        cvec = F.element_at(cent_s, F.col("__codes")[s].cast("int") + 1)
+        d = F.aggregate(
+            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = d if total is None else total + d
+    scored = (
+        F.broadcast(q)
+        .join(enc, F.col("query_id") != F.col("neighbor_id"), "inner")
+        .withColumn("dist", F.round(total, round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )

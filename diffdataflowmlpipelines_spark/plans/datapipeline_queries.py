@@ -1934,3 +1934,128 @@ def s9_quantized_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 16)
     out = quantized_topk(emb, queries, "vec_id", "embedding", k=5, round_to=6)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _s10_sql(dim: int = 64, out_dim: int = 16, seed: int = 42) -> str:
+    """Generated oracle for random_projection: literal plane matrix,
+    explicit left-to-right + chain per component (the F.aggregate fold
+    order), the same 1/sqrt(out_dim) scale literal."""
+    import math
+
+    from diffdataflowmlpipelines_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    comps = ", ".join(
+        "ROUND(("
+        + " + ".join(f"v[{j + 1}] * ({planes[i][j]!r})" for j in range(dim))
+        + f") * ({scale!r}), 6)"
+        for i in range(out_dim)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (SELECT vec_id, [{comps}] AS pr FROM e)
+    SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim, pr[u.i] AS val
+    FROM p, UNNEST(generate_series(1, {out_dim})) AS u(i)
+    """
+
+
+@q("s10_random_projection", _s10_sql())
+def s10_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 16 over the
+    embeddings table (functions/similarity.random_projection): the
+    pre-ANN shrink stage a 100 TB embedding pipeline runs first (4x
+    less shuffle in every downstream candidate join; distances kept
+    within 1±eps). Pure map over the scan — the plane matrix is a plan
+    literal, every dot product a codegen zip_with fold, zero shuffle,
+    zero Python. Oracle replays the literal matrix with the same fold
+    order, checking the projection bit-for-bit per component."""
+    from diffdataflowmlpipelines_spark.functions.similarity import random_projection
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    out = random_projection(emb, "embedding", 64, 16, seed=42, round_to=6)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("dim", "val")
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
+def _s11_sql(dim: int = 64, m: int = 8, ksub: int = 8, k: int = 5) -> str:
+    """Generated oracle for pq_topk: codebooks re-derived from the data
+    (first-ksub convention), per-subspace argmin with the same fold
+    order and cid tie-break, ADC summed in subspace order via
+    list(d ORDER BY s) so the float chain matches Spark's + chain."""
+    dsub = dim // m
+    sq = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    subs AS (
+      SELECT vec_id, u.s - 1 AS s,
+             v[(u.s - 1) * {dsub} + 1 : (u.s - 1) * {dsub} + {dsub}] AS sv
+      FROM e, UNNEST(generate_series(1, {m})) AS u(s)
+    ),
+    cent AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT {ksub}),
+    csubs AS (
+      SELECT cid, u.s - 1 AS s,
+             v[(u.s - 1) * {dsub} + 1 : (u.s - 1) * {dsub} + {dsub}] AS cv
+      FROM cent, UNNEST(generate_series(1, {m})) AS u(s)
+    ),
+    asg AS (
+      SELECT vec_id, s, cid, cv FROM (
+        SELECT b.vec_id, b.s, c.cid, c.cv,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.s
+                                  ORDER BY {sq.format(d=dsub, a="b.sv", b="c.cv")},
+                                           c.cid) AS r
+        FROM subs b JOIN csubs c USING (s)
+      ) WHERE r = 1
+    ),
+    contrib AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, q.s,
+             {sq.format(d=dsub, a="q.sv", b="a.cv")} AS d
+      FROM subs q JOIN asg a USING (s)
+      WHERE q.vec_id < 16 AND q.vec_id <> a.vec_id
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_sum(list(d ORDER BY s)), 6) AS dist
+      FROM contrib GROUP BY query_id, neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dist ASC, neighbor_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, dist, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("s11_pq_topk", _s11_sql())
+def s11_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k over the embeddings table
+    (functions/similarity.pq_topk): 64-d float64 vectors stored as 8
+    int8 codes (64x smaller), queries full-precision, distance = the
+    s-ordered chain of per-subspace codebook lookups. Completes the
+    quantized-search family next to s9 (scalar int8): PQ is what a
+    100 TB vector store actually ships through its candidate joins.
+    The oracle re-derives the codebooks from the data and replays the
+    encode argmin and the ADC float chain order exactly."""
+    from diffdataflowmlpipelines_spark.functions.similarity import pq_topk
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < 16)
+    return pq_topk(
+        emb, queries, "vec_id", "embedding", dim=64, m=8, ksub=8, k=5
+    ).withColumn("rank", F.col("rank").cast("long"))

@@ -1,0 +1,158 @@
+"""random_projection (JL) and product quantization
+(functions/similarity.random_projection / pq_fit / pq_encode /
+pq_topk).
+
+Pinned: exact agreement of the projection with a numpy twin, JL
+pairwise-distance preservation on planted data, codebook shapes and
+the first-ksub fit convention, encode argmin vs a python twin
+(including the lower-index tie-break), ADC recall on separated
+clusters, and the dim%m guard."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from diffdataflowmlpipelines_spark.functions.similarity import (
+    hyperplanes,
+    pq_encode,
+    pq_fit,
+    pq_topk,
+    random_projection,
+)
+
+
+def _mk(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, v array<double>",
+    )
+
+
+def test_projection_matches_numpy_twin(spark):
+    rng = random.Random(5)
+    vecs = [[rng.uniform(-2, 2) for _ in range(12)] for _ in range(20)]
+    out = {
+        r["id"]: r["p"]
+        for r in random_projection(_mk(spark, vecs), "v", 12, 4, seed=7, out_col="p")
+        .select("id", "p")
+        .collect()
+    }
+    P = np.array(hyperplanes(12, 4, seed=7))
+    scale = 1.0 / math.sqrt(4)
+    for i, v in enumerate(vecs):
+        want = P @ np.array(v) * scale
+        got = np.array(out[i])
+        assert np.allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_jl_preserves_pairwise_distances(spark):
+    # 64 -> 32 on unit-ish gaussian vectors: squared distances within
+    # a loose (1 +- 0.6) band for every pair — JL's guarantee shape
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((12, 64)).tolist()
+    out = {
+        r["id"]: np.array(r["p"])
+        for r in random_projection(_mk(spark, vecs), "v", 64, 32, out_col="p")
+        .select("id", "p")
+        .collect()
+    }
+    V = np.array(vecs)
+    ratios = []
+    for i in range(12):
+        for j in range(i + 1, 12):
+            true = float(np.sum((V[i] - V[j]) ** 2))
+            proj = float(np.sum((out[i] - out[j]) ** 2))
+            ratios.append(proj / true)
+    # per-pair estimator variance is 2/out_dim — individual ratios are
+    # loose-banded, the mean over 66 pairs is tight around 1
+    assert all(0.25 < r < 2.5 for r in ratios)
+    assert 0.8 < float(np.mean(ratios)) < 1.2
+
+
+def test_projection_dim_guard(spark):
+    df = _mk(spark, [[1.0, 2.0, 3.0]])
+    with pytest.raises(ValueError, match="embedding length"):
+        random_projection(df, "v", 8, 4)
+
+
+def test_pq_fit_shape_and_convention(spark):
+    vecs = [[float(i * 10 + d) for d in range(8)] for i in range(20)]
+    cents = pq_fit(_mk(spark, vecs), "id", "v", dim=8, m=4, ksub=3)
+    assert len(cents) == 4  # m subspaces
+    assert all(len(cs) == 3 for cs in cents)  # ksub centroids each
+    assert all(len(c) == 2 for cs in cents for c in cs)  # dsub = 2
+    # first-ksub convention: subspace 0 centroids are rows 0..2's v[0:2]
+    assert cents[0] == [[0.0, 1.0], [10.0, 11.0], [20.0, 21.0]]
+    assert cents[3][1] == [16.0, 17.0]
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    df = _mk(spark, [[1.0] * 6])
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(df, "id", "v", dim=6, m=4)
+
+
+def _local_encode(v, cents):
+    codes = []
+    for s, cs in enumerate(cents):
+        dsub = len(cs[0])
+        sub = v[s * dsub : (s + 1) * dsub]
+        best = min(
+            range(len(cs)),
+            key=lambda j: (sum((a - b) * (a - b) for a, b in zip(sub, cs[j])), j),
+        )
+        codes.append(best)
+    return codes
+
+
+def test_pq_encode_matches_python_twin(spark):
+    rng = random.Random(13)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    df = _mk(spark, vecs)
+    cents = pq_fit(df, "id", "v", dim=8, m=2, ksub=4)
+    got = {
+        r["id"]: list(r["c"])
+        for r in pq_encode(df, "v", cents, code_col="c").select("id", "c").collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == _local_encode(v, cents)
+
+
+def test_pq_encode_tie_breaks_low_index(spark):
+    # two identical centroids: the argmin must pick index 0
+    df = _mk(spark, [[5.0, 5.0]])
+    cents = [[[5.0], [5.0]], [[9.0], [5.0]]]
+    row = pq_encode(df, "v", cents, code_col="c").select("c").first()
+    assert list(row["c"]) == [0, 1]
+
+
+def test_pq_topk_recall_on_separated_clusters(spark):
+    # PQ with per-cluster codebook entries cannot confuse well-separated
+    # clusters: every retrieved neighbor shares the query's cluster
+    rng = random.Random(21)
+    base = [[40.0 if d == c * 4 else 0.0 for d in range(16)] for c in range(4)]
+    vecs = []
+    for i in range(40):
+        b = base[i % 4]
+        vecs.append([x + rng.uniform(-0.2, 0.2) for x in b])
+    df = _mk(spark, vecs)
+    queries = df.filter(F.col("id") < 4)
+    got = pq_topk(df, queries, "id", "v", dim=16, m=4, ksub=8, k=3).collect()
+    assert len(got) == 12
+    for r in got:
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4
+        assert r["dist"] >= 0.0
+
+
+def test_pq_codes_schema(spark):
+    rng = random.Random(2)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(10)]
+    df = _mk(spark, vecs)
+    cents = pq_fit(df, "id", "v", dim=8, m=4, ksub=4)
+    out = pq_encode(df, "v", cents, code_col="c")
+    assert dict(out.dtypes)["c"] == "array<tinyint>"

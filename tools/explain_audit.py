@@ -76,6 +76,8 @@ AUDITED = [
     "s8_knn_components",
     "d11_containment_pairs",
     "s9_quantized_topk",
+    "s10_random_projection",
+    "s11_pq_topk",
 ]
 
 # curation queries whose small side (bench n-gram set / per-stratum
