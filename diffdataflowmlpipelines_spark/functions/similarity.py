@@ -1163,3 +1163,41 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist", "rank")
     )
+
+
+def pq_fit_kmeans(
+    corpus: DataFrame,
+    key: str,
+    vec_col: str,
+    *,
+    dim: int,
+    m: int = 8,
+    ksub: int = 8,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """k-means-refined PQ codebooks: per subspace, distributed Lloyd's
+    (:func:`kmeans_centroids` / pyspark.ml) over the sliced subvectors
+    — the production replacement for :func:`pq_fit`'s seeded-sample
+    init (same return shape, drop-in for ``pq_encode``/``pq_topk``'s
+    ``centroids=``). The loop runs ``m`` times — a constant like 8/16,
+    never data-sized; at 100 TB each fit runs on a corpus SAMPLE (PQ
+    codebooks need ~100k vectors, not the corpus), then encode is the
+    usual literal-codebook projection. Centroids are ordered by the
+    cluster index pyspark.ml assigns, deterministic under the seed."""
+    if dim % m != 0:
+        raise ValueError(f"pq_fit_kmeans: dim {dim} not divisible by m {m}")
+    _check_dim(corpus, vec_col, dim, "pq_fit_kmeans")
+    dsub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    out = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(key).alias("__k"), F.slice(v, s * dsub + 1, dsub).alias("__sv")
+        )
+        cents = kmeans_centroids(
+            sub, "__k", "__sv", n_centroids=ksub, seed=seed + s, max_iter=max_iter
+        )
+        rows = cents.orderBy("__k").collect()
+        out.append([[float(x) for x in r["__sv"]] for r in rows])
+    return out

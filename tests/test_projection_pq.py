@@ -156,3 +156,26 @@ def test_pq_codes_schema(spark):
     cents = pq_fit(df, "id", "v", dim=8, m=4, ksub=4)
     out = pq_encode(df, "v", cents, code_col="c")
     assert dict(out.dtypes)["c"] == "array<tinyint>"
+
+
+def test_pq_fit_kmeans_shapes_and_recall(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import pq_fit_kmeans
+
+    rng = random.Random(31)
+    base = [[30.0 if d == c * 2 else 0.0 for d in range(8)] for c in range(4)]
+    vecs = []
+    for i in range(40):
+        b = base[i % 4]
+        vecs.append([x + rng.uniform(-0.1, 0.1) for x in b])
+    df = _mk(spark, vecs)
+    cents = pq_fit_kmeans(df, "id", "v", dim=8, m=4, ksub=4, max_iter=5)
+    assert len(cents) == 4
+    assert all(len(cs) == 4 for cs in cents)
+    assert all(len(c) == 2 for cs in cents for c in cs)
+    got = pq_topk(
+        df, df.filter(F.col("id") < 4), "id", "v",
+        dim=8, m=4, ksub=4, k=3, centroids=cents,
+    ).collect()
+    assert len(got) == 12
+    for r in got:
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4
