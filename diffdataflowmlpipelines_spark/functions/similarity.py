@@ -33,6 +33,16 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
+def _sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 — the one fold expression every PQ stage (and its
+    generated DuckDB oracle) must share bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
 def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
 
@@ -248,6 +258,7 @@ def kmeans_centroids(
     n_centroids: int = 8,
     seed: int = 42,
     max_iter: int = 20,
+    filter_zero_norm: bool = True,
 ) -> DataFrame:
     """KMeans-refined IVF centroids (VERDICT r2 item 4: the sample-init
     default degrades on clustered corpora). Returns a frame shaped like
@@ -259,15 +270,20 @@ def kmeans_centroids(
     the executors; only the C x dim center matrix (C small by
     construction) returns to the driver. Deterministic under a fixed
     seed, so recall tests are stable.
-    """
+
+    ``filter_zero_norm`` (default True) is the cosine-module
+    convention: a zero-norm row can pull a center to ~zero, which
+    ``_nearest_assign`` then filters out, silently shrinking the
+    usable cell count. L2 codebook fits (:func:`pq_fit_kmeans`) pass
+    False — for squared-L2 a zero subvector is a legitimate point that
+    must attract a centroid. NULL rows are always excluded (they would
+    crash ``KMeans.fit`` far from the cause)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # module convention: NULL/zero-norm vectors are excluded everywhere
-    # — a NULL row would crash KMeans.fit far from the real cause, and
-    # a zero-norm row can pull a center to ~zero, which _nearest_assign
-    # then filters out, silently shrinking the usable cell count
-    corpus = _nonzero(corpus, vec_col)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    if filter_zero_norm:
+        corpus = _nonzero(corpus, vec_col)
     feat = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
@@ -1016,8 +1032,9 @@ def random_projection(
     whole-stage codegen via the zip_with/aggregate fold, so the plan is
     a pure map over the scan — zero shuffle, zero Python.
 
-    NULL vectors project to NULL (filter upstream when exact row parity
-    with an engine that drops them matters)."""
+    NULL input vectors yield a NULL ``out_col`` (the whole array, not
+    an array of NULL components — so ``isNotNull`` filtering downstream
+    behaves; engines that drop NULL rows up front stay row-parity)."""
     _check_dim(df, vec_col, dim, "random_projection")
     planes = hyperplanes(dim, out_dim, seed)
     scale = 1.0 / math.sqrt(out_dim)
@@ -1025,16 +1042,10 @@ def random_projection(
     comps = []
     for p in planes:
         arr = F.array(*[F.lit(float(x)) for x in p])
-        c = (
-            F.aggregate(
-                F.zip_with(v, arr, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-            * F.lit(scale)
-        )
+        c = _dot(v, arr) * F.lit(scale)
         comps.append(F.round(c, round_to) if round_to is not None else c)
-    return df.withColumn(out_col, F.array(*comps))
+    proj = F.when(v.isNull(), F.lit(None)).otherwise(F.array(*comps))
+    return df.withColumn(out_col, proj)
 
 
 def pq_fit(
@@ -1056,10 +1067,13 @@ def pq_fit(
     m x ksub x dim/m driver statistic (fit-statistic convention)."""
     if dim % m != 0:
         raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
+    if ksub > 256:
+        raise ValueError(f"pq_fit: ksub {ksub} > 256 (codes are int8)")
     _check_dim(corpus, vec_col, dim, "pq_fit")
     dsub = dim // m
     rows = (
-        corpus.orderBy(F.col(key))
+        corpus.filter(F.col(vec_col).isNotNull())
+        .orderBy(F.col(key))
         .limit(ksub)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
@@ -1081,10 +1095,18 @@ def pq_encode(
 ) -> DataFrame:
     """Append an ``array<tinyint>`` PQ code column: per subspace, the
     index of the nearest codebook centroid by squared L2 (ties to the
-    lower index via the struct comparator). dim floats -> m bytes —
-    e.g. 64x compression at dim=64/m=8 with float64, the storage form
-    a 100 TB vector store actually keeps. Everything is a literal-
-    codebook codegen projection over the scan: no shuffle, no Python."""
+    lower index via the struct comparator), stored SHIFTED by -128 so
+    the full ksub=256 codebook fits a signed byte (ANSI tinyint cast
+    would otherwise overflow at index 128) — the same storage shift
+    :func:`scalar_quantize` uses; decode index = code + 128. dim
+    floats -> m bytes — e.g. 64x compression at dim=64/m=8 with
+    float64, the storage form a 100 TB vector store actually keeps.
+    NULL input vectors yield a NULL code column (NOT centroid-0 codes —
+    an unfiltered NULL must never surface as a phantom neighbor).
+    Everything is a literal-codebook codegen projection over the scan:
+    no shuffle, no Python."""
+    if any(len(cs) > 256 for cs in centroids):
+        raise ValueError("pq_encode: ksub > 256 (codes are int8)")
     v = F.col(vec_col).cast("array<double>")
     codes = []
     for s, cs in enumerate(centroids):
@@ -1093,14 +1115,13 @@ def pq_encode(
         entries = []
         for j, c in enumerate(cs):
             carr = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            entries.append(
+                F.struct(_sqdist(sub, carr).alias("d"), F.lit(j).alias("j"))
             )
-            entries.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
-        codes.append(F.array_sort(F.array(*entries))[0]["j"].cast("tinyint"))
-    return df.withColumn(code_col, F.array(*codes))
+        best = F.array_sort(F.array(*entries))[0]["j"]
+        codes.append((best - F.lit(128)).cast("tinyint"))
+    out = F.when(v.isNull(), F.lit(None)).otherwise(F.array(*codes))
+    return df.withColumn(code_col, out)
 
 
 def pq_topk(
@@ -1123,31 +1144,38 @@ def pq_topk(
     per-subspace ||q_s - codebook[s][code_s]||^2 lookups. The corpus
     side of the join carries ONLY (id, m bytes) — at 100 TB that is the
     entire point: the candidate join shuffles codes, never vectors.
-    NULL vectors must be filtered upstream (codes would be NULL).
+    The ADC distance TABLE (m x ksub per query) is precomputed on the
+    broadcast query side before the join, so each joined pair pays
+    O(m) element_at lookups, not an O(dim) fold — the other half of
+    why ADC beats exact L2. NULL vectors on either side are excluded
+    (a NULL would otherwise rank first under Spark's nulls-first asc).
 
     Output: (query_id, neighbor_id, dist, rank) — dist rounded before
     ranking (cross-engine determinism), ascending, ties by neighbor id."""
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     if centroids is None:
         centroids = pq_fit(corpus, key, vec_col, dim=dim, m=m, ksub=ksub)
     enc = pq_encode(corpus, vec_col, centroids, code_col="__codes").select(
         F.col(key).alias("neighbor_id"), F.col("__codes").alias("__codes")
     )
-    q = queries.select(
-        F.col(key).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
-    total = None
+    # per-query ADC table: __t{s}[j+1] = ||q_s - codebook[s][j]||^2,
+    # computed once per query row (m*ksub*dsub work) BEFORE the join
+    qv = F.col(vec_col).cast("array<double>")
+    tables = []
     for s, cs in enumerate(centroids):
         dsub = len(cs[0])
-        sub = F.slice(F.col("__qv"), s * dsub + 1, dsub)
-        cent_s = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cs]
+        sub = F.slice(qv, s * dsub + 1, dsub)
+        cent_s = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cs])
+        tables.append(
+            F.transform(cent_s, lambda c: _sqdist(sub, c)).alias(f"__t{s}")
         )
-        cvec = F.element_at(cent_s, F.col("__codes")[s].cast("int") + 1)
-        d = F.aggregate(
-            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    q = queries.select(F.col(key).alias("query_id"), *tables)
+    total = None
+    for s in range(len(centroids)):
+        # decode the -128 storage shift: index j+1 = (code + 128) + 1
+        d = F.element_at(
+            F.col(f"__t{s}"), F.col("__codes")[s].cast("int") + 129
         )
         total = d if total is None else total + d
     scored = (
@@ -1184,11 +1212,19 @@ def pq_fit_kmeans(
     never data-sized; at 100 TB each fit runs on a corpus SAMPLE (PQ
     codebooks need ~100k vectors, not the corpus), then encode is the
     usual literal-codebook projection. Centroids are ordered by the
-    cluster index pyspark.ml assigns, deterministic under the seed."""
+    cluster index pyspark.ml assigns, deterministic under the seed.
+    Zero-norm SUBVECTORS are kept (``filter_zero_norm=False``): this
+    is an L2 codebook, and a padded/sparse dim-block of zeros is a
+    legitimate point that must attract a centroid — the cosine
+    module's zero-norm exclusion would bias the codebook away from
+    the origin (and crash on an all-zero subspace)."""
     if dim % m != 0:
         raise ValueError(f"pq_fit_kmeans: dim {dim} not divisible by m {m}")
+    if ksub > 256:
+        raise ValueError(f"pq_fit_kmeans: ksub {ksub} > 256 (codes are int8)")
     _check_dim(corpus, vec_col, dim, "pq_fit_kmeans")
     dsub = dim // m
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     v = F.col(vec_col).cast("array<double>")
     out = []
     for s in range(m):
@@ -1196,7 +1232,13 @@ def pq_fit_kmeans(
             F.col(key).alias("__k"), F.slice(v, s * dsub + 1, dsub).alias("__sv")
         )
         cents = kmeans_centroids(
-            sub, "__k", "__sv", n_centroids=ksub, seed=seed + s, max_iter=max_iter
+            sub,
+            "__k",
+            "__sv",
+            n_centroids=ksub,
+            seed=seed + s,
+            max_iter=max_iter,
+            filter_zero_norm=False,
         )
         rows = cents.orderBy("__k").collect()
         out.append([[float(x) for x in r["__sv"]] for r in rows])

@@ -1928,8 +1928,14 @@ def s9_quantized_topk(spark, sf_dir):
     (src/dbsp/operator/aggregate.rs:1)."""
     from diffdataflowmlpipelines_spark.functions.similarity import quantized_topk
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    # NULL filter mirrors the oracle's e CTE exactly (s10/s11 do the
+    # same): without it, parity rests on the accidental invariant that
+    # no dimension is constant (a constant dim would give a NULL vector
+    # a partially non-NULL reconstruction that survives _nonzero)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     )
     queries = emb.filter(F.col("vec_id") < 16)
     out = quantized_topk(emb, queries, "vec_id", "embedding", k=5, round_to=6)

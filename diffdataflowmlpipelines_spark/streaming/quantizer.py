@@ -44,7 +44,10 @@ def quant_params_from_stats(rows) -> tuple[list[float], list[float]]:
     frame sorted by epoch): later updates for a dimension overwrite
     earlier ones, exactly the update-mode contract. Dimensions whose
     multiset emptied out (n == 0 after retractions) are dropped before
-    the contiguity check."""
+    the contiguity check. Requires UNSUPPRESSED emissions (the default
+    here — :func:`scalar_quant_stats_stream` sets no rounding gate):
+    with suppression, a dim whose min/max didn't move keeps a stale
+    ``n`` and would trip the equal-population ragged guard."""
     latest: dict[int, dict] = {}
     for r in rows:
         latest[int(r["key"])] = r
@@ -52,7 +55,12 @@ def quant_params_from_stats(rows) -> tuple[list[float], list[float]]:
     if not live:
         raise ValueError("quant_params_from_stats: no live statistics")
     dims = sorted(live)
-    if dims != list(range(len(dims))):
+    # same two ragged guards as the batch scalar_quant_fit: contiguous
+    # dims AND equal per-dim population (posexplode always yields a
+    # contiguous prefix, so contiguity alone cannot see a short vector)
+    if dims != list(range(len(dims))) or any(
+        int(live[d]["n"]) != int(live[dims[0]]["n"]) for d in dims
+    ):
         raise ValueError("quant_params_from_stats: ragged dimensions")
     mins = [float(live[d]["min"]) for d in dims]
     scales = [

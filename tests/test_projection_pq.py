@@ -120,7 +120,8 @@ def test_pq_encode_matches_python_twin(spark):
         for r in pq_encode(df, "v", cents, code_col="c").select("id", "c").collect()
     }
     for i, v in enumerate(vecs):
-        assert got[i] == _local_encode(v, cents)
+        # codes are stored shifted by -128 (signed-byte storage)
+        assert got[i] == [c - 128 for c in _local_encode(v, cents)]
 
 
 def test_pq_encode_tie_breaks_low_index(spark):
@@ -128,7 +129,62 @@ def test_pq_encode_tie_breaks_low_index(spark):
     df = _mk(spark, [[5.0, 5.0]])
     cents = [[[5.0], [5.0]], [[9.0], [5.0]]]
     row = pq_encode(df, "v", cents, code_col="c").select("c").first()
-    assert list(row["c"]) == [0, 1]
+    assert list(row["c"]) == [0 - 128, 1 - 128]
+
+
+def test_pq_encode_full_256_codebook(spark):
+    # the canonical ksub=256 (8-bit) configuration: indices above 127
+    # must fit the signed byte via the -128 shift, not ANSI-overflow
+    cents = [[[float(j)] for j in range(256)]]
+    df = _mk(spark, [[0.0], [200.0], [255.0]])
+    got = {
+        r["id"]: list(r["c"])
+        for r in pq_encode(df, "v", cents, code_col="c").select("id", "c").collect()
+    }
+    assert got[0] == [0 - 128]
+    assert got[1] == [200 - 128]
+    assert got[2] == [255 - 128]
+    with pytest.raises(ValueError, match="256"):
+        pq_encode(df, "v", [[[0.0]] * 257], code_col="c")
+
+
+def test_pq_null_vector_yields_null_codes_and_is_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [0.1, 1.1]), (2, None), (3, [0.2, 0.9])],
+        "id long, v array<double>",
+    )
+    cents = pq_fit(df, "id", "v", dim=2, m=1, ksub=2)
+    enc = {r["id"]: r["c"] for r in pq_encode(df, "v", cents, code_col="c").collect()}
+    assert enc[2] is None  # NOT centroid-0 codes
+    got = pq_topk(df, df, "id", "v", dim=2, m=1, ksub=2, k=3).collect()
+    ids = {r["neighbor_id"] for r in got} | {r["query_id"] for r in got}
+    assert 2 not in ids  # the NULL row is neither query nor neighbor
+    assert all(r["dist"] is not None for r in got)
+
+
+def test_projection_null_vector_yields_null_column(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "id long, v array<double>"
+    )
+    out = {
+        r["id"]: r["p"]
+        for r in random_projection(df, "v", 2, 2, out_col="p").collect()
+    }
+    assert out[1] is None  # whole column NULL, so isNotNull filtering works
+    assert out[0] is not None and len(out[0]) == 2
+
+
+def test_pq_fit_kmeans_keeps_zero_subspace(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import pq_fit_kmeans
+
+    # subspace 1 (dims 2-3) is all zeros: the L2 codebook fit must not
+    # drop those subvectors (cosine convention) or crash on empty input
+    rng = random.Random(17)
+    vecs = [[rng.uniform(1, 2), rng.uniform(1, 2), 0.0, 0.0] for _ in range(20)]
+    cents = pq_fit_kmeans(_mk(spark, vecs), "id", "v", dim=4, m=2, ksub=2, max_iter=3)
+    assert len(cents) == 2
+    # every centroid of the zero subspace IS the origin
+    assert all(c == [0.0, 0.0] for c in cents[1])
 
 
 def test_pq_topk_recall_on_separated_clusters(spark):

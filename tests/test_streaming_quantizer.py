@@ -138,11 +138,27 @@ def test_fully_retracted_dimension_set_raises(spark, tmp_path):
 
 
 def test_stale_then_fresh_rows_fold_in_order():
+    # whole-vector streams advance every dim's n together, so the
+    # fresh emission carries n=2 for BOTH dims; the stale n=1 rows for
+    # each dim must be overwritten by the later ones
     rows = [
         {"key": "0", "n": 1, "min": 0.0, "max": 5.0},
         {"key": "1", "n": 1, "min": 0.0, "max": 1.0},
         {"key": "0", "n": 2, "min": 0.0, "max": 10.0},  # later update wins
+        {"key": "1", "n": 2, "min": 0.0, "max": 1.0},  # inside old range
     ]
     mins, scales = quant_params_from_stats(rows)
     assert mins == [0.0, 0.0]
     assert scales == [10.0 / 255.0, 1.0 / 255.0]
+
+
+def test_ragged_population_raises():
+    # contiguous dims but unequal populations (a short vector streamed
+    # in): must raise like the batch scalar_quant_fit does
+    rows = [
+        {"key": "0", "n": 2, "min": 1.0, "max": 2.0},
+        {"key": "1", "n": 2, "min": 1.0, "max": 2.0},
+        {"key": "2", "n": 1, "min": 3.0, "max": 3.0},
+    ]
+    with pytest.raises(ValueError, match="ragged"):
+        quant_params_from_stats(rows)
