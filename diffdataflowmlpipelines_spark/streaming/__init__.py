@@ -17,6 +17,10 @@ from diffdataflowmlpipelines_spark.streaming.sources import (
     EpochFileSource,
     write_epoch_files,
 )
+from diffdataflowmlpipelines_spark.streaming.quantizer import (
+    quant_params_from_stats,
+    scalar_quant_stats_stream,
+)
 from diffdataflowmlpipelines_spark.streaming.stats import incremental_scaler_stats
 from diffdataflowmlpipelines_spark.streaming.tfidf import (
     tfidf_from_counts,
@@ -46,7 +50,9 @@ __all__ = [
     "incremental_scaler_stats",
     "incremental_vocabulary",
     "label_join",
+    "quant_params_from_stats",
     "salted_label_join",
+    "scalar_quant_stats_stream",
     "session_token_activity",
     "sliding_token_frequency",
     "streaming_event_features",
