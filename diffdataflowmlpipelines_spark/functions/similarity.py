@@ -43,6 +43,35 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def _double_sql(x: float) -> str:
+    x = float(x)
+    if math.isfinite(x):
+        return f"{x!r}D"  # D-suffixed repr round-trips every IEEE double
+    return "CAST('NaN' AS DOUBLE)" if math.isnan(x) else (
+        "CAST('-Infinity' AS DOUBLE)" if x < 0 else "CAST('Infinity' AS DOUBLE)"
+    )
+
+
+def _vector_lit(row: list[float]) -> Column:
+    """array<double> literal via ONE parsed SQL expression."""
+    return F.expr("array(" + ",".join(_double_sql(x) for x in row) + ")")
+
+
+def _matrix_lit(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal via ONE parsed SQL expression —
+    building k x d nested F.lit columns is thousands of py4j
+    round-trips (~2 s PER 256x8 codebook, measured; ~14 s of plan-build
+    for an m=8 PQ query), where one parse is ~10 ms, bit-exact."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_double_sql(x) for x in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
 def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
 
@@ -85,12 +114,21 @@ def cosine_topk(
         F.col(vec_col).alias("__cv"),
         _norm(F.col(vec_col)).alias("__cn"),
     )
+    # project the vectors away BEFORE the window: Catalyst does not
+    # prune columns below row_number's sort, and shuffling the raw
+    # vectors through it costs dim x 8 bytes per candidate pair for
+    # nothing (measured 6x on the PQ sibling, tools/pq_adc_bench.py)
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"), "inner")
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), round_to),
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                round_to,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -225,13 +263,16 @@ def ivf_topk(
         F.broadcast(probed)
         .join(assigned, "__cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
+        # projected BEFORE the window (Catalyst won't prune the raw
+        # vectors below row_number's sort — see cosine_topk)
+        .select(
+            "query_id",
+            "neighbor_id",
             F.round(
                 _dot(F.col("__qv"), F.col("__cv"))
                 / (F.col("__qv_n") * F.col("__cv_n")),
                 round_to,
-            ),
+            ).alias("cosine"),
         )
         # NO dedup step: each corpus row lives in exactly one cell
         # (top=1) and a query's probed cells are distinct cids from one
@@ -755,9 +796,17 @@ def lsh_topk(
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 9),
+        # projected BEFORE the multiprobe dedup AND the window: both
+        # shuffle their full input row, and the raw vectors are dead
+        # weight past this point (see cosine_topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                9,
+            ).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -1041,7 +1090,7 @@ def random_projection(
     v = F.col(vec_col).cast("array<double>")
     comps = []
     for p in planes:
-        arr = F.array(*[F.lit(float(x)) for x in p])
+        arr = _vector_lit(p)
         c = _dot(v, arr) * F.lit(scale)
         comps.append(F.round(c, round_to) if round_to is not None else c)
     proj = F.when(v.isNull(), F.lit(None)).otherwise(F.array(*comps))
@@ -1112,13 +1161,21 @@ def pq_encode(
     for s, cs in enumerate(centroids):
         dsub = len(cs[0])
         sub = F.slice(v, s * dsub + 1, dsub)
-        entries = []
-        for j, c in enumerate(cs):
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            entries.append(
-                F.struct(_sqdist(sub, carr).alias("d"), F.lit(j).alias("j"))
+        # ONE parsed nested literal (not ksub*dsub unrolled F.lit
+        # py4j calls: at ksub=256 building those dominated wall time —
+        # ~2s of driver round-trips per subspace, measured)
+        cent_s = _matrix_lit(cs)
+        # ONE runtime loop over the literal codebook (transform +
+        # array_min of (d, j) structs — min ties to the lower j), NOT
+        # ksub unrolled fold expressions: at the canonical ksub=256 the
+        # unrolled form blows past the codegen method limit and falls
+        # back to interpreted evaluation, ~10x slower (measured)
+        best = F.array_min(
+            F.transform(
+                cent_s,
+                lambda c, i: F.struct(_sqdist(sub, c).alias("d"), i.alias("j")),
             )
-        best = F.array_sort(F.array(*entries))[0]["j"]
+        )["j"]
         codes.append((best - F.lit(128)).cast("tinyint"))
     out = F.when(v.isNull(), F.lit(None)).otherwise(F.array(*codes))
     return df.withColumn(code_col, out)
@@ -1136,6 +1193,7 @@ def pq_topk(
     k: int = 5,
     round_to: int = 6,
     centroids: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes (Jegou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): the corpus
@@ -1156,9 +1214,19 @@ def pq_topk(
     queries = queries.filter(F.col(vec_col).isNotNull())
     if centroids is None:
         centroids = pq_fit(corpus, key, vec_col, dim=dim, m=m, ksub=ksub)
-    enc = pq_encode(corpus, vec_col, centroids, code_col="__codes").select(
-        F.col(key).alias("neighbor_id"), F.col("__codes").alias("__codes")
-    )
+    if codes is None:
+        # convenience path: encode in-line. A real store encodes ONCE
+        # at ingest and keeps the (key, codes) table materialized —
+        # pass it via ``codes=`` so queries pay zero encode cost.
+        enc = pq_encode(corpus, vec_col, centroids, code_col="__codes").select(
+            F.col(key).alias("neighbor_id"), F.col("__codes").alias("__codes")
+        )
+    else:
+        # contract: (key, "codes") as produced by pq_encode(...,
+        # code_col="codes") — NULL-code rows excluded like NULL vectors
+        enc = codes.filter(F.col("codes").isNotNull()).select(
+            F.col(key).alias("neighbor_id"), F.col("codes").alias("__codes")
+        )
     # per-query ADC table: __t{s}[j+1] = ||q_s - codebook[s][j]||^2,
     # computed once per query row (m*ksub*dsub work) BEFORE the join
     qv = F.col(vec_col).cast("array<double>")
@@ -1166,7 +1234,7 @@ def pq_topk(
     for s, cs in enumerate(centroids):
         dsub = len(cs[0])
         sub = F.slice(qv, s * dsub + 1, dsub)
-        cent_s = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cs])
+        cent_s = _matrix_lit(cs)
         tables.append(
             F.transform(cent_s, lambda c: _sqdist(sub, c)).alias(f"__t{s}")
         )
@@ -1178,10 +1246,16 @@ def pq_topk(
             F.col(f"__t{s}"), F.col("__codes")[s].cast("int") + 129
         )
         total = d if total is None else total + d
+    # project to the 3 scored columns BEFORE the window: Catalyst does
+    # NOT prune the m x ksub table arrays below row_number's sort, and
+    # dragging them through it is a measured 6x slowdown (15.4 -> 2.5 s
+    # at 40k x 256; tools/pq_adc_bench.py)
     scored = (
         F.broadcast(q)
         .join(enc, F.col("query_id") != F.col("neighbor_id"), "inner")
-        .withColumn("dist", F.round(total, round_to))
+        .select(
+            "query_id", "neighbor_id", F.round(total, round_to).alias("dist")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()

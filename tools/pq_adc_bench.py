@@ -73,24 +73,40 @@ def main() -> None:
 
     cents = pq_fit(corpus, "vec_id", "v", dim=DIM, m=M, ksub=256)
 
-    # warm both plans once (codegen + broadcast), then time
-    def run_pq():
-        return pq_topk(
-            corpus, queries, "vec_id", "v", dim=DIM, m=M, ksub=256,
-            k=K, centroids=cents,
-        ).count()
+    # encode ONCE, timed separately — a store encodes at ingest and the
+    # per-query cost is scoring over the materialized (key, codes) table
+    from diffdataflowmlpipelines_spark.functions.similarity import pq_encode
 
-    def run_exact():
-        return exact_l2_topk(corpus, queries, "vec_id", "v", k=K).count()
+    t0 = time.monotonic()
+    code_tbl = (
+        pq_encode(corpus, "v", cents, code_col="codes")
+        .select("vec_id", "codes")
+        .localCheckpoint(eager=True)
+    )
+    encode_s = time.monotonic() - t0
+
+    # build each plan ONCE and time only execution — the first version
+    # of this bench re-built the pq plan inside the timer and measured
+    # ~18 s of driver-side py4j literal construction, not Spark work
+    t0 = time.monotonic()
+    df_pq = pq_topk(
+        corpus, queries, "vec_id", "v", dim=DIM, m=M, ksub=256,
+        k=K, centroids=cents, codes=code_tbl,
+    )
+    build_s = time.monotonic() - t0
+
+    df_exact = exact_l2_topk(corpus, queries, "vec_id", "v", k=K)
 
     results = {}
-    for name, fn in (("pq_adc", run_pq), ("exact_l2", run_exact)):
-        fn()  # warm
+    for name, df in (("pq_adc", df_pq), ("exact_l2", df_exact)):
+        df.count()  # warm
         t0 = time.monotonic()
-        n = fn()
+        n = df.count()
         dt = time.monotonic() - t0
         results[name] = (dt, n)
         print(f"{name:10s} {dt:7.2f} s  rows={n}")
+    print(f"encode     {encode_s:7.2f} s (one-time, {ROWS} rows)")
+    print(f"plan build {build_s:7.2f} s (one-time, driver-side)")
 
     speedup = results["exact_l2"][0] / results["pq_adc"][0]
     lines = [
@@ -101,7 +117,12 @@ def main() -> None:
         "Same broadcast-join + window plan on both sides; the only "
         "difference is per-pair scoring — ADC's O(m) element_at lookups "
         "into the per-query distance table vs the exact O(dim) "
-        "squared-L2 fold. Warm-run wall clock, second run timed:",
+        "squared-L2 fold. Corpus codes are encoded once "
+        f"({encode_s:.2f} s one-time, transform+array_min runtime loop — "
+        "the unrolled-expression form blew the codegen method limit and "
+        "ran ~10x slower interpreted) and scored from the materialized "
+        "(key, codes) table via pq_topk(codes=...). Warm-run wall "
+        "clock, second run timed:",
         "",
         "| scorer | wall | per-pair work |",
         "|---|---|---|",
