@@ -1317,3 +1317,72 @@ def pq_fit_kmeans(
         rows = cents.orderBy("__k").collect()
         out.append([[float(x) for x in r["__sv"]] for r in rows])
     return out
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[list[float]]],
+    *,
+    code_col: str = "codes",
+) -> DataFrame:
+    """Arrow-vectorized PQ encode — the bulk-ingest lane. Same contract
+    as :func:`pq_encode` (codes shifted by -128, NULL vector -> NULL
+    codes, argmin ties to the lower index) and BIT-IDENTICAL output,
+    pinned by test: numpy's reduce over the dsub axis is sequential
+    below its 128-element pairwise threshold, matching the JVM fold's
+    float order exactly, and ``argmin`` returns the first minimum.
+
+    Why it exists: the JVM transform+array_min lane allocates ksub
+    structs + an array per (row, subspace) — measured ~0.7 ms/row at
+    ksub=256 (tools/pq_adc_bench.py), ~70x over the raw FLOPs. One
+    numpy broadcast per Arrow batch amortizes that to ~µs/row, which is
+    what a 100 TB ingest needs; the JVM lane remains the zero-Python
+    path for query-time / small-batch use."""
+    from pyspark.sql import types as T
+
+    if any(len(cs) > 256 for cs in centroids):
+        raise ValueError("pq_encode_arrow: ksub > 256 (codes are int8)")
+    cents = [np.asarray(cs, dtype=np.float64) for cs in centroids]
+    dsubs = [c.shape[1] for c in cents]
+    dim = sum(dsubs)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(code_col, T.ArrayType(T.ByteType()), True)]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals = pdf[vec_col]
+            notnull = vals.notna().to_numpy()
+            codes: list = [None] * len(pdf)
+            if notnull.any():
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vals[notnull]]
+                )
+                if X.shape[1] != dim:
+                    raise ValueError(
+                        f"pq_encode_arrow: vector length {X.shape[1]} != "
+                        f"codebook dim {dim}"
+                    )
+                parts = []
+                off = 0
+                for s, c in enumerate(cents):
+                    sub = X[:, off : off + dsubs[s]]
+                    off += dsubs[s]
+                    diff = sub[:, None, :] - c[None, :, :]
+                    d = (diff * diff).sum(axis=2)  # sequential: dsub < 128
+                    parts.append(d.argmin(axis=1).astype(np.int16) - 128)
+                packed = np.stack(parts, axis=1).astype(np.int8)
+                j = 0
+                for i in range(len(pdf)):
+                    if notnull[i]:
+                        codes[i] = packed[j].tolist()
+                        j += 1
+            out = pdf.copy()
+            out[code_col] = pd.Series(codes, index=pdf.index, dtype="object")
+            yield out
+
+    return df.mapInPandas(encode, schema=out_schema)

@@ -235,3 +235,52 @@ def test_pq_fit_kmeans_shapes_and_recall(spark):
     assert len(got) == 12
     for r in got:
         assert r["neighbor_id"] % 4 == r["query_id"] % 4
+
+
+def test_pq_encode_arrow_bit_parity_with_jvm(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import pq_encode_arrow
+
+    rng = random.Random(47)
+    vecs = [[rng.uniform(-2, 2) for _ in range(16)] for _ in range(200)]
+    df = _mk(spark, vecs)
+    cents = pq_fit(df, "id", "v", dim=16, m=4, ksub=8)
+    jvm = {
+        r["id"]: list(r["c"])
+        for r in pq_encode(df, "v", cents, code_col="c").select("id", "c").collect()
+    }
+    arrow = {
+        r["id"]: list(r["c"])
+        for r in pq_encode_arrow(df, "v", cents, code_col="c")
+        .select("id", "c")
+        .collect()
+    }
+    assert arrow == jvm  # bit-identical, including any FP ties
+
+
+def test_pq_encode_arrow_nulls_and_schema(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import pq_encode_arrow
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [0.5, 0.1])],
+        "id long, v array<double>",
+    )
+    cents = [[[1.0], [0.0]], [[2.0], [0.0]]]
+    out = pq_encode_arrow(df, "v", cents, code_col="c")
+    assert dict(out.dtypes)["c"] == "array<tinyint>"
+    got = {r["id"]: r["c"] for r in out.collect()}
+    assert got[1] is None
+    assert list(got[0]) == [0 - 128, 0 - 128]
+    # subspace 0: 0.5 is EQUIDISTANT from 1.0 and 0.0 -> lower index 0;
+    # subspace 1: 0.1 is nearest 0.0 -> index 1
+    assert list(got[2]) == [0 - 128, 1 - 128]
+
+
+def test_pq_encode_arrow_dim_mismatch_raises(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import pq_encode_arrow
+
+    df = _mk(spark, [[1.0, 2.0, 3.0]])
+    cents = [[[1.0], [0.0]], [[2.0], [0.0]]]  # codebook dim 2 != 3
+    import py4j
+
+    with pytest.raises(Exception, match="codebook dim|PythonException"):
+        pq_encode_arrow(df, "v", cents, code_col="c").collect()

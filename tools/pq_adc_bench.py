@@ -77,6 +77,10 @@ def main() -> None:
     # per-query cost is scoring over the materialized (key, codes) table
     from diffdataflowmlpipelines_spark.functions.similarity import pq_encode
 
+    from diffdataflowmlpipelines_spark.functions.similarity import (
+        pq_encode_arrow,
+    )
+
     t0 = time.monotonic()
     code_tbl = (
         pq_encode(corpus, "v", cents, code_col="codes")
@@ -84,6 +88,12 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
     encode_s = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    pq_encode_arrow(corpus, "v", cents, code_col="codes").select(
+        "vec_id", "codes"
+    ).count()
+    encode_arrow_s = time.monotonic() - t0
 
     # build each plan ONCE and time only execution — the first version
     # of this bench re-built the pq plan inside the timer and measured
@@ -105,8 +115,9 @@ def main() -> None:
         dt = time.monotonic() - t0
         results[name] = (dt, n)
         print(f"{name:10s} {dt:7.2f} s  rows={n}")
-    print(f"encode     {encode_s:7.2f} s (one-time, {ROWS} rows)")
-    print(f"plan build {build_s:7.2f} s (one-time, driver-side)")
+    print(f"encode jvm   {encode_s:7.2f} s (one-time, {ROWS} rows)")
+    print(f"encode arrow {encode_arrow_s:7.2f} s (one-time, {ROWS} rows)")
+    print(f"plan build   {build_s:7.2f} s (one-time, driver-side)")
 
     speedup = results["exact_l2"][0] / results["pq_adc"][0]
     lines = [
@@ -117,10 +128,10 @@ def main() -> None:
         "Same broadcast-join + window plan on both sides; the only "
         "difference is per-pair scoring — ADC's O(m) element_at lookups "
         "into the per-query distance table vs the exact O(dim) "
-        "squared-L2 fold. Corpus codes are encoded once "
-        f"({encode_s:.2f} s one-time, transform+array_min runtime loop — "
-        "the unrolled-expression form blew the codegen method limit and "
-        "ran ~10x slower interpreted) and scored from the materialized "
+        "squared-L2 fold. Corpus codes are encoded once — JVM "
+        f"transform+array_min lane {encode_s:.2f} s vs the Arrow/numpy "
+        f"bulk-ingest lane (pq_encode_arrow, bit-parity pinned) "
+        f"{encode_arrow_s:.2f} s — and scored from the materialized "
         "(key, codes) table via pq_topk(codes=...). Warm-run wall "
         "clock, second run timed:",
         "",
