@@ -1329,9 +1329,15 @@ def pq_encode_arrow(
     """Arrow-vectorized PQ encode — the bulk-ingest lane. Same contract
     as :func:`pq_encode` (codes shifted by -128, NULL vector -> NULL
     codes, argmin ties to the lower index) and BIT-IDENTICAL output,
-    pinned by test: numpy's reduce over the dsub axis is sequential
-    below its 128-element pairwise threshold, matching the JVM fold's
-    float order exactly, and ``argmin`` returns the first minimum.
+    pinned by test. Two parity subtleties are handled explicitly
+    rather than assumed: (1) ``ndarray.sum`` uses PAIRWISE summation
+    from n=8 up (so it diverges from the JVM's left fold by ~1 ulp at
+    the canonical dsub=8) — the distance is accumulated per-dimension
+    in an explicit left-to-right loop instead; (2) ``np.argmin``
+    propagates NaN as the minimum while Spark's struct ordering puts
+    NaN GREATER than every double — NaN distances are replaced with
+    +inf before the argmin, reproducing the JVM lane's choice
+    (including the all-NaN -> index-0 tie).
 
     Why it exists: the JVM transform+array_min lane allocates ksub
     structs + an array per (row, subspace) — measured ~0.7 ms/row at
@@ -1346,8 +1352,10 @@ def pq_encode_arrow(
     cents = [np.asarray(cs, dtype=np.float64) for cs in centroids]
     dsubs = [c.shape[1] for c in cents]
     dim = sum(dsubs)
+    # replace an existing code_col like pq_encode's withColumn does
+    # (appending a duplicate field would crash mapInPandas at runtime)
     out_schema = T.StructType(
-        list(df.schema.fields)
+        [f for f in df.schema.fields if f.name != code_col]
         + [T.StructField(code_col, T.ArrayType(T.ByteType()), True)]
     )
 
@@ -1372,8 +1380,18 @@ def pq_encode_arrow(
                 for s, c in enumerate(cents):
                     sub = X[:, off : off + dsubs[s]]
                     off += dsubs[s]
-                    diff = sub[:, None, :] - c[None, :, :]
-                    d = (diff * diff).sum(axis=2)  # sequential: dsub < 128
+                    # explicit left fold per dimension: ndarray.sum is
+                    # PAIRWISE from n=8 (tree order != the JVM fold's
+                    # sequential order — ~1 ulp apart, enough to flip a
+                    # near-tie argmin), so accumulate 0.0 + r0^2 + r1^2
+                    # + ... exactly like F.aggregate does
+                    d = np.zeros((sub.shape[0], c.shape[0]))
+                    for t in range(dsubs[s]):
+                        r = sub[:, None, t] - c[None, :, t]
+                        d += r * r
+                    # Spark struct ordering: NaN is GREATER than every
+                    # double; np.argmin would propagate it as the MIN
+                    d = np.where(np.isnan(d), np.inf, d)
                     parts.append(d.argmin(axis=1).astype(np.int16) - 128)
                 packed = np.stack(parts, axis=1).astype(np.int8)
                 j = 0
@@ -1383,6 +1401,6 @@ def pq_encode_arrow(
                         j += 1
             out = pdf.copy()
             out[code_col] = pd.Series(codes, index=pdf.index, dtype="object")
-            yield out
+            yield out[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(encode, schema=out_schema)

@@ -241,9 +241,12 @@ def test_pq_encode_arrow_bit_parity_with_jvm(spark):
     from diffdataflowmlpipelines_spark.functions.similarity import pq_encode_arrow
 
     rng = random.Random(47)
+    # dsub=8 is the load-bearing case: numpy's ndarray.sum goes
+    # PAIRWISE at n=8, so a naive sum would diverge from the JVM fold
+    # by ~1 ulp — the Arrow lane must use its explicit left fold
     vecs = [[rng.uniform(-2, 2) for _ in range(16)] for _ in range(200)]
     df = _mk(spark, vecs)
-    cents = pq_fit(df, "id", "v", dim=16, m=4, ksub=8)
+    cents = pq_fit(df, "id", "v", dim=16, m=2, ksub=8)
     jvm = {
         r["id"]: list(r["c"])
         for r in pq_encode(df, "v", cents, code_col="c").select("id", "c").collect()
@@ -280,7 +283,33 @@ def test_pq_encode_arrow_dim_mismatch_raises(spark):
 
     df = _mk(spark, [[1.0, 2.0, 3.0]])
     cents = [[[1.0], [0.0]], [[2.0], [0.0]]]  # codebook dim 2 != 3
-    import py4j
-
     with pytest.raises(Exception, match="codebook dim|PythonException"):
         pq_encode_arrow(df, "v", cents, code_col="c").collect()
+
+
+def test_pq_encode_arrow_replaces_existing_code_col(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import pq_encode_arrow
+
+    df = _mk(spark, [[1.0, 2.0], [3.0, 4.0]])
+    cents = [[[1.0], [3.0]], [[2.0], [4.0]]]
+    once = pq_encode_arrow(df, "v", cents, code_col="codes")
+    twice = pq_encode_arrow(once, "v", cents, code_col="codes")  # refit path
+    assert twice.columns.count("codes") == 1
+    a = {r["id"]: list(r["codes"]) for r in once.collect()}
+    b = {r["id"]: list(r["codes"]) for r in twice.collect()}
+    assert a == b
+
+
+def test_pq_encode_lanes_agree_on_nan_centroid(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import pq_encode_arrow
+
+    # centroid 0 produces a NaN distance: Spark's struct ordering puts
+    # NaN last (greatest), np.argmin would put it first — both lanes
+    # must pick the finite centroid 1
+    df = _mk(spark, [[1.0]])
+    cents = [[[float("nan")], [5.0]]]
+    jvm = pq_encode(df, "v", cents, code_col="c").select("c").first()["c"]
+    arrow = (
+        pq_encode_arrow(df, "v", cents, code_col="c").select("c").first()["c"]
+    )
+    assert list(jvm) == list(arrow) == [1 - 128]

@@ -81,19 +81,37 @@ def main() -> None:
         pq_encode_arrow,
     )
 
+    # symmetric timing: force code MATERIALIZATION on both lanes with
+    # an aggregate over the codes column. Neither count() (Catalyst
+    # prunes the codes projection entirely on the JVM lane — measured
+    # 3 s of computing nothing) nor localCheckpoint (charges a persist
+    # to one lane only — an earlier run's mistake) compares the lanes.
+    def force(df):
+        return df.agg(
+            F.sum(F.element_at("codes", 1).cast("long"))
+        ).collect()[0][0]
+
+    jvm_df = pq_encode(corpus, "v", cents, code_col="codes").select(
+        "vec_id", "codes"
+    )
+    arrow_df = pq_encode_arrow(corpus, "v", cents, code_col="codes").select(
+        "vec_id", "codes"
+    )
+    force(jvm_df)  # warm codegen / python workers
+    force(arrow_df)
     t0 = time.monotonic()
+    s1 = force(jvm_df)
+    encode_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    s2 = force(arrow_df)
+    encode_arrow_s = time.monotonic() - t0
+    assert s1 == s2, f"lane disagreement: {s1} != {s2}"
+
     code_tbl = (
         pq_encode(corpus, "v", cents, code_col="codes")
         .select("vec_id", "codes")
         .localCheckpoint(eager=True)
     )
-    encode_s = time.monotonic() - t0
-
-    t0 = time.monotonic()
-    pq_encode_arrow(corpus, "v", cents, code_col="codes").select(
-        "vec_id", "codes"
-    ).count()
-    encode_arrow_s = time.monotonic() - t0
 
     # build each plan ONCE and time only execution — the first version
     # of this bench re-built the pq plan inside the timer and measured
