@@ -84,7 +84,11 @@ def _check_dim(df: DataFrame, vec_col: str, dim: int, what: str) -> None:
     """Eager one-row guard (fit-time convention): a dim mismatch would
     otherwise null every projection via zip_with padding and silently
     collapse all rows into bucket 0 / cell 0."""
-    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("n"))
+        .first()
+    )
     if row is not None and int(row["n"]) != dim:
         raise ValueError(
             f"{what} embedding length {row['n']} != declared dim {dim}"
@@ -150,8 +154,12 @@ def sign_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Bucket id = bit-packed signs of <v, plane_i>."""
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
+        # _vector_lit, not per-element F.lit: n_planes x dim unrolled
+        # literals are thousands of py4j round-trips per plan build
+        # (the _matrix_lit pathology; lsh/semantic_dedup/knn pay this
+        # once per band or query otherwise)
         proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a * b),
+            F.zip_with(vec, _vector_lit(p), lambda a, b: a * b),
             F.lit(0.0),
             lambda s, x: s + x,
         )
@@ -503,7 +511,10 @@ def embedding_dim_stats(
         .select("dim", F.col("__x0").cast("double").alias("__x"))
     )
     return ex.groupBy("dim").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+        # count the VALUES, not the rows: an element-level NULL must
+        # dip n (the docstring's null cross-check) — count(lit(1))
+        # counted the NULL-bearing rows and hid exactly that signal
+        F.count(F.col("__x")).cast("long").alias("n"),
         F.round(F.avg("__x"), round_to).alias("mean"),
         F.round(F.stddev_pop("__x"), round_to).alias("std"),
         F.round(F.min("__x"), round_to).alias("min"),
@@ -1010,7 +1021,11 @@ def scalar_quantize(
             q = F.round((v[d] - F.lit(mn)) / F.lit(sc))
             q = F.least(F.lit(255.0), F.greatest(F.lit(0.0), q))
             codes.append((q - F.lit(128.0)).cast("tinyint"))
-    return df.withColumn(code_col, F.array(*codes))
+    # whole-array NULL for NULL input (the pq_encode contract): the
+    # sc==0 branch otherwise emits a REAL code for a NULL vector, and
+    # in an all-constant corpus that reconstructs a phantom neighbor
+    out = F.when(v.isNull(), F.lit(None)).otherwise(F.array(*codes))
+    return df.withColumn(code_col, out)
 
 
 def dequantize_expr(
@@ -1214,6 +1229,18 @@ def pq_topk(
     queries = queries.filter(F.col(vec_col).isNotNull())
     if centroids is None:
         centroids = pq_fit(corpus, key, vec_col, dim=dim, m=m, ksub=ksub)
+    # dim guards (the cosine/lsh/ivf discipline): a mismatched query
+    # slices short -> NULL sqdist -> NULL dist, which ranks FIRST under
+    # nulls-first asc — silent garbage top-k, not an error. A too-long
+    # query is worse: every slice is valid and it silently scores on
+    # the prefix. Caller-supplied codebooks must also tile `dim`.
+    cb_dim = sum(len(cs[0]) for cs in centroids)
+    if cb_dim != dim:
+        raise ValueError(
+            f"pq_topk: codebook covers {cb_dim} dims != declared dim {dim}"
+        )
+    _check_dim(queries, vec_col, dim, "pq_topk queries")
+    _check_dim(corpus, vec_col, dim, "pq_topk corpus")
     if codes is None:
         # convenience path: encode in-line. A real store encodes ONCE
         # at ingest and keeps the (key, codes) table materialized —

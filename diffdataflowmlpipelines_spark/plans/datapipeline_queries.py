@@ -423,7 +423,7 @@ def d10_semantic_dedup(spark, sf_dir):
     "s5_embedding_dim_stats",
     """
     SELECT dim,
-           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(x) AS BIGINT) AS n,
            ROUND(AVG(x), 6) AS mean,
            ROUND(STDDEV_POP(x), 6) AS std,
            ROUND(MIN(x), 6) AS "min",

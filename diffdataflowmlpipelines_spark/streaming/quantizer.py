@@ -11,7 +11,17 @@ into ``incremental_scaler_stats``, plus the fold from the emitted
 update rows back to the ``(mins, scales)`` pair that
 ``scalar_quantize`` consumes — so batch fit and streamed fit are the
 same numbers, test-pinned, including under retractions of the row
-that held a dimension's extreme."""
+that held a dimension's extreme.
+
+Raggedness is detected via a dedicated LENGTH statistic streamed
+alongside the per-dim rows (key ``len``, value ``size(vec)``), NOT by
+comparing per-dim populations: ``incremental_scaler_stats`` suppresses
+emissions whose (mean, var, min, max) are unchanged — n excluded — so
+a constant (dead/padding) dimension legitimately keeps a stale ``n``
+while varying dims advance, and an n-parity guard would reject
+perfectly regular input. ``min(len) != max(len)`` is suppression-proof
+(a second distinct length always changes the len statistic) and
+retraction-correct (the multiset forgets a retracted length)."""
 
 from __future__ import annotations
 
@@ -20,20 +30,29 @@ from pyspark.sql import functions as F
 
 from .stats import incremental_scaler_stats
 
+LEN_KEY = "len"
+
 
 def scalar_quant_stats_stream(
     df: DataFrame, vec_col: str, *, diff_col: str = "diff"
 ) -> DataFrame:
     """Per-dimension incremental statistics over a stream of
-    ``(vec, diff)`` deltas. Output (update mode): ``(key=str(dim), n,
-    mean, var_pop, min, max)`` — state is bounded by dimensionality x
-    distinct values per dim (the multiset the retraction-capable
-    min/max needs), never by corpus size."""
+    ``(vec, diff)`` deltas, plus one ``len`` row per vector carrying
+    ``size(vec)`` (the ragged-input detector — see module docstring).
+    Output (update mode): ``(key, n, mean, var_pop, min, max)`` with
+    key in {"0", "1", ..., "len"} — state is bounded by dimensionality
+    x distinct values per dim, never by corpus size."""
+    vec = F.col(vec_col).cast("array<double>")
     exploded = df.select(
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+        F.posexplode(vec).alias("dim", "x"),
+        F.col(diff_col).cast("long").alias("diff"),
+    ).select(F.col("dim").cast("string").alias("dim"), "x", "diff")
+    lens = df.filter(vec.isNotNull()).select(
+        F.lit(LEN_KEY).alias("dim"),
+        F.size(vec).cast("double").alias("x"),
         F.col(diff_col).cast("long").alias("diff"),
     )
-    return incremental_scaler_stats(exploded, "dim", "x")
+    return incremental_scaler_stats(exploded.unionByName(lens), "dim", "x")
 
 
 def quant_params_from_stats(rows) -> tuple[list[float], list[float]]:
@@ -41,26 +60,34 @@ def quant_params_from_stats(rows) -> tuple[list[float], list[float]]:
     :func:`~diffdataflowmlpipelines_spark.functions.similarity.scalar_quantize`.
 
     ``rows`` must be ordered oldest-first (e.g. the exactly-once sink's
-    frame sorted by epoch): later updates for a dimension overwrite
-    earlier ones, exactly the update-mode contract. Dimensions whose
-    multiset emptied out (n == 0 after retractions) are dropped before
-    the contiguity check. Requires UNSUPPRESSED emissions (the default
-    here — :func:`scalar_quant_stats_stream` sets no rounding gate):
-    with suppression, a dim whose min/max didn't move keeps a stale
-    ``n`` and would trip the equal-population ragged guard."""
-    latest: dict[int, dict] = {}
+    frame sorted by epoch; ``read_current`` already dedups
+    latest-per-key): later updates for a key overwrite earlier ones,
+    exactly the update-mode contract. Dimensions whose multiset emptied
+    out (n == 0 after retractions) are dropped before the contiguity
+    check. Raggedness comes from the ``len`` statistic when present
+    (min != max -> mixed vector lengths); per-dim ``n`` values are NOT
+    compared — suppression keeps them stale for constant dims."""
+    latest: dict[str, dict] = {}
     for r in rows:
-        latest[int(r["key"])] = r
-    live = {d: r for d, r in latest.items() if int(r["n"]) > 0}
+        latest[str(r["key"])] = r
+    len_row = latest.pop(LEN_KEY, None)
+    if (
+        len_row is not None
+        and int(len_row["n"]) > 0
+        and float(len_row["min"]) != float(len_row["max"])
+    ):
+        raise ValueError("quant_params_from_stats: ragged dimensions")
+    live = {int(k): r for k, r in latest.items() if int(r["n"]) > 0}
     if not live:
         raise ValueError("quant_params_from_stats: no live statistics")
     dims = sorted(live)
-    # same two ragged guards as the batch scalar_quant_fit: contiguous
-    # dims AND equal per-dim population (posexplode always yields a
-    # contiguous prefix, so contiguity alone cannot see a short vector)
-    if dims != list(range(len(dims))) or any(
-        int(live[d]["n"]) != int(live[dims[0]]["n"]) for d in dims
+    if dims != list(range(len(dims))):
+        raise ValueError("quant_params_from_stats: ragged dimensions")
+    if len_row is not None and int(len_row["n"]) > 0 and len(dims) != int(
+        float(len_row["max"])
     ):
+        # a TRAILING all-retracted dim leaves a contiguous prefix; the
+        # recorded vector length still exposes it
         raise ValueError("quant_params_from_stats: ragged dimensions")
     mins = [float(live[d]["min"]) for d in dims]
     scales = [

@@ -313,3 +313,72 @@ def test_pq_encode_lanes_agree_on_nan_centroid(spark):
         pq_encode_arrow(df, "v", cents, code_col="c").select("c").first()["c"]
     )
     assert list(jvm) == list(arrow) == [1 - 128]
+
+
+def test_pq_topk_dim_mismatch_raises(spark):
+    df = _mk(spark, [[1.0] * 8 for _ in range(10)])
+    short_q = spark.createDataFrame(
+        [(0, [1.0] * 4)], "id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="embedding length"):
+        pq_topk(df, short_q, "id", "v", dim=8, m=2, ksub=2, k=2)
+    # caller-supplied codebook that does not tile the declared dim
+    bad_cents = [[[1.0], [0.0]]]  # covers 1 dim, dim=8 declared
+    with pytest.raises(ValueError, match="codebook covers"):
+        pq_topk(df, df, "id", "v", dim=8, m=2, ksub=2, k=2, centroids=bad_cents)
+
+
+def test_check_dim_tolerates_null_first_row(spark):
+    # a NULL vector in the FIRST row must not crash the documented
+    # NULL-tolerant entry points (size(NULL) is NULL under ANSI)
+    df = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0])], "id long, v array<double>"
+    )
+    out = {
+        r["id"]: r["p"]
+        for r in random_projection(df, "v", 2, 2, out_col="p").collect()
+    }
+    assert out[0] is None and len(out[1]) == 2
+    cents = pq_fit(df, "id", "v", dim=2, m=1, ksub=1)
+    assert cents == [[[1.0, 2.0]]]
+
+
+def test_scalar_quantize_null_vec_all_constant_dims(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import (
+        dequantize_expr,
+        scalar_quantize,
+    )
+
+    # all-constant corpus (every scale 0): a NULL vector must yield a
+    # NULL code column, not the sc==0 branch's real -128 codes (which
+    # would reconstruct a phantom neighbor)
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "id long, v array<double>"
+    )
+    mins, scales = [1.0, 2.0], [0.0, 0.0]
+    out = scalar_quantize(df, "v", mins, scales, code_col="c")
+    got = {r["id"]: r["c"] for r in out.collect()}
+    assert got[1] is None
+    assert list(got[0]) == [-128, -128]
+    rec = {
+        r["id"]: r["r"]
+        for r in out.select("id", dequantize_expr("c", mins, scales).alias("r")).collect()
+    }
+    assert rec[1] is None or all(x is None for x in rec[1])
+
+
+def test_embedding_dim_stats_counts_nulls_as_missing(spark):
+    from diffdataflowmlpipelines_spark.functions.similarity import (
+        embedding_dim_stats,
+    )
+
+    # dim 1 carries a NULL element in one row: n must dip there (the
+    # docstring's null cross-check) while dim 0 counts all rows
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [2.0, None]), (2, [3.0, 7.0])],
+        "id long, v array<double>",
+    )
+    stats = {r["dim"]: r for r in embedding_dim_stats(df, "v").collect()}
+    assert stats[0]["n"] == 3
+    assert stats[1]["n"] == 2  # the NULL element is visible
+    assert stats[1]["mean"] == 6.0

@@ -152,13 +152,45 @@ def test_stale_then_fresh_rows_fold_in_order():
     assert scales == [10.0 / 255.0, 1.0 / 255.0]
 
 
-def test_ragged_population_raises():
-    # contiguous dims but unequal populations (a short vector streamed
-    # in): must raise like the batch scalar_quant_fit does
+def test_ragged_len_statistic_raises():
+    # the len statistic exposes mixed vector lengths (min != max) even
+    # though the per-dim rows are a contiguous prefix
     rows = [
-        {"key": "0", "n": 2, "min": 1.0, "max": 2.0},
-        {"key": "1", "n": 2, "min": 1.0, "max": 2.0},
+        {"key": "0", "n": 3, "min": 1.0, "max": 2.0},
+        {"key": "1", "n": 3, "min": 1.0, "max": 2.0},
         {"key": "2", "n": 1, "min": 3.0, "max": 3.0},
+        {"key": "len", "n": 3, "min": 2.0, "max": 3.0},
     ]
     with pytest.raises(ValueError, match="ragged"):
         quant_params_from_stats(rows)
+
+
+def test_ragged_stream_end_to_end_raises(spark, tmp_path):
+    epochs = [
+        ep(0, [(0, [1.0, 2.0])]),
+        ep(1, [(1, [1.0, 2.0, 3.0])]),  # a 3-dim vector joins a 2-dim corpus
+    ]
+    sink = run(spark, tmp_path / "ragged", epochs)
+    with pytest.raises(ValueError, match="ragged"):
+        quant_params_from_stats(sink.read_current(spark).collect())
+
+
+def test_constant_dimension_not_flagged_as_ragged(spark, tmp_path):
+    # regression: incremental_scaler_stats suppresses emissions whose
+    # (mean, var, min, max) are unchanged — n excluded — so a constant
+    # dim keeps a stale n while varying dims advance. The old n-parity
+    # guard rejected this perfectly regular input.
+    epochs = [
+        ep(0, [(0, [1.0, 2.0])]),
+        ep(1, [(1, [1.0, 3.0])]),  # dim 0 constant -> emission suppressed
+    ]
+    sink = run(spark, tmp_path / "constdim", epochs)
+    mins_s, scales_s = quant_params_from_stats(
+        sink.read_current(spark).collect()
+    )
+    mins_b, scales_b = scalar_quant_fit(
+        _batch_df(spark, [[1.0, 2.0], [1.0, 3.0]]), "vec"
+    )
+    assert mins_s == mins_b == [1.0, 2.0]
+    assert scales_s == scales_b
+    assert scales_s[0] == 0.0  # the constant dim
