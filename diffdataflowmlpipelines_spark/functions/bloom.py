@@ -104,16 +104,31 @@ def build_bloom_words(
 
 def _member_expr(c: Column, arr: Column, n_bits: int, k: int) -> Column:
     """True iff all k probe bits are set in ``arr`` (array<long> of
-    packed words) — pure JVM expression (sequence → forall → getbit),
-    shared by the literal and broadcast carriers."""
+    packed words) — pure JVM expression, shared by the literal and
+    broadcast carriers.
+
+    The k probes are UNROLLED into an AND chain (k ≤ 16, a handful of
+    integer ops each — nowhere near the 64KB codegen method limit)
+    rather than folded with ``forall``: a higher-order function is
+    evaluated interpreted with no common-subexpression elimination, so
+    the ``forall`` form recomputed the md5 digest and both conv()
+    halves inside the lambda for every i — 2k md5+conv evaluations per
+    probed value. The unrolled chain stays inside whole-stage codegen
+    where subexpression elimination evaluates the digest once
+    (measured on d9: the probe projection dominated the query at 8x
+    the necessary hash work; guide §4.1 — prefer built-ins/codegen
+    over interpreted paths in hot projections)."""
     h1, h2 = _h1_h2(c, n_bits)
 
-    def bit_set(i: Column) -> Column:
-        p = _position(h1, h2, i, n_bits)
+    def bit_set(i: int) -> Column:
+        p = _position(h1, h2, F.lit(i), n_bits)
         word = F.element_at(arr, (p / WORD_BITS).cast("int") + 1)
         return F.getbit(word, (p % WORD_BITS).cast("int")) == 1
 
-    return F.forall(F.sequence(F.lit(0), F.lit(k - 1)), bit_set)
+    out = bit_set(0)
+    for i in range(1, k):
+        out = out & bit_set(i)
+    return out
 
 
 def _check_words(words: list[int], n_bits: int) -> None:

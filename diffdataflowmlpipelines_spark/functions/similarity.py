@@ -722,6 +722,11 @@ def semantic_dedup(
         .filter(F.col("__hi") > F.col("__lo"))
         .filter(
             F.round(
+                # deliberately the HOF fold, NOT an unrolled chain: the
+                # r6 A/B measured the 64-term unrolled dot at ~4s of
+                # codegen/compile per fresh query execution vs ~0.05s of
+                # actual evaluation over the full pair mass — the fold's
+                # interpreted evaluation is the cheaper total here
                 _dot(F.col("__va"), F.col("__vb"))
                 / (F.col("__na") * F.col("__nb")),
                 round_to,
@@ -938,6 +943,9 @@ def knn_graph(
             "__src",
             "neighbor_id",
             F.round(
+                # HOF fold on purpose — see semantic_dedup's note: the
+                # unrolled dot trades ~0.05s of evaluation for ~4s of
+                # codegen compile per fresh execution
                 _dot(F.col("__va"), F.col("__vb"))
                 / (F.col("__na") * F.col("__nb")),
                 round_to,

@@ -446,20 +446,30 @@ def pmi_collocations(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # totals: bounded fit statistics (1 row each, over the staged toks)
-    n1 = float(cu.agg(F.sum("c")).collect()[0][0] or 0)
-    n2 = float(cb.agg(F.sum("n_pair")).collect()[0][0] or 0)
+    # totals: 1-row frames cross-joined into the plan (verdict r5 #2:
+    # the collect() form fired two extra full driver jobs over the
+    # staged toks per query build — as broadcast scalars the totals
+    # compute inside the ONE query execution; identical doubles, the
+    # c9 1-row-scalar-cross precedent)
+    n1f = cu.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("double").alias("__n1")
+    )
+    n2f = cb.agg(
+        F.coalesce(F.sum("n_pair"), F.lit(0)).cast("double").alias("__n2")
+    )
     ca = cu.select(F.col("w").alias("__wa"), F.col("c").alias("__ca"))
     cbb = cu.select(F.col("w").alias("__wb"), F.col("c").alias("__cb"))
     # same association shape as the oracle: all-double left-assoc
     # products, one division, then ln — IEEE-identical cross-engine
     ratio = (
-        F.col("n_pair").cast("double") * F.lit(n1) * F.lit(n1)
-    ) / (F.lit(n2) * F.col("__ca").cast("double") * F.col("__cb").cast("double"))
+        F.col("n_pair").cast("double") * F.col("__n1") * F.col("__n1")
+    ) / (F.col("__n2") * F.col("__ca").cast("double") * F.col("__cb").cast("double"))
     return (
         cb.filter(F.col("n_pair") >= min_count)
         .join(ca, F.col("w1") == F.col("__wa"))
         .join(cbb, F.col("w2") == F.col("__wb"))
+        .join(F.broadcast(n1f), how="cross")
+        .join(F.broadcast(n2f), how="cross")
         .select(
             "w1",
             "w2",
@@ -591,16 +601,22 @@ def source_unigram_kl(
     )
     ng = st.groupBy("__g").agg(F.sum("__c").alias("__ng"))
     ct = st.groupBy("__w").agg(F.sum("__c").alias("__cw"))
-    # corpus total: bounded fit statistic (|groups| rows -> 1)
-    n_total = float(ng.agg(F.sum("__ng")).collect()[0][0] or 0)
+    # corpus total: 1-row frame cross-joined into the plan (verdict r5
+    # #2: the collect() form fired an extra driver job over the staged
+    # frame per query build; as a broadcast scalar it computes inside
+    # the one execution — identical doubles, c9 1-row-scalar precedent)
+    ntf = ng.agg(
+        F.coalesce(F.sum("__ng"), F.lit(0)).cast("double").alias("__ntot")
+    )
     pg = F.col("__c") / F.col("__ng")
-    pc = F.col("__cw") / F.lit(n_total)
+    pc = F.col("__cw") / F.col("__ntot")
     # null-safe join: a NULL group is a group (repo convention; a plain
     # equi-join would silently drop the NULL source's rows)
     ng2 = ng.select(F.col("__g").alias("__g2"), "__ng")
     return (
         st.join(F.broadcast(ng2), F.col("__g").eqNullSafe(F.col("__g2")))
         .join(ct, "__w")
+        .join(F.broadcast(ntf), how="cross")
         .groupBy("__g")
         .agg(
             F.max("__ng").cast("long").alias("n_tokens"),

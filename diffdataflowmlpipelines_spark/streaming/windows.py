@@ -17,6 +17,9 @@ assert epoch-by-epoch.
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,14 +36,105 @@ def _exploded(df: DataFrame) -> DataFrame:
     )
 
 
+def _file_stream_rows_per_batch(df: DataFrame) -> int | None:
+    """Best-effort rows-per-micro-batch estimate for a file-source
+    stream: when ``df`` is a plain ``readStream.parquet(dir)`` with
+    ``maxFilesPerTrigger`` set, a micro-batch is that many files, so
+    the parquet footers of the first files ARE the batch density. Any
+    other shape (no trigger cap, non-parquet, multi-path, remote
+    filesystem, wrapped/transformed frame) returns None — fail-soft by
+    design: the caller then leaves partitioning alone."""
+    try:
+        node = df._jdf.queryExecution().logical()
+        if node.getClass().getSimpleName() != "UnresolvedDataSource":
+            return None
+        if str(node.format()).lower() != "parquet":
+            return None
+        opt = node.options().get("maxfilespertrigger")
+        if opt.isEmpty():
+            return None
+        n_files = int(opt.get())
+        paths = node.paths()
+        if paths.size() != 1:
+            return None
+        path = str(paths.apply(0))
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+        if not os.path.isdir(path):
+            return None
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))[:n_files]
+        if not files:
+            return None
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.read_metadata(f).num_rows for f in files)
+        return rows or None
+    except Exception:
+        return None
+
+
+def size_state_partitions(
+    df: DataFrame, state_partitions: int | str | None
+) -> None:
+    """Bind the state-partition count for the NEXT ``start()`` on this
+    session (guide §2: derive partitioning from input size, don't
+    inherit a constant tuned for the core count).
+
+    Stateful streaming operators use the strict stateful distribution:
+    their partition count is EXACTLY ``spark.sql.shuffle.partitions``
+    as captured at checkpoint creation — no plan-level hint or
+    repartition can size it, so sizing means setting that conf before
+    the query starts (precisely what the stream-join bench lane does
+    via ``recommended_state_partitions``, the measured HDFS-provider
+    cost model: per-partition commit overhead dominates below ~20k
+    rows/partition/batch; SCALING.md join-tune matrices, and the r6
+    windowed-agg A/B: 201k-row batches ran 3.6x faster at 8 state
+    partitions than at 32 on identical input). ``state_partitions``:
+    an int pins that count; "auto" derives rows/batch from the
+    file-source footers (``_file_stream_rows_per_batch``) and applies
+    the cost model, silently doing nothing when the density is not
+    derivable; None leaves the session untouched.
+
+    SIDE EFFECT by necessity: mutates the session's
+    ``spark.sql.shuffle.partitions``. Callers that interleave batch
+    work should save/restore the conf around the streaming query
+    (tests/conftest.py restores it per test)."""
+    if state_partitions is None:
+        return
+    spark = df.sparkSession
+    if isinstance(state_partitions, int):
+        n = state_partitions
+    else:
+        from diffdataflowmlpipelines_spark.streaming.join import (
+            recommended_state_partitions,
+        )
+
+        rows = _file_stream_rows_per_batch(df)
+        if rows is None:
+            return
+        n = recommended_state_partitions(
+            rows, max_parallelism=spark.sparkContext.defaultParallelism
+        )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+
+
 def tumbling_token_frequency(
     df: DataFrame,
     window: str = "10 seconds",
     watermark: str = "30 seconds",
     streaming: bool = True,
+    state_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """(window_start, token) -> net tf. Streaming: update-mode stateful
-    agg; state is dropped once the watermark passes window end."""
+    agg; state is dropped once the watermark passes window end.
+
+    ``state_partitions`` sizes the stateful operator's state layout via
+    :func:`size_state_partitions` (default "auto": derived from the
+    file-source batch density, no-op when not derivable). Results are
+    partition-count independent; only the per-batch commit overhead
+    changes."""
+    if streaming:
+        size_state_partitions(df, state_partitions)
     ex = _exploded(df)
     if streaming:
         ex = ex.withWatermark("event_time", watermark)
@@ -57,7 +151,10 @@ def sliding_token_frequency(
     slide: str = "10 seconds",
     watermark: str = "30 seconds",
     streaming: bool = True,
+    state_partitions: int | str | None = "auto",
 ) -> DataFrame:
+    if streaming:
+        size_state_partitions(df, state_partitions)
     ex = _exploded(df)
     if streaming:
         ex = ex.withWatermark("event_time", watermark)
