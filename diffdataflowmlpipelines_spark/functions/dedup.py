@@ -476,7 +476,11 @@ def embedding_near_dups(
     row is asserted against it in-plan, because a silent zip_with pad
     would null the cosine and DROP the pair instead of erroring."""
     v = F.col(vec_col)
-    row = df.select(F.size(v).alias("n")).first()
+    # probe AFTER dropping NULL vectors (advice r5 #1, mirroring
+    # _check_dim): a NULL first row would leave dim=None and silently
+    # disable both the dims<4 guard and the in-plan mixed-dim assert —
+    # exactly the silent-pair-drop these guards exist to prevent
+    row = df.filter(v.isNotNull()).select(F.size(v).alias("n")).first()
     if row is not None and row["n"] is not None:
         dim = int(row["n"])
         if block_bits is None and dim < 4:

@@ -1370,9 +1370,10 @@ def pq_encode_arrow(
     the canonical dsub=8) — the distance is accumulated per-dimension
     in an explicit left-to-right loop instead; (2) ``np.argmin``
     propagates NaN as the minimum while Spark's struct ordering puts
-    NaN GREATER than every double — NaN distances are replaced with
-    +inf before the argmin, reproducing the JVM lane's choice
-    (including the all-NaN -> index-0 tie).
+    NaN GREATER than every double — NaN distances are remapped to +inf
+    AND the argmin tie-break prefers non-NaN origins (a genuine +inf
+    distance beats a NaN at a lower index, exactly the JVM's inf < NaN
+    order; all-NaN keeps the index-0 tie) — advice r5 #2.
 
     Why it exists: the JVM transform+array_min lane allocates ksub
     structs + an array per (row, subspace) — measured ~0.7 ms/row at
@@ -1425,9 +1426,24 @@ def pq_encode_arrow(
                         r = sub[:, None, t] - c[None, :, t]
                         d += r * r
                     # Spark struct ordering: NaN is GREATER than every
-                    # double; np.argmin would propagate it as the MIN
-                    d = np.where(np.isnan(d), np.inf, d)
-                    parts.append(d.argmin(axis=1).astype(np.int16) - 128)
+                    # double; np.argmin would propagate it as the MIN.
+                    # Remapping NaN to +inf alone merges it with GENUINE
+                    # +inf distances (advice r5 #2): with a real +inf at
+                    # a higher index and a NaN at a lower one, plain
+                    # argmin picks the NaN index where the JVM picks the
+                    # +inf (inf < NaN). Tie-break among row-min entries:
+                    # prefer non-NaN origins, then the lowest index; an
+                    # all-NaN row keeps index 0 (the JVM tie).
+                    nan = np.isnan(d)
+                    d = np.where(nan, np.inf, d)
+                    is_min = d == d.min(axis=1, keepdims=True)
+                    real_min = is_min & ~nan
+                    best = np.where(
+                        real_min.any(axis=1),
+                        real_min.argmax(axis=1),
+                        is_min.argmax(axis=1),
+                    )
+                    parts.append(best.astype(np.int16) - 128)
                 packed = np.stack(parts, axis=1).astype(np.int8)
                 j = 0
                 for i in range(len(pdf)):

@@ -1697,7 +1697,13 @@ def t11_corpus_pipeline(spark, sf_dir):
     fp = q1.withColumn("fp", word_fingerprint("toks"))
     rn = F.row_number().over(_W.partitionBy("fp").orderBy("doc_id"))
     dd = fp.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn", "fp")
-    corpus = dd.filter(F.col("doc_id") % 19 != 0)
+    # corpus feeds BOTH the contamination check and the survivor join:
+    # unpinned, Catalyst re-planned the whole scan+tokenize+fingerprint
+    # window under each consumer (two documents scans + two fp window
+    # exchanges in the r6 plan audit — the d3/cep3 shared-subtree
+    # class). localCheckpoint, the repo-wide convention for shared
+    # staged frames (14 -> 9 Exchanges).
+    corpus = dd.filter(F.col("doc_id") % 19 != 0).localCheckpoint(eager=True)
     bench = docs.filter(F.col("doc_id") % 19 == 0)
     contam = ngram_contamination(
         corpus.select("doc_id", "toks"), bench.select("doc_id", "toks"),

@@ -41,7 +41,17 @@ def scalar_quant_stats_stream(
     ``size(vec)`` (the ragged-input detector — see module docstring).
     Output (update mode): ``(key, n, mean, var_pop, min, max)`` with
     key in {"0", "1", ..., "len"} — state is bounded by dimensionality
-    x distinct values per dim, never by corpus size."""
+    x distinct values per dim, never by corpus size.
+
+    Element-level NULLs (a non-NULL vector containing NULL elements)
+    DIVERGE from the batch fit (advice r5 #3, documented contract):
+    ``scalar_quant_fit`` raises 'ragged embedding dimensions' because
+    per-dim counts skew, while this stream feeds them into
+    ``incremental_scaler_stats``, which drops NULL x rows — the
+    streamed fit proceeds on the non-NULL population. The ``len``
+    statistic counts elements including NULLs, so it cannot see them
+    either. Pre-filter element-NULL vectors upstream when the batch
+    parity claim must hold for such inputs."""
     vec = F.col(vec_col).cast("array<double>")
     exploded = df.select(
         F.posexplode(vec).alias("dim", "x"),

@@ -382,3 +382,36 @@ def test_embedding_dim_stats_counts_nulls_as_missing(spark):
     assert stats[0]["n"] == 3
     assert stats[1]["n"] == 2  # the NULL element is visible
     assert stats[1]["mean"] == 6.0
+
+
+def test_pq_encode_arrow_inf_nan_edge_matches_jvm(spark):
+    """Advice r5 #2: a NaN distance (inf-element vector vs an
+    inf-element centroid) must LOSE to a genuine +inf distance at a
+    higher index — Spark's struct ordering has inf < NaN, so a plain
+    NaN->inf remap + argmin would pick the wrong code. All-NaN keeps
+    the index-0 tie."""
+    from diffdataflowmlpipelines_spark.functions.similarity import (
+        pq_encode,
+        pq_encode_arrow,
+    )
+
+    inf = float("inf")
+    df = spark.createDataFrame(
+        [(0, [inf]), (1, [1.0])], "id long, v array<double>"
+    )
+    # subspace 0: centroid 0 -> (inf-inf)^2 = NaN, centroid 1 -> +inf
+    cents = [[[inf], [0.0]]]
+    jvm = {r["id"]: list(r["c"])
+           for r in pq_encode(df, "v", cents, code_col="c").collect()}
+    arrow = {r["id"]: list(r["c"])
+             for r in pq_encode_arrow(df, "v", cents, code_col="c").collect()}
+    assert arrow == jvm
+    assert jvm[0] == [1 - 128]  # the +inf centroid, not the NaN one
+
+    all_nan_cents = [[[inf], [inf]]]
+    jvm2 = {r["id"]: list(r["c"])
+            for r in pq_encode(df, "v", all_nan_cents, code_col="c").collect()}
+    arrow2 = {r["id"]: list(r["c"])
+              for r in pq_encode_arrow(df, "v", all_nan_cents, code_col="c").collect()}
+    assert arrow2 == jvm2
+    assert jvm2[0] == [0 - 128]
