@@ -250,8 +250,14 @@ def learn_bpe_spark_iterative(
 
 
 def learn_bpe_incremental(
-    word_freqs: dict[str, int], n_merges: int
-) -> list[tuple[int, str, str, str, int]]:
+    word_freqs: dict[str, int],
+    n_merges: int,
+    *,
+    return_word_syms: bool = False,
+) -> (
+    list[tuple[int, str, str, str, int]]
+    | tuple[list[tuple[int, str, str, str, int]], dict[str, list[str]]]
+):
     """Incremental-heap BPE learner over a collected word-frequency
     table — the driver-side engine path behind ``learn_bpe``. Same
     determinism contract as every other form (argmax pair_count, ties
@@ -270,6 +276,12 @@ def learn_bpe_incremental(
     proportional to the total length of words containing the merged
     pair — not to the vocabulary — so 32k merges are tractable where
     the full-rescan twin (``learn_bpe_local``) is O(n_merges · vocab).
+
+    ``return_word_syms=True`` additionally returns the FINAL per-word
+    symbol sequences ``{word: [sym, ...]}`` — the learner maintains
+    them anyway, and handing them to ``bpe_encode(word_syms=...)``
+    lets the encode skip re-deriving them (the distinct-vocab shuffle
+    + the merge folds) over the corpus it just learned on.
     """
     import heapq
 
@@ -328,6 +340,11 @@ def learn_bpe_incremental(
         # leftmost merging leaves no (l, r) adjacency in any processed
         # word, and no other word changed — no defensive pop, so the
         # parity tests would catch any bookkeeping drift
+    if return_word_syms:
+        word_syms = {
+            w: words[i][0] for i, w in enumerate(word_freqs)
+        }
+        return merges, word_syms
     return merges
 
 
@@ -347,6 +364,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     merges_per_block: int = 16,
+    word_syms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Encode documents with a learned merge table: (id_col, bpe_tokens
     array<string>, n_bpe int). Scale shape: merges are applied to the
@@ -361,21 +379,40 @@ def bpe_encode(
     survives by design: the id-only left join that restores empty
     documents is column-pruned to ``id_col`` at the source. Expression
     depth is bounded by checkpointing every ``merges_per_block``
-    merges."""
+    merges.
+
+    ``word_syms`` (the ``{word: symbols}`` table a learner that just
+    scanned THIS corpus already holds — ``learn_bpe_incremental(...,
+    return_word_syms=True)``) skips re-deriving the vocabulary: no
+    distinct-vocab shuffle over the exploded corpus and no merge
+    folds — the driver table becomes a broadcast join side directly
+    (guide §8: the decision table is vocab-sized and already
+    collected; the corpus moves once, for the re-assembly regroup
+    only). The caller must guarantee coverage: corpus words ABSENT
+    from ``word_syms`` drop from the encoding, so use the default path
+    when encoding a different corpus than the one learned on."""
     toks = docs.select(
         id_col, F.posexplode(tokenize(text_col)).alias("pos", "word")
     ).localCheckpoint(eager=True)
-    vocab = toks.select("word").distinct()
-    enc = vocab.select("word", initial_symbols("word").alias("symbols"))
-    for i in range(0, len(merges), merges_per_block):
-        enc = enc.select(
-            "word",
-            apply_merges(
-                F.col("symbols"), merges[i : i + merges_per_block]
-            ).alias("symbols"),
+    if word_syms is not None:
+        enc = F.broadcast(
+            docs.sparkSession.createDataFrame(
+                [(w, list(s)) for w, s in word_syms.items()],
+                "word string, symbols array<string>",
+            )
         )
-        if i + merges_per_block < len(merges):
-            enc = enc.localCheckpoint(eager=True)
+    else:
+        vocab = toks.select("word").distinct()
+        enc = vocab.select("word", initial_symbols("word").alias("symbols"))
+        for i in range(0, len(merges), merges_per_block):
+            enc = enc.select(
+                "word",
+                apply_merges(
+                    F.col("symbols"), merges[i : i + merges_per_block]
+                ).alias("symbols"),
+            )
+            if i + merges_per_block < len(merges):
+                enc = enc.localCheckpoint(eager=True)
     assembled = (
         toks.join(enc, "word")
         .groupBy(id_col)
@@ -409,6 +446,7 @@ def tokenizer_pipeline(
     id_col: str = "doc_id",
     source_col: str = "source",
     merges: list[tuple[str, str]] | None = None,
+    word_syms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """The complete tokenizer path: text -> learned BPE units ->
     per-doc unit sequences -> stable dense int ids (the sharded
@@ -441,7 +479,7 @@ def tokenizer_pipeline(
             for r in learn_bpe(docs, n_merges, text_col=text_col).collect()
         ]
     enc = bpe_encode(
-        docs, merges, text_col=text_col, id_col=id_col
+        docs, merges, text_col=text_col, id_col=id_col, word_syms=word_syms
     ).localCheckpoint(eager=True)
     vocab = fit_dictionary(
         enc.select(F.explode("bpe_tokens").alias("unit")), "unit"

@@ -24,6 +24,7 @@ from diffdataflowmlpipelines_spark.functions.bpe import (
     EOW,
     bpe_encode,
     learn_bpe,
+    learn_bpe_incremental,
     pair_counts,
     initial_symbols,
     word_frequencies,
@@ -189,10 +190,16 @@ def v3_bpe_encode(spark, sf_dir):
     space-joined string for driver hashability (the m1/c16 convention;
     units cannot contain spaces — words are whitespace-split)."""
     docs = load(spark, sf_dir, "documents")
-    merges = [
-        (r["left"], r["right"])
-        for r in learn_bpe(docs, n_merges=_BPE_K).collect()
-    ]
+    # learn driver-side AND keep the final word->symbols table: the
+    # encode then skips the distinct-vocab shuffle + merge folds over
+    # the corpus it was just learned on (bpe_encode word_syms path)
+    wf = {
+        r["word"]: int(r["freq"]) for r in word_frequencies(docs).collect()
+    }
+    full, word_syms = learn_bpe_incremental(
+        wf, _BPE_K, return_word_syms=True
+    )
+    merges = [(m[1], m[2]) for m in full]
     if len(merges) < _BPE_K:
         # self-diagnosing guard: Spark early-stops but the generated
         # oracle's CROSS JOIN against an empty top{i} empties the
@@ -202,7 +209,7 @@ def v3_bpe_encode(spark, sf_dir):
             f"corpus supports only {len(merges)} < {_BPE_K} merges; "
             "lower _BPE_K to keep the generated oracle aligned"
         )
-    enc = bpe_encode(docs, merges)
+    enc = bpe_encode(docs, merges, word_syms=word_syms)
     return enc.select(
         "doc_id",
         F.array_join("bpe_tokens", " ").alias("bpe_text"),
@@ -401,15 +408,18 @@ def t20_tokenizer_pipeline(spark, sf_dir):
     token-ARRAY equality vs the python twin is pinned in
     tests/test_bpe.py."""
     from diffdataflowmlpipelines_spark.functions.bpe import (
-        learn_bpe,
         tokenizer_pipeline,
     )
 
     docs = load(spark, sf_dir, "documents")
-    merges = [
-        (r["left"], r["right"])
-        for r in learn_bpe(docs, n_merges=_BPE_K).collect()
-    ]
+    # learn driver-side AND keep the word->symbols table (see v3)
+    wf = {
+        r["word"]: int(r["freq"]) for r in word_frequencies(docs).collect()
+    }
+    full, word_syms = learn_bpe_incremental(
+        wf, _BPE_K, return_word_syms=True
+    )
+    merges = [(m[1], m[2]) for m in full]
     if len(merges) < _BPE_K:
         # same self-diagnosing guard as v3: on an early-stopped corpus
         # the generated k-iteration oracle empties and the gate failure
@@ -418,7 +428,7 @@ def t20_tokenizer_pipeline(spark, sf_dir):
             f"corpus supports only {len(merges)} < {_BPE_K} merges; "
             "lower _BPE_K to keep the generated oracle aligned"
         )
-    out = tokenizer_pipeline(docs, merges=merges)
+    out = tokenizer_pipeline(docs, merges=merges, word_syms=word_syms)
     return out.select(
         "doc_id",
         F.array_join(

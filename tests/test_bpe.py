@@ -628,3 +628,39 @@ def test_bpe_non_bmp_codepoints_end_to_end(spark):
     enc = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(docs, merges).collect()}
     for doc_id, text in texts:
         assert enc[doc_id] == encode_local(text, merges), doc_id
+
+
+def test_bpe_encode_word_syms_path_matches_default(spark):
+    """The driver-side word->symbols fast path (learn_bpe_incremental
+    return_word_syms=True fed to bpe_encode word_syms=...) must encode
+    bit-identically to the distinct-vocab + merge-fold path on the
+    corpus it was learned on — including empty documents."""
+    from diffdataflowmlpipelines_spark.functions.bpe import (
+        bpe_encode,
+        learn_bpe_incremental,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low lower lowest low"),
+            (1, "newer new newest lower"),
+            (2, ""),
+            (3, None),
+            (4, "low low low widest wide"),
+        ],
+        "doc_id long, text string",
+    )
+    wf = {r["word"]: int(r["freq"]) for r in word_frequencies(docs).collect()}
+    full, word_syms = learn_bpe_incremental(wf, 6, return_word_syms=True)
+    merges = [(m[1], m[2]) for m in full]
+    base = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    fast = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe"])
+        for r in bpe_encode(docs, merges, word_syms=word_syms).collect()
+    }
+    assert fast == base
+    assert set(base) == {0, 1, 2, 3, 4}
