@@ -24,66 +24,66 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["c9_tfidf"](spark, "/root/testdata/sf0.001")
 
 
-# Round-5 rotation: the 39 registry queries NOT sampled in
-# CORRECTNESS_r04 (the r1-r3-covered tail) lead the ordering, so every
-# query regains a POST-round-4-fixes driver row — the complement of the
-# r4 prefix. The full registry passes the identical
-# tools/check_oracle.py harness regardless of order; per-query
-# first-covered-round coverage is tabulated in STATUS.md
-# ("driver coverage").
+# Round-6 rotation (VERDICT r5 #4): lead with the 53 registry queries
+# NOT sampled in CORRECTNESS_r05 — s9/s10/s11 FIRST (the only three
+# with zero driver rows ever), then the r1-r4 tail — so the driver's
+# 50-query prefix covers the complement. The full registry passes the
+# identical tools/check_oracle.py harness regardless of order;
+# first-covered-round coverage is tabulated in STATUS.md.
 _LEAD_THIS_ROUND = [
-    "c16_multi_column_pipeline",
-    "w1_tumbling_window",
-    "w2_sliding_window",
-    "w3_session_window",
-    "j1_interval_join",
-    "d1_exact_dedup",
-    "d2_minhash_signatures",
-    "d3_jaccard_pairs",
-    "d4_simhash",
-    "s1_cosine_topk",
-    "s3_ivf_ann_topk",
-    "s2_lsh_ann_topk",
-    "t1_quality_features",
-    "t2_language_id",
-    "t3_fingerprint",
-    "d7_near_dup_candidates",
-    "cm1_count_min_sketch",
-    "cm3_heavy_hitters",
-    "cm2_count_min_estimate",
-    "m1_media_features",
-    "m2_frame_sample_plan",
-    "t5_decontamination",
-    "t6_repetition_stats",
-    "t7_stratified_sample",
-    "t8_sequence_packing",
-    "t9_pii_redaction",
-    "t10_domain_mixture",
-    "t11_corpus_pipeline",
-    "c2_pipeline_chain",
-    "c8_count_vectorizer_dense",
-    "c14_function_encoder",
-    "p14_sharded_arrow_map",
-    "t4_token_stats",
-    "d5_embedding_near_dups",
-    "d6_dup_clusters",
-    "w4_topk_per_user",
-    "w5_running_sum",
-    "a1_rollup",
-    "j2_join_then_window",
-    # round-5 additions (never driver-covered): lead so the 50-prefix
-    # samples them alongside the rotated 39
-    "t21_pmi_collocations",
-    "t22_source_ngram_overlap",
-    "s5_embedding_dim_stats",
-    "a4_cube",
-    "w10_windowed_percentiles",
-    "j4_bucketed_range_join",
-    "t23_ngram_novelty",
-    "s7_knn_graph",
-    "t24_priority_sample",
-    "s8_knn_components",
-    "d11_containment_pairs",
+    "s9_quantized_topk",
+    "s10_random_projection",
+    "s11_pq_topk",
+    "p3_projection_filter",
+    "p4_explode_tokens",
+    "p5_join_agg",
+    "p6_antijoin",
+    "p7_p8_union_distinct",
+    "p9_p10_weighted_agg",
+    "p13_consolidate",
+    "c3_standard_scaler",
+    "c3_standard_scaler_rounded",
+    "c4_minmax_scaler",
+    "c5_kbins",
+    "c5_kbins_quantile",
+    "c7_ordinal_encoder",
+    "c6_onehot_encoder",
+    "c8_token_counts",
+    "c9_tfidf",
+    "c10_hash_vectorizer_buckets",
+    "c11_polynomial",
+    "c12_dictionary",
+    "d10_semantic_dedup",
+    "s4_cluster_profile",
+    "t12_gopher_filter",
+    "t13_bigram_lm_score",
+    "t14_oov_stats",
+    "t16_hash_split",
+    "t17_chunking",
+    "t15_curation_v2",
+    "d8_duplicated_spans",
+    "d9_bloom_decontamination",
+    "cm4_hll_distinct",
+    "cm5_bottomk_quantiles",
+    "m3_real_decode",
+    "j3_asof_join",
+    "a2_time_rollup",
+    "w7_distinct_users_per_window",
+    "w6_trending_tokens",
+    "a3_grouped_percentiles",
+    "p15_pivot_event_types",
+    "cep1_event_funnel",
+    "cep2_absence",
+    "p17_region_rollout",
+    "w8_time_since_last",
+    "w9_ewma_value",
+    "cep3_funnel_conversion",
+    "v1_bpe_pair_counts",
+    "v2_bpe_learn",
+    "v3_bpe_encode",
+    "t18_importance_resample",
+    "t19_source_drift_kl",
+    "t20_tokenizer_pipeline",
 ]
 
 
