@@ -104,6 +104,7 @@ def gopher_quality_filter(
     max_symbol_ratio: float = 0.1,
     min_alpha_word_ratio: float = 0.80,
     min_stopword_hits: int = 2,
+    toks: Column | None = None,
 ) -> dict[str, Column]:
     """Gopher-style document quality filter (Rae et al. 2021, §A1.1 —
     public rules), composed as a single map-only pass of column
@@ -124,12 +125,19 @@ def gopher_quality_filter(
     signals), never NULL flags — a NULL verdict would silently vanish
     from both keep- and drop-side filters downstream.
 
+    ``toks``: pass an already-materialized ``tokenize(coalesce(text,
+    ''))`` column when the caller staged one (t15 checkpoints it) —
+    the token-derived signals then read it instead of re-splitting the
+    text per signal expression. Must be exactly that derivation or the
+    flags change meaning.
+
     Beyond-reference operator (reference's text surface is tokenize-only,
     ``feature_extraction/utils.rs:3-9``).
     """
     c = F.col(text) if isinstance(text, str) else text
     c = F.coalesce(c, F.lit(""))
-    toks = tokenize(c)
+    if toks is None:
+        toks = tokenize(c)
     n_tokens = F.size(toks).cast("long")
     tok_len_sum = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
     mean_len = F.coalesce(

@@ -886,7 +886,13 @@ def t15_curation_v2(spark, sf_dir):
     )
 
     g = gopher_quality_filter(
-        "text", min_tokens=_T12_MIN_TOKENS, min_stopword_hits=_T12_MIN_STOP
+        "text",
+        min_tokens=_T12_MIN_TOKENS,
+        min_stopword_hits=_T12_MIN_STOP,
+        # base already staged tokenize(coalesce(text, '')): the
+        # token-derived signals read the checkpointed column instead of
+        # re-splitting the text once per signal expression
+        toks=F.col("toks"),
     )
     fpw = Window.partitionBy("__fp").orderBy("doc_id")
     flagged = (
