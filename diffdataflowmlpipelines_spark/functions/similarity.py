@@ -1040,13 +1040,29 @@ def dequantize_expr(
     code_col: str, mins: list[float], scales: list[float]
 ) -> Column:
     """array<double> reconstruction ``mn + (code + 128) * sc`` from an
-    int8 code column produced by :func:`scalar_quantize`."""
+    int8 code column produced by :func:`scalar_quantize`.
+
+    Deliberately a ``transform`` that references ``code_col`` ONCE,
+    with the fit as (mins, scales) literal ARRAYS — not a per-dimension
+    ``F.array(... c[d] ...)`` unroll. Filter pushdown substitutes
+    aliases into pushed predicates unconditionally (unlike
+    CollapseProject there is no multi-reference cheapness guard), so a
+    predicate over a 64-reference reconstruction — e.g. cosine_topk's
+    ``_nonzero`` norm filter — inlined the ENTIRE upstream quantize
+    array into EVERY reference: a measured 102 KB filter condition
+    evaluated interpreted per corpus row, 22 s for the s9 registry
+    query at sf0.1 vs ~1 s with the single-reference form (r6 plan
+    forensics). Same arithmetic per element (element_at on a literal
+    array vs an inlined literal), bit-identical output — pinned by the
+    s9 oracle (replays the affine arithmetic in DuckDB) at both
+    scales."""
     c = F.col(code_col)
-    return F.array(
-        *[
-            F.lit(mn) + (c[d].cast("double") + F.lit(128.0)) * F.lit(sc)
-            for d, (mn, sc) in enumerate(zip(mins, scales))
-        ]
+    mn_arr = _vector_lit(list(mins))
+    sc_arr = _vector_lit(list(scales))
+    return F.transform(
+        c,
+        lambda x, i: F.element_at(mn_arr, i + 1)
+        + (x.cast("double") + F.lit(128.0)) * F.element_at(sc_arr, i + 1),
     )
 
 
