@@ -610,10 +610,22 @@ _T12_MIN_STOP = 2
 )
 def t12_gopher_filter(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    g = gopher_quality_filter(
-        "text", min_tokens=_T12_MIN_TOKENS, min_stopword_hits=_T12_MIN_STOP
+    # stage the token array ONCE: the signal battery otherwise inlines
+    # its own tokenize(coalesce(text,'')) into every token-derived
+    # signal expression (multi-referenced alias -> CollapseProject
+    # keeps the staging projection, so the split runs once per row)
+    staged = docs.select(
+        "doc_id",
+        "text",
+        tokenize(F.coalesce(F.col("text"), F.lit(""))).alias("__toks"),
     )
-    return docs.select("doc_id", *[c.alias(k) for k, c in g.items()])
+    g = gopher_quality_filter(
+        "text",
+        min_tokens=_T12_MIN_TOKENS,
+        min_stopword_hits=_T12_MIN_STOP,
+        toks=F.col("__toks"),
+    )
+    return staged.select("doc_id", *[c.alias(k) for k, c in g.items()])
 
 
 # --- t13: CCNet-style bigram LM scoring -------------------------------------

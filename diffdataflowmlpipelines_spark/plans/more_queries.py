@@ -431,10 +431,23 @@ def w6_trending_tokens(spark, sf_dir):
         (F.col("event_id") % 500).alias("doc_id"),
     )
     toks = _doc_tokens_mq(spark, sf_dir)
+    # aggregate BEFORE the join (guide §3.3: explode-then-join
+    # multiplies — the raw form fanned 100k events x ~380 tokens/doc
+    # into 38M joined rows before aggregating): count events per
+    # (window, doc) and token instances per (doc, token), join the two
+    # REDUCED frames, and sum the count products — integer-identical
+    # to counting the exploded join (tf(w,t) = Σ_doc ne(w,doc) *
+    # nt(doc,t)), at ~7x fewer joined rows
+    ev_cnt = ev.groupBy("window_start", "doc_id").agg(
+        F.count(F.lit(1)).alias("__ne")
+    )
+    tok_cnt = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("__nt")
+    )
     tf = (
-        ev.join(toks, "doc_id")
+        ev_cnt.join(tok_cnt, "doc_id")
         .groupBy("window_start", "token")
-        .agg(F.count("*").cast("long").alias("tf"))
+        .agg(F.sum(F.col("__ne") * F.col("__nt")).cast("long").alias("tf"))
     )
     from pyspark.sql import Window
 
