@@ -33,22 +33,36 @@ def _bucket(h: Column, a: int, b: int, width: int) -> Column:
     return ((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)) % F.lit(width)
 
 
-def _cm_cells(token_col, params, width: int):
-    """(depth_j, bucket) struct array for one token — THE hash pipeline,
-    shared by build AND probe (see NOTE below count_min_sketch: a
-    build/probe drift silently queries the wrong buckets and is
-    undetectable from the sketch frame; one implementation makes the
-    divergence impossible)."""
-    h = md5_hash60(token_col.cast("string")) % F.lit(MERSENNE_P)
+def _cm_hash(token_col):
+    """The token hash HALF of the cell pipeline — hoist it into its own
+    aliased projection before calling :func:`_cm_cells_from_hash`: the
+    bucket array references the hash once per depth row, and an inline
+    (non-aliased) hash is re-evaluated per reference (the d9/s9
+    multi-reference lesson — md5+conv x depth per token)."""
+    return md5_hash60(token_col.cast("string")) % F.lit(MERSENNE_P)
+
+
+def _cm_cells_from_hash(h_col, params, width: int):
+    """(depth_j, bucket) struct array from a PRE-HOISTED hash column —
+    THE bucket pipeline, shared by build AND probe (see NOTE below
+    count_min_sketch: a build/probe drift silently queries the wrong
+    buckets and is undetectable from the sketch frame; one
+    implementation makes the divergence impossible)."""
     return F.array(
         *[
             F.struct(
                 F.lit(j).alias("depth_j"),
-                _bucket(h, a, b, width).alias("bucket"),
+                _bucket(h_col, a, b, width).alias("bucket"),
             )
             for j, (a, b) in enumerate(params)
         ]
     )
+
+
+def _cm_cells(token_col, params, width: int):
+    """Inline composition of hash + cells for contexts where the hash
+    cannot be hoisted; prefer the split form in per-token hot paths."""
+    return _cm_cells_from_hash(_cm_hash(token_col), params, width)
 
 
 def _hll_bucketed(df: DataFrame, token_col, m: int, carry: list) -> DataFrame:
@@ -97,10 +111,13 @@ def count_min_sketch(
     # NULL tokens are dropped: md5(NULL) hashes to NULL buckets, which
     # violate the [0, width) cell schema and are unreachable by the
     # estimate join (junk rows invisible to every query)
-    ex = with_diff(df).select(
-        F.explode(F.col(tokens_col)).alias("__t"), DIFF
-    ).filter(F.col("__t").isNotNull())
-    rows = _cm_cells(F.col("__t"), params, width)
+    ex = (
+        with_diff(df)
+        .select(F.explode(F.col(tokens_col)).alias("__t"), DIFF)
+        .filter(F.col("__t").isNotNull())
+        .select(_cm_hash(F.col("__t")).alias("__h"), DIFF)
+    )
+    rows = _cm_cells_from_hash(F.col("__h"), params, width)
     out = (
         ex.select(F.explode(rows).alias("__c"), DIFF)
         .groupBy(
@@ -131,8 +148,12 @@ def count_min_estimate(
     estimate = min over depth rows of the hashed cell. Guaranteed
     >= the true count (one-sided error ~ N/width per row)."""
     params = _minhash_params(depth, seed)
-    toks = tokens.select(F.col(token_col).alias("token")).dropDuplicates()
-    cells = _cm_cells(F.col("token"), params, width)
+    toks = (
+        tokens.select(F.col(token_col).alias("token"))
+        .dropDuplicates()
+        .select("token", _cm_hash(F.col("token")).alias("__h"))
+    )
+    cells = _cm_cells_from_hash(F.col("__h"), params, width)
     probes = toks.select("token", F.explode(cells).alias("__c")).select(
         "token",
         F.col("__c.depth_j").alias("depth_j"),
@@ -166,7 +187,8 @@ def windowed_count_min(
     ).filter(F.col("__t").isNotNull())  # same contract as count_min_sketch
     if streaming:
         ex = ex.withWatermark("event_time", watermark)
-    rows = _cm_cells(F.col("__t"), params, width)
+    ex = ex.select("event_time", _cm_hash(F.col("__t")).alias("__h"), DIFF)
+    rows = _cm_cells_from_hash(F.col("__h"), params, width)
     return (
         ex.select("event_time", F.explode(rows).alias("__c"), DIFF)
         .groupBy(
