@@ -113,9 +113,22 @@ def size_state_partitions(
         if rows is None:
             return
         n = recommended_state_partitions(
-            rows, max_parallelism=spark.sparkContext.defaultParallelism
+            rows,
+            max_parallelism=spark.sparkContext.defaultParallelism,
+            min_rows_per_partition=AGG_MIN_ROWS_PER_PARTITION,
         )
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+
+
+# The AGG's commit-vs-parallelism crossover sits ~5x higher than the
+# stream-join's 20k (a windowed agg commits ONE state store per
+# partition where the join commits four, and its per-row update work is
+# lighter): the r6 matrices measured 2/4/8 partitions equal-best at
+# 200k-row batches (2.7-3.1 s vs 8.6 s at 32) and 4/8 best at 800k-row
+# batches (5.7-6.2 s vs 16's 6.1-6.8 s and 32's 7.4-8.2 s) — both
+# densities' optima track ~100k rows/partition/batch (SCALING.md
+# "Windowed-agg state-partition sizing").
+AGG_MIN_ROWS_PER_PARTITION = 100_000
 
 
 def tumbling_token_frequency(
